@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Deduplication operators for training-data pipelines over `documents`:
+  * exact (group-by / content-hash), MinHash+LSH near-dup, SimHash
+  * near-dup, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one shuffle on the content hash (never on raw text);
+  *   - MinHash/LSH turns the quadratic all-pairs problem into
+  *     shuffle-on-band-bucket + candidate verification — the only join is
+  *     between docs sharing a bucket;
+  *   - SimHash bands its 64 bits into 4×16 so any pair within Hamming
+  *     distance 3 shares at least one band (pigeonhole) — again a bucket
+  *     join, not a cross join;
+  *   - exact n-gram Jaccard uses an inverted-index join (token → doc);
+  *     at scale you'd drop stop-shingles first (df cutoff) — the pattern
+  *     is the same join.
+  * All signatures are built from `xxhash64` column expressions — fully
+  * codegen'd, no UDFs, no driver-side state.
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val NumBands = 16 // 16 bands x 4 rows: P(candidate | jaccard .8) ~ .9998
+
+  /** Word 3-shingles (distinct), the unit for MinHash and Jaccard. */
+  private def shingleCol: Column = array_distinct(expr(
+    "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", shingleCol)
+
+  /** dd1_exact — exact duplicate groups by full-text equality: one
+    * shuffle keyed on text (at scale: key on sha2 first, q.v. dd2). */
+  def dd1Exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_doc_id"), col("n_copies"), length(col("text")).as("len"))
+      .orderBy(col("rep_doc_id"))
+
+  /** dd2_hash — content-hash dedup: mark each doc kept/dropped by
+    * first-doc_id-wins within its sha256 group. The shuffle key is the
+    * 32-byte hash, not the document — this is the form that scales. */
+  def dd2Hash(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("content_hash"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signatures: sig_i = min over shingles of xxhash64(i, shingle). */
+  private def withMinhashSigs(df: DataFrame): DataFrame = {
+    val sigs = (0 until NumHashes).map(i =>
+      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh))).as(s"sig_$i"))
+    df.select(col("doc_id") +: col("shingles") +: sigs: _*)
+  }
+
+  /** LSH band buckets: band b = xxhash64(b, sig_{4b} .. sig_{4b+3}). */
+  private def bandCol: Column = {
+    val rows = NumHashes / NumBands
+    array((0 until NumBands).map { b =>
+      xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig_${b * rows + r}"))): _*)
+    }: _*)
+  }
+
+  /** dd3_minhash_lsh — near-duplicate pairs via MinHash+LSH banding,
+    * verified with exact Jaccard >= 0.8 on the shingle sets.
+    * Plan shape: per-row signature (codegen) -> posexplode 16 bands ->
+    * shuffle on (band, bucket) -> self-join within buckets -> distinct
+    * candidate pairs -> verify. No oracle: LSH recall is ~.9998, not 1,
+    * so the exact-SQL answer can differ — rows-only check; dd4 carries
+    * the exact-Jaccard oracle. */
+  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = withMinhashSigs(withShingles(Tables.documents(s, dir)))
+      .withColumn("bands", bandCol)
+      .select(col("doc_id"), col("shingles"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd4_ngram_jaccard — exact near-dup pairs by word-3-shingle Jaccard
+    * >= 0.8 via inverted-index join: explode (doc, shingle), self-join on
+    * shingle, count common shingles per pair, Jaccard from per-doc set
+    * sizes. This is the exact ground truth dd3 approximates (and the
+    * DuckDB oracle mirrors it). */
+  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd5_simhash — 64-bit SimHash per document + near-dup pairs within
+    * Hamming distance 3, found via 4x16-bit band buckets (pigeonhole: <=3
+    * differing bits leave >=1 of 4 bands identical). Signature built by
+    * per-token hash bit-voting — explode, 64 conditional sums, reassemble.
+    * No oracle (custom sketch): rows-only check. */
+  def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b"))
+    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(b => when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)))
+      .select(col("doc_id"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact" -> (dd1Exact _),
+    "dd2_hash" -> (dd2Hash _),
+    "dd3_minhash_lsh" -> (dd3MinhashLsh _),
+    "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
+    "dd5_simhash" -> (dd5Simhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact" ->
+      """SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies,
+              CAST(length(text) AS INTEGER) AS len
+       FROM documents GROUP BY text ORDER BY rep_doc_id""",
+    "dd2_hash" ->
+      """SELECT doc_id, sha256(text) AS content_hash,
+              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS keep
+       FROM documents ORDER BY doc_id""",
+    // dd3_minhash_lsh: approximate recall — no oracle (rows-only).
+    "dd4_ngram_jaccard" ->
+      """WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+            round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
+       ORDER BY doc_a, doc_b""",
+    // dd5_simhash: custom sketch — no oracle (rows-only).
+  )
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim): brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and
+  * embedding-cosine near-dup pairs.
+  *
+  * The cosine kernel is pure `sql.functions` (zip_with + aggregate over
+  * the array) — stays inside whole-stage codegen, no UDF serialization.
+  * Computation is done in double after casting each float element, in
+  * strict left-to-right order, so results are bit-reproducible.
+  *
+  * Scale design (100 TB): brute force is O(N·Q) dot products — fine for a
+  * broadcast query batch against a partitioned corpus (ss1: corpus-side
+  * scan is embarrassingly parallel, top-k via TakeOrderedAndProject).
+  * All-pairs similarity must NOT cross-join: ss2 buckets by LSH signature
+  * so the self-join happens per bucket; multiple hash tables recover
+  * recall. The same plan shape holds for IVF (bucket = nearest coarse
+  * centroid).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** ss1_cosine_topk — brute-force top-10 nearest neighbors of vec_id=0 by
+    * cosine. The 1-row query side is broadcast; the corpus side never
+    * shuffles; top-k is a per-partition heap + driver merge of k. */
+  def ss1CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** ss2_ann_lsh — approximate all-pairs similarity via random-hyperplane
+    * LSH: 4 hash tables x 8 sign bits; vectors sharing a (table, bucket)
+    * become candidates; candidates are verified with exact cosine >= 0.4.
+    * Hyperplanes are deterministic (seeded) literal arrays broadcast into
+    * the expression — no driver-side model state. No oracle (approximate
+    * recall): rows-only check. */
+  def ss2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val tables = 4; val bits = 8
+    val rnd = new scala.util.Random(42)
+    // hyperplane (t, b) = dim gaussian coefficients
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
+    val e = Tables.embeddings(s, dir)
+    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bucket = tbl.zipWithIndex.map { case (plane, b) =>
+        val proj = dot(col("embedding"), typedLit(plane.map(_.toFloat)))
+        when(proj >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        col("sig.table").as("table"), col("sig.bucket").as("bucket"))
+    val a = banded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("table"), col("bucket"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket")).where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 3))
+      .where(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** ss3_embedding_neardup — exact embedding-cosine near-dup pairs
+    * (cos >= 0.45) by brute all-pairs — the ground truth ss2
+    * approximates. Kept exact here so the DuckDB oracle can mirror it;
+    * at 100 TB this query IS ss2 with a higher threshold. */
+  def ss3EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 3))
+      .where(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss1_cosine_topk" -> (ss1CosineTopk _),
+    "ss2_ann_lsh" -> (ss2AnnLsh _),
+    "ss3_embedding_neardup" -> (ss3EmbeddingNeardup _),
+  )
+
+  // DuckDB mirror of the cosine kernel: same double casts, same
+  // left-to-right reduction order as Spark's `aggregate`.
+  private val duckCos =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+
+  val oracle: Map[String, String] = Map(
+    "ss1_cosine_topk" ->
+      s"""SELECT b.vec_id, round($duckCos, 3) AS cos
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id = 0 AND b.vec_id <> 0
+       ORDER BY cos DESC, b.vec_id LIMIT 10""",
+    // ss2_ann_lsh: approximate recall — no oracle (rows-only).
+    "ss3_embedding_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($duckCos, 3) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE round($duckCos, 3) >= 0.45
+       ORDER BY vec_a, vec_b""",
+  )
+}
