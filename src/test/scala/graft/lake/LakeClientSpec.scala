@@ -1,0 +1,168 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic tests for the 16 lake operations (SURVEY.md §5.2): real
+  * assertions (exists/contents/rename-moves), the reference's edge rules
+  * (leading `/`, 404→empty listing, recursive-delete flag), and a
+  * ScalaCheck chunked-write round-trip targeting the class of bug at
+  * reference client.py:582 (flush-at-0). */
+class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var rootDir: java.nio.file.Path = _
+  private var client: LakeClient = _
+
+  override def beforeAll(): Unit = {
+    rootDir = Files.createTempDirectory("lake")
+    client = LakeClient.local(rootDir.toString)
+  }
+
+  override def afterAll(): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(rootDir.toFile)
+
+  test("create/list/delete filesystem lifecycle") {
+    client.createFilesystem("fs1")
+    client.createFilesystem("fs2", Map("env" -> "test", "owner" -> "graft"))
+    assert(client.listFilesystems().map(_.name.split('/').last).toSet == Set("fs1", "fs2"))
+    assert(client.listFilesystems(prefix = Some("fs1")).map(_.name.split('/').last) == Seq("fs1"))
+    assert(client.listFilesystems(maxResults = Some(1)).size == 1)
+    assert(client.deleteFilesystem("fs1"))
+    assert(client.listFilesystems().map(_.name.split('/').last) == Seq("fs2"))
+    client.deleteFilesystem("fs2")
+  }
+
+  test("filesystem properties round-trip (fixes reference HEAD/json bug)") {
+    client.createFilesystem("props", Map("a" -> "1", "b" -> "x=y,z"))
+    assert(client.getFilesystemProperties("props") == Map("a" -> "1", "b" -> "x=y,z"))
+    client.setFilesystemProperties("props", Map("c" -> "3"))
+    assert(client.getFilesystemProperties("props") == Map("c" -> "3"))
+    client.deleteFilesystem("props")
+  }
+
+  test("create file and directory paths; leading-slash tolerance") {
+    client.createFilesystem("cp")
+    client.createPath("cp", "/dir1", directory = true) // leading / tolerated
+    client.createPath("cp", "dir1/file1.txt")
+    val st = client.pathStatus("cp", "/dir1/file1.txt")
+    assert(st.exists(s => !s.isDirectory && s.length == 0)) // zero-byte stage
+    assert(client.pathStatus("cp", "dir1").exists(_.isDirectory))
+    assert(client.pathStatus("cp", "nope").isEmpty)
+    client.deleteFilesystem("cp")
+  }
+
+  test("upload, read, ranged read") {
+    client.createFilesystem("data")
+    val payload = "The quick brown fox jumps over the lazy dog"
+    client.uploadString("data", "f.txt", payload)
+    assert(new String(client.readBytes("data", "f.txt"), "UTF-8") == payload)
+    assert(new String(client.readRange("data", "f.txt", 4, 5), "UTF-8") == "quick")
+    // range past EOF returns the available suffix
+    assert(new String(client.readRange("data", "f.txt", 40, 100), "UTF-8") == "dog")
+    client.deleteFilesystem("data")
+  }
+
+  test("append semantics (update_path action=append + flush-on-close)") {
+    client.createFilesystem("app")
+    client.uploadString("app", "log.txt", "line1\n")
+    client.appendBytes("app", "log.txt", "line2\n".getBytes("UTF-8"))
+    assert(new String(client.readBytes("app", "log.txt"), "UTF-8") == "line1\nline2\n")
+    client.deleteFilesystem("app")
+  }
+
+  test("rename moves files and directories") {
+    client.createFilesystem("mv")
+    client.uploadString("mv", "a/x.txt", "content")
+    assert(client.renamePath("mv", "a/x.txt", "a/y.txt"))
+    assert(client.pathStatus("mv", "a/x.txt").isEmpty)
+    assert(new String(client.readBytes("mv", "a/y.txt"), "UTF-8") == "content")
+    // directory move
+    assert(client.renamePath("mv", "a", "b"))
+    assert(new String(client.readBytes("mv", "b/y.txt"), "UTF-8") == "content")
+    // missing source → false (reference raises File not found, client.py:384)
+    assert(!client.renamePath("mv", "ghost", "g2"))
+    client.deleteFilesystem("mv")
+  }
+
+  test("delete_path honors the recursive flag") {
+    client.createFilesystem("del")
+    client.uploadString("del", "d/f.txt", "x")
+    // non-recursive delete of non-empty dir must fail (reference DELETE
+    // without recursive=true errors server-side)
+    intercept[Exception] { client.deletePath("del", "d", recursive = false) }
+    assert(client.deletePath("del", "d", recursive = true))
+    assert(client.pathStatus("del", "d").isEmpty)
+    client.deleteFilesystem("del")
+  }
+
+  test("list_path: recursive, non-recursive, maxResults, 404→empty") {
+    client.createFilesystem("ls")
+    client.uploadString("ls", "x/1.txt", "1")
+    client.uploadString("ls", "x/y/2.txt", "22")
+    client.uploadString("ls", "3.txt", "333")
+    val rec = client.listPaths("ls")
+    assert(rec.map(_.name.split('/').last).toSet == Set("x", "1.txt", "y", "2.txt", "3.txt"))
+    val top = client.listPaths("ls", recursive = false)
+    assert(top.map(_.name.split('/').last).toSet == Set("x", "3.txt"))
+    assert(client.listPaths("ls", maxResults = 2).size == 2)
+    // 404 → empty, reference client.py:523-524
+    assert(client.listPaths("ls", "missing/dir") == Seq.empty)
+    assert(client.listPaths("nosuchfs") == Seq.empty)
+    // file lengths are real
+    assert(rec.find(_.name.endsWith("3.txt")).get.length == 3)
+    client.deleteFilesystem("ls")
+  }
+
+  test("path properties round-trip; lease is advisory") {
+    client.createFilesystem("meta")
+    client.uploadString("meta", "f.txt", "x")
+    client.setPathProperties("meta", "f.txt", Map("k" -> "v"))
+    assert(client.getPathProperties("meta", "f.txt") == Map("k" -> "v"))
+    val id = client.leasePath("meta", "f.txt", "acquire")
+    assert(id.nonEmpty)
+    assert(client.leasePath("meta", "f.txt", "release", Some(id)) == id)
+    intercept[IllegalArgumentException] { client.leasePath("meta", "f.txt", "bogus") }
+    client.deleteFilesystem("meta")
+  }
+
+  test("acl/status degrade gracefully off-Azure") {
+    client.createFilesystem("acl")
+    client.uploadString("acl", "f.txt", "x")
+    val acl = client.aclStatus("acl", "f.txt")
+    assert(acl.contains("permissions"))
+    client.deleteFilesystem("acl")
+  }
+
+  test("sidecar props files are not listed as data paths") {
+    client.createFilesystem("hid")
+    client.uploadString("hid", "f.txt", "x")
+    client.setPathProperties("hid", "f.txt", Map("k" -> "v"))
+    val names = client.listPaths("hid").map(_.name.split('/').last)
+    assert(names == Seq("f.txt"))
+    client.deleteFilesystem("hid")
+  }
+
+  test("chunked upload round-trips arbitrary bytes x chunk sizes (reference bug client.py:582)") {
+    client.createFilesystem("rt")
+    val rnd = new scala.util.Random(42)
+    // sizes straddle chunk boundaries: empty, 1, chunk-1, chunk, chunk+1, many
+    for (size <- Seq(0, 1, 63, 64, 65, 1000, 4096, 10007); chunk <- Seq(1, 7, 64, 1024)) {
+      val data = new Array[Byte](size); rnd.nextBytes(data)
+      val written = client.upload("rt", "blob.bin", new java.io.ByteArrayInputStream(data), chunk)
+      assert(written == size.toLong) // total length committed, not 0
+      assert(client.readBytes("rt", "blob.bin").sameElements(data))
+    }
+    client.deleteFilesystem("rt")
+  }
+
+  test("upload from local file") {
+    client.createFilesystem("lf")
+    val tmp = Files.createTempFile("up", ".bin")
+    Files.write(tmp, Array.fill[Byte](3000)(7))
+    assert(client.uploadFile("lf", "up.bin", tmp.toFile) == 3000L)
+    assert(client.readBytes("lf", "up.bin").length == 3000)
+    Files.delete(tmp)
+    client.deleteFilesystem("lf")
+  }
+}
