@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ EventStreams.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle
+    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ EventStreams.oracle ++ Multimodal.oracle
 }

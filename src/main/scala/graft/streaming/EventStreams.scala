@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Streaming operators over the `events` table.
+  *
+  * Two faces, one semantics:
+  *   - [[queries]] run the window logic in BATCH over the parquet fixture
+  *     (time windows are pure event-time functions, so batch and stream
+  *     agree), giving the driver's DuckDB oracle something to check;
+  *   - the `streaming*` methods apply the SAME transformations to an
+  *     unbounded DataFrame (`readStream`/MemoryStream) with watermarks for
+  *     state eviction — exercised in EventStreamsSpec.
+  *
+  * Scale design: windowed aggregation state is per (window x key), evicted
+  * by watermark; dedup state is bounded by the watermark horizon
+  * (`dropDuplicatesWithinWatermark`); session windows use Spark's built-in
+  * session_window merge — all shuffle once on the grouping key.
+  */
+object EventStreams {
+
+  private val money = org.apache.spark.sql.types.DecimalType(12, 2)
+  private def dsum(c: Column) = round(sum(c.cast(money)), 2).cast("double")
+
+  // -- shared transformations (batch == stream) ---------------------------
+
+  /** Tumbling 1-hour counts per event_type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 minutes, global event counts. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("total_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+
+  // -- batch query entries (DuckDB-checkable) -----------------------------
+
+  /** st1_tumbling — tumbling-window counts; in batch the window is just
+    * date_trunc, which is exactly what the oracle mirrors. */
+  def st1Tumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** st2_sliding — each event lands in exactly two 1h/30m windows; the
+    * oracle mirrors via time_bucket(30m) and its 30m-earlier twin. */
+  def st2Sliding(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(s, dir))
+      .orderBy(col("window_start"))
+
+  /** st3_session — sessionization; the oracle mirrors with the classic
+    * gaps-and-islands rewrite (lag + cumulative flag sum). Sessions are
+    * numbered per user by start time so no raw timestamps are output
+    * (ns-vs-µs print differences, SURVEY.md §7.4). */
+  def st3Session(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("w.start"))
+    sessionAgg(Tables.events(s, dir))
+      .withColumn("session_idx", row_number().over(w))
+      .select(col("user_id"), col("session_idx"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  // -- true streaming entry points (used by EventStreamsSpec) -------------
+
+  /** Streaming tumbling aggregation with a watermark for state eviction;
+    * append-mode emits each window once it is below the watermark. */
+  def streamingTumbling(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    tumblingAgg(events.withWatermark("ts", watermark))
+
+  /** Streaming dedup by event_id with bounded state. */
+  def streamingDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming sessionization (session_window + watermark). */
+  def streamingSessions(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling" -> (st1Tumbling _),
+    "st2_sliding" -> (st2Sliding _),
+    "st3_session" -> (st3Session _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+              count(*) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "st2_sliding" ->
+      """WITH starts AS (
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS window_start, value FROM events
+        UNION ALL
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP), value FROM events)
+       SELECT window_start, count(*) AS n,
+            CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+       FROM starts GROUP BY 1 ORDER BY window_start""",
+    "st3_session" ->
+      """WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes' OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      islands AS (
+        SELECT user_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged)
+       SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+            count(*) AS n_events,
+            CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+       FROM islands GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+  )
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import Multimodal._
+
+/** The Spark-side multimodal plumbing is real even though the codec is a
+  * stub: schema shape, per-partition decoder lifecycle, deterministic
+  * features, frame-sampling explode. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[2]")
+      .appName("multimodal-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  private def media(id: Long, bytes: Array[Byte]) =
+    MediaRecord(id, bytes, "img", bytes.length, 1)
+
+  test("extractFeatures: schema, determinism, histogram sums to 1") {
+    import spark.implicits._
+    val ds = Seq(
+      media(1, Array[Byte](0, 1, 2, 3, 100, -1, -128)),
+      media(2, Array.emptyByteArray),
+      media(3, Array.fill[Byte](256)(65))).toDS()
+    val feats = extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).sameElements(Array(1L, 2L, 3L)))
+    assert(feats(0).n_bytes == 7)
+    assert(feats(0).feature.length == 8)
+    assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-5)
+    assert(feats(1).n_bytes == 0 && feats(1).mean_byte == 0.0)
+    // all 'A' (65) bytes land in bin 65>>5 = 2
+    assert(feats(2).feature(2) == 1.0f && feats(2).mean_byte == 65.0)
+    // determinism across runs
+    val again = extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(again(0).feature.sameElements(feats(0).feature))
+  }
+
+  test("sampleFrames: chunking + every-k selection") {
+    import spark.implicits._
+    val ds = Seq(media(7, Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val frames = sampleFrames(ds, frameBytes = 10, everyK = 3).collect()
+    // 10 chunks, every 3rd -> idx 0,3,6,9
+    assert(frames.map(_.getInt(1)).sorted.sameElements(Array(0, 3, 6, 9)))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length == 10))
+  }
+
+  test("mediaFromDocuments binds the fixture table into the media schema") {
+    val ds = mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val first = ds.head()
+    assert(first.format == "txt" && first.payload.nonEmpty)
+    assert(ds.count() == 500)
+  }
+}

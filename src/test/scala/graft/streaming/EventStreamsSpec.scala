@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** True Structured Streaming tests on MemoryStream with explicit event
+  * times (no wall-clock sleeps — SURVEY.md §5.2 item 5): windowed aggs
+  * emit on watermark passage, late data beyond the watermark is dropped,
+  * streaming dedup is bounded by the watermark. */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[2]")
+      .appName("streams-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 ${"%02d".format(minutes / 60)}:${"%02d".format(minutes % 60)}:00")
+
+  test("streaming tumbling agg: windows close when watermark passes; late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingTumbling(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+
+    // hour-0 events
+    in.addData(Ev(1, ts(5), 1, "a", 10.0), Ev(2, ts(20), 1, "a", 5.0), Ev(3, ts(40), 2, "b", 1.0))
+    q.processAllAvailable()
+    // watermark is still inside hour 0 -> nothing emitted in append mode
+    assert(spark.table("tumbling").count() == 0)
+
+    // jump event time into hour 2: watermark (max - 30m) passes hour-0 close
+    in.addData(Ev(4, ts(125), 1, "a", 2.0))
+    q.processAllAvailable()
+    // one more batch tick so the state-store eviction emits
+    in.addData(Ev(5, ts(130), 1, "a", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select("window_start", "event_type", "n", "total_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L, 15.0)))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "b", 1L, 1.0)))
+
+    // late event for hour 0, far behind watermark -> dropped (never emitted)
+    in.addData(Ev(6, ts(10), 9, "a", 99.0))
+    in.addData(Ev(7, ts(200), 1, "a", 1.0))
+    q.processAllAvailable()
+    val hour0a = spark.table("tumbling")
+      .where("window_start = timestamp '2024-01-01 00:00:00' AND event_type = 'a'").collect()
+    assert(hour0a.length == 1 && hour0a(0).getAs[Long]("n") == 2L)
+    q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingDedup(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(3), 1, "a", 1.0)) // dup again, still within watermark
+    q.processAllAvailable()
+    assert(spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      sameElements Array(1L, 2L))
+    q.stop()
+  }
+
+  test("streaming sessions merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingSessions(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at 0,10,20 (one session), then 60 (new session)
+    in.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
+      Ev(3, ts(20), 1, "a", 1.0), Ev(4, ts(60), 1, "a", 1.0))
+    q.processAllAvailable()
+    // push watermark far ahead so all sessions close
+    in.addData(Ev(9, ts(600), 2, "z", 0.0))
+    q.processAllAvailable()
+    in.addData(Ev(10, ts(610), 2, "z", 0.0))
+    q.processAllAvailable()
+    val sess = spark.table("sessions").where("user_id = 1")
+      .select("session_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(sess == Set(("2024-01-01 00:00:00.0", 3L), ("2024-01-01 01:00:00.0", 1L)))
+    q.stop()
+  }
+}
