@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the embedding-similarity hot loop
+  * (SURVEY.md §4.2 "needs custom code"): dot product over two
+  * ArrayType(FloatType) columns, accumulated in double.
+  *
+  * Why not zip_with + aggregate (the composable form kept in
+  * [[graft.operators.Similarity]]'s oracle mirror): those build an
+  * intermediate array per row-pair and walk it with per-element lambda
+  * dispatch. This expression reads both ArrayData buffers directly in one
+  * fused loop inside whole-stage codegen — no allocation, no virtual
+  * calls — which is what an O(N·k) similarity scan needs at 100 TB.
+  * Accumulation order is the same left-to-right as the composed form, so
+  * results are bit-identical.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double ${ev.value}_acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        |}
+        |${ev.value} = ${ev.value}_acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension injecting the custom functions; enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or at runtime via [[VectorFunctions.ensureRegistered]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorFunctions.vecDotDescriptor)
+  }
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.functions.{call_function, sqrt => fsqrt}
+
+  private[functions] val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
+
+  /** Idempotently register vec_dot in an existing session (covers
+    * sessions built without the extensions config). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val (id, info, builder) = vecDotDescriptor
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+
+  /** Codegen dot product of two float-array columns. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Cosine similarity via the codegen kernel; norm factors composed from
+    * the same kernel so bits match the zip_with formulation. */
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (fsqrt(vecDot(a, a)) * fsqrt(vecDot(b, b)))
+}

@@ -57,11 +57,17 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signatures: sig_i = min over shingles of xxhash64(i, shingle). */
-  private def withMinhashSigs(df: DataFrame): DataFrame = {
-    val sigs = (0 until NumHashes).map(i =>
-      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh))).as(s"sig_$i"))
-    df.select(col("doc_id") +: col("shingles") +: sigs: _*)
+  /** MinHash signatures via explode + 64-way min aggregation: each
+    * (doc, shingle) row computes 64 xxhash64 values (pure codegen, no
+    * array allocation), and map-side partial min-agg shrinks the shuffle
+    * to 64 longs per doc per partition. This beats 64 separate
+    * transform+array_min passes (which materialize 64 temp arrays per
+    * row) by an order of magnitude at scale. */
+  private def minhashSigs(shingled: DataFrame): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"sig_$i"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band buckets: band b = xxhash64(b, sig_{4b} .. sig_{4b+3}). */
@@ -80,16 +86,20 @@ object Dedup {
     * so the exact-SQL answer can differ — rows-only check; dd4 carries
     * the exact-Jaccard oracle. */
   def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = withMinhashSigs(withShingles(Tables.documents(s, dir)))
+    val shingled = withShingles(Tables.documents(s, dir)).select(col("doc_id"), col("shingles"))
+    // slim candidate generation: only (doc_id, band, bucket) flows through
+    // the self-join; shingle arrays rejoin AFTER the distinct pair set is
+    // known (candidates << corpus, so the two hash joins are cheap)
+    val bands = minhashSigs(shingled)
       .withColumn("bands", bandCol)
-      .select(col("doc_id"), col("shingles"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket")).where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))), 4))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
   * 64-dim): brute-force cosine top-k as the correctness baseline, a
@@ -38,13 +39,14 @@ object Similarity {
     * cosine. The 1-row query side is broadcast; the corpus side never
     * shuffles; top-k is a per-partition heap + driver merge of k. */
   def ss1CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
     e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 3).as("cos"))
+        round(VectorFunctions.vecCosine(col("embedding"), col("q_emb")), 3).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -56,6 +58,7 @@ object Similarity {
     * the expression — no driver-side model state. No oracle (approximate
     * recall): rows-only check. */
   def ss2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     val dim = 64; val tables = 4; val bits = 8
     val rnd = new scala.util.Random(42)
     // hyperplane (t, b) = dim gaussian coefficients
@@ -63,22 +66,29 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
       val bucket = tbl.zipWithIndex.map { case (plane, b) =>
-        val proj = dot(col("embedding"), typedLit(plane.map(_.toFloat)))
+        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
         when(proj >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
+    // slim candidate generation: only (vec_id, table, bucket) shuffles;
+    // embeddings rejoin after the distinct pair set is known
     val banded = e
       .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        col("sig.table").as("table"), col("sig.bucket").as("bucket"))
-    val a = banded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("table"), col("bucket"))
-    val b = banded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket")).where(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 3))
+      .select(col("vec_id"), col("sig.table").as("table"), col("sig.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("table", "bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val sided = e.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(sided.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(sided.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -89,11 +99,17 @@ object Similarity {
     * approximates. Kept exact here so the DuckDB oracle can mirror it;
     * at 100 TB this query IS ss2 with a higher threshold. */
   def ss3EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    VectorFunctions.ensureRegistered(s)
+    // norms once per vector (N sqrt+dot), one codegen dot per pair:
+    // sqrt(dot(a,a))*sqrt(dot(b,b)) factors are precomputed so the O(N^2)
+    // loop does exactly one fused dot product per pair
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 3))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
