@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The codegen kernel must agree bit-for-bit with the composable
+  * zip_with+aggregate formulation (which the DuckDB oracle mirrors), and
+  * behave on nulls/length mismatches. */
+class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[2]")
+      .appName("vec-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.5f, -0.5f), Array(2.0f, 2.0f)),
+      (3L, Array.empty[Float], Array.empty[Float]))
+      .toDF("id", "a", "b")
+  }
+
+  test("vec_dot matches zip_with+aggregate bit-for-bit") {
+    VectorFunctions.ensureRegistered(spark)
+    val composed = graft.operators.Similarity.dot(col("a"), col("b"))
+    val rows = df.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("fast"),
+      composed.as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("vec_dot via SQL (extension-injected) and interpreted eval") {
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT id, vec_dot(a, b) AS d FROM vecs ORDER BY id")
+      .collect().map(_.getDouble(1))
+    assert(viaSql(0) == 32.0 && viaSql(1) == 0.0 && viaSql(2) == 0.0)
+    // interpreted path (codegen off) must agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = spark.sql("SELECT vec_dot(a, b) FROM vecs WHERE id = 1").collect()(0).getDouble(0)
+      assert(interp == 32.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null inputs yield null; mismatched lengths use common prefix") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(Array(1.0f)), None: Option[Array[Float]]),
+      (2L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(10.0f))))
+      .toDF("id", "a", "b")
+    val rows = d.select(col("id"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) == 10.0)
+  }
+
+  test("vecCosine of identical vectors is 1") {
+    VectorFunctions.ensureRegistered(spark)
+    val r = df.where(col("id") === 1)
+      .select(VectorFunctions.vecCosine(col("a"), col("a"))).collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}

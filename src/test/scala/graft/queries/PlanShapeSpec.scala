@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions — the 100 TB design bar is about plan shape,
+  * not sf0.001 timings: dims broadcast (no fact shuffle), predicates reach
+  * the parquet scan, top-k never global-sorts, custom kernels stay inside
+  * whole-stage codegen. These lock the shapes so a regression (e.g. a lost
+  * broadcast hint turning into a sort-merge join) fails CI, not the
+  * 100 TB run. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  private def planString(df: DataFrame): String = {
+    // materialize so AQE finalizes the plan, then inspect
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q9: explicit broadcast join never shuffles the fact table") {
+    val plan = planString(Relational.q9BroadcastJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact table must not sort-merge against a dim")
+  }
+
+  test("q14: full star join broadcasts all three dims") {
+    val plan = planString(Relational.q14StarJoin(spark, dir))
+    assert(plan.split("BroadcastHashJoin").length >= 4,
+      s"expected 3 broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val df = Relational.q1Agg(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate filter in:\n$scan")
+  }
+
+  test("projection pruning: q9 reads only the needed lineitem columns") {
+    val df = Relational.q9BroadcastJoin(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan must prune unused columns, got: $readSchema")
+  }
+
+  test("q20/ss1: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p1 = planString(Relational.q20TopK(spark, dir))
+    assert(p1.contains("TakeOrderedAndProject"), s"q20 plan:\n$p1")
+    val p2 = planString(graft.operators.Similarity.ss1CosineTopk(spark, dir))
+    assert(p2.contains("TakeOrderedAndProject"), s"ss1 plan:\n$p2")
+  }
+
+  test("vec_dot runs inside whole-stage codegen") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val df = graft.tables.Tables.embeddings(spark, dir)
+      .select(graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected WholeStageCodegen stage in:\n$plan")
+    assert(df.selectExpr("sum(d)").collect()(0).getDouble(0) > 0)
+  }
+
+  test("q15 as-of join is one shuffle + window, not a range cross-join") {
+    val plan = planString(Relational.q15AsofJoin(spark, dir))
+    assert(plan.contains("Window"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a cross join")
+  }
+}
