@@ -415,6 +415,59 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** q28_range_join — banded interval join: per event, orders of the same
+    * user in the 7 days up to the event. A naive theta join is a cross
+    * product; instead both sides are bucketed to 7-day epochs and the
+    * event probes its own and the previous bucket (a 7-day window spans
+    * at most two buckets) — an equi-join Spark hash-partitions, with the
+    * exact interval predicate applied post-join. This is the standard
+    * scalable range-join rewrite. */
+  def q28RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bucketLen = 7L * 24 * 3600 // seconds
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / bucketLen).as("b0"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") - 1)))
+    val or = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_totalprice"),
+        floor(unix_timestamp(col("o_orderdate")) / bucketLen).as("bucket"))
+    ev.join(or, Seq("user_id", "bucket"), "left_outer")
+      .withColumn("in_range",
+        col("o_orderdate").isNotNull &&
+          col("o_orderdate") <= col("ts") &&
+          col("o_orderdate") >= col("ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("event_id"))
+      .agg(
+        sum(when(col("in_range"), 1).otherwise(0)).as("n_orders_7d"),
+        coalesce(round(sum(when(col("in_range"), col("o_totalprice").cast(money))), 2)
+          .cast("double"), lit(0.0)).as("spend_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q29_percentile — exact interpolated percentiles (median/p90); both
+    * engines use the same (n-1)*p linear-interpolation definition. */
+  def q29Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** wa1_weighted_avg — custom typed Aggregator (UDAF surface): quantity-
+    * weighted mean unit price per brand, exact partial sums (see
+    * [[graft.functions.Aggregators.WeightedMean]]), dims broadcast. */
+  def wa1WeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.Aggregators.weightedMean(
+        col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -447,6 +500,9 @@ object Relational {
     "q25_datetime" -> (q25Datetime _),
     "q26_string_fns" -> (q26StringFns _),
     "q27_case_expr" -> (q27CaseExpr _),
+    "q28_range_join" -> (q28RangeJoin _),
+    "q29_percentile" -> (q29Percentile _),
+    "wa1_weighted_avg" -> (wa1WeightedAvg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -616,5 +672,26 @@ object Relational {
               CAST(round(sum(CAST(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN o_totalprice ELSE 0 END AS DECIMAL(12,2))), 2) AS DOUBLE) AS other_total,
               count(*) AS n
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q28_range_join" ->
+      """SELECT e.event_id,
+              count(o.o_orderdate) AS n_orders_7d,
+              coalesce(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0) AS spend_7d
+       FROM events e LEFT JOIN orders o
+         ON e.user_id = o.o_custkey
+        AND o.o_orderdate <= e.ts
+        AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+       GROUP BY e.event_id ORDER BY e.event_id""",
+    "q29_percentile" ->
+      """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+              round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+              count(*) AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "wa1_weighted_avg" ->
+      """SELECT p_brand,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+                       / sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS w_avg_price
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY p_brand""",
   )
 }

@@ -1,0 +1,80 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The minimum end-to-end slice of SURVEY.md §7.2 plus scale discipline:
+  * fixture parquet → lake write (partitioned) → read-back with partition
+  * pruning visible in the plan → binary read of the same files. */
+class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private var rootDir: java.nio.file.Path = _
+  private var client: LakeClient = _
+
+  override def beforeAll(): Unit = {
+    rootDir = Files.createTempDirectory("lakeio")
+    client = LakeClient.local(rootDir.toString)
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("lakeio-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    spark0.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(rootDir.toFile)
+  }
+
+  test("write partitioned parquet to the lake; read back with partition pruning") {
+    client.createFilesystem("warehouse")
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    client.writeParquet(li, "warehouse", "lineitem_by_flag", partitionBy = Seq("l_returnflag"))
+
+    // partition dirs exist (l_returnflag=A/N/R)
+    val parts = client.listPaths("warehouse", "lineitem_by_flag", recursive = false)
+      .filter(_.isDirectory).map(_.name.split('/').last).sorted
+    assert(parts == Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+
+    val back = client.readParquet(spark, "warehouse", "lineitem_by_flag")
+    assert(back.count() == li.count())
+
+    // partition filter must prune at planning time, not scan-and-filter
+    val pruned = back.where(org.apache.spark.sql.functions.col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition filters in:\n$plan")
+    val aCount = pruned.count()
+    assert(aCount > 0 && aCount < li.count())
+  }
+
+  test("round-trip CSV and JSON through the lake client") {
+    client.createFilesystem("io")
+    val nation = graft.tables.Tables.nation(spark, "/root/testdata/sf0.001")
+    client.writeCsv(nation, "io", "nation_csv")
+    assert(client.readCsv(spark, "io", "nation_csv").count() == 25)
+    client.writeJson(nation, "io", "nation_json")
+    assert(client.readJson(spark, "io", "nation_json").count() == 25)
+  }
+
+  test("binaryFile source reads lake objects as opaque bytes") {
+    client.createFilesystem("bin")
+    client.uploadString("bin", "blobs/a.bin", "alpha")
+    client.uploadString("bin", "blobs/b.bin", "bravo!")
+    val df = client.readBinary(spark, "bin", "blobs")
+    val rows = df.select("path", "length").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(rows == Map("a.bin" -> 5L, "b.bin" -> 6L))
+    // content is the raw payload (the reference's untyped byte stream)
+    val content = df.where(df("path").endsWith("a.bin"))
+      .select("content").collect()(0).getAs[Array[Byte]](0)
+    assert(new String(content, "UTF-8") == "alpha")
+  }
+}
