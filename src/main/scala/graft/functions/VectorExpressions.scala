@@ -73,6 +73,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.vecDotDescriptor)
+    ext.injectFunction(VectorFunctions.simhashDescriptor)
   }
 }
 
@@ -85,13 +86,23 @@ object VectorFunctions {
     new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
     (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
 
-  /** Idempotently register vec_dot in an existing session (covers
-    * sessions built without the extensions config). */
+  private[functions] val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    (children: Seq[Expression]) => SimHashAgg(children.head).toAggregateExpression())
+
+  /** Idempotently register the custom functions in an existing session
+    * (covers sessions built without the extensions config). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val (id, info, builder) = vecDotDescriptor
-    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    Seq(vecDotDescriptor, simhashDescriptor).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
+
+  /** SimHash sketch aggregate over a bigint token-hash column. */
+  def simhashAgg(tokenHash: Column): Column = call_function("simhash_agg", tokenHash)
 
   /** Codegen dot product of two float-array columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

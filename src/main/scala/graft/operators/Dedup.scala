@@ -136,16 +136,15 @@ object Dedup {
     * per-token hash bit-voting — explode, 64 conditional sums, reassemble.
     * No oracle (custom sketch): rows-only check. */
   def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b"))
-    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(b => when(col(s"b_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)))
-      .select(col("doc_id"), col("simhash"))
+    // single custom sketch aggregate (TypedImperativeAggregate) instead of
+    // 64 conditional-sum columns: the shuffle carries one 256-byte vote
+    // buffer per doc per partition
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))

@@ -468,6 +468,35 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** q30_window_range — RANGE frame over event time: per order, the
+    * customer's rolling 30-day order count/spend (value-based frame, not
+    * row-based; both engines use the same closed-interval RANGE
+    * semantics over the epoch-seconds ordering key). */
+  def q30WindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 24 * 3600, 0)
+    Tables.orders(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d", round(sum(col("o_totalprice").cast(money)).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_30d"), col("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q31_map_fns — MapType surface: parse `events.props` into
+    * map<string,int>, explode entries, aggregate per key/event_type. */
+  def q31MapFns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    Tables.events(s, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(col("event_type"), explode(col("m")).as(Seq("key", "val")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"), max(col("val")).as("max_val"),
+        round(avg(col("val")), 2).as("avg_val"))
+      .orderBy(col("event_type"), col("key"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -503,6 +532,8 @@ object Relational {
     "q28_range_join" -> (q28RangeJoin _),
     "q29_percentile" -> (q29Percentile _),
     "wa1_weighted_avg" -> (wa1WeightedAvg _),
+    "q30_window_range" -> (q30WindowRange _),
+    "q31_map_fns" -> (q31MapFns _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -693,5 +724,19 @@ object Relational {
                        / sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS w_avg_price
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand ORDER BY p_brand""",
+    "q30_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+              count(*) OVER w AS n_30d,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS spend_30d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey""",
+    "q31_map_fns" ->
+      """SELECT event_type, 'k' AS key, count(*) AS n,
+              max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_val,
+              round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_val
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY event_type ORDER BY event_type, key""",
   )
 }
