@@ -284,6 +284,12 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     spark.read.json(resolve(filesystem, path).toString)
   def writeJson(df: DataFrame, filesystem: String, path: String): Unit =
     df.write.mode("overwrite").json(resolve(filesystem, path).toString)
+  def readOrc(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.orc(resolve(filesystem, path).toString)
+  def writeOrc(df: DataFrame, filesystem: String, path: String): Unit =
+    df.write.mode("overwrite").orc(resolve(filesystem, path).toString)
+  def readText(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.text(resolve(filesystem, path).toString)
   /** Opaque-bytes read — the reference's untyped data plane as a DataFrame
     * (binaryFile source: path, modificationTime, length, content). */
   def readBinary(spark: SparkSession, filesystem: String, glob: String): DataFrame =

@@ -92,6 +92,41 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Arbitrary stateful processing (the escape hatch when built-in
+    * windows can't express the semantics): per-user lifetime running
+    * totals via flatMapGroupsWithState. State is one (count, sum) pair
+    * per user with an event-time timeout — bounded, shuffled once on the
+    * group key. Emits a running snapshot per input batch per user. */
+  def streamingUserTotals(events: DataFrame, watermark: String = "2 hours",
+                          idleTimeout: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      // the watermark column must flow into the stateful operator for
+      // event-time timeouts to resolve
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+    typed.flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+      OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (userId, rows, state: GroupState[(Long, Double)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sum = sum0
+          rows.foreach { case (_, v, _) => n += 1; sum += v }
+          state.update((n, sum))
+          if (state.getCurrentWatermarkMs() > 0)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 30 * 60 * 1000)
+          Iterator.single((userId, n, math.round(sum * 100).toDouble / 100))
+        }
+    }.toDF("user_id", "n_events", "total_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),

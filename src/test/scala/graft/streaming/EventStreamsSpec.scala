@@ -87,6 +87,50 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("flatMapGroupsWithState keeps per-user running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingUserTotals(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(0), 7, "a", 1.5), Ev(2, ts(1), 7, "a", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(2), 7, "a", 0.5), Ev(4, ts(3), 8, "b", 9.0))
+    q.processAllAvailable()
+    val snaps = spark.table("totals").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch 1 snapshot: user 7 (2, 3.5); batch 2: user 7 (3, 4.0), user 8 (1, 9.0)
+    assert(snaps.contains((7L, 2L, 3.5)))
+    assert(snaps.contains((7L, 3L, 4.0)))
+    assert(snaps.contains((8L, 1L, 9.0)))
+    q.stop()
+  }
+
+  test("streaming file sink writes parquet with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingTumbling(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(5), 1, "a", 10.0), Ev(2, ts(20), 1, "a", 5.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(125), 1, "a", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, ts(130), 1, "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$outDir/data")
+    val rows = back.collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+      r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+  }
+
   test("streaming sessions merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
