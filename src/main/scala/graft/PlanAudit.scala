@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: print a per-query physical-operator summary at a
+  * small SF, flagging shapes that do not survive scale-up (cartesian
+  * products, nested-loop joins outside the known exact-all-pairs ops,
+  * shuffle counts). Usage: runMain graft.PlanAudit [sfDir]. */
+object PlanAudit {
+  // nested-loop is expected where (a) the op is intentionally exact
+  // all-pairs (the LSH twins are the scale path) or (b) the build side is
+  // a broadcast single row (scalar subquery / one query vector)
+  private val expectedNestedLoop = Set(
+    "ss3_embedding_neardup", "q13_theta_join", // exact all-pairs by design
+    "q16_scalar_subquery", "ss1_cosine_topk")  // 1-row broadcast build
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      def count(op: String) = plan.split(op).length - 1
+      val cartesian = count("CartesianProduct")
+      val bnlj = count("BroadcastNestedLoopJoin")
+      val smj = count("SortMergeJoin")
+      val bhj = count("BroadcastHashJoin")
+      val exchanges = count("Exchange")
+      val flags = new StringBuilder
+      if (cartesian > 0) flags.append(" CARTESIAN!")
+      if (bnlj > 0 && !expectedNestedLoop(name)) flags.append(" NESTED-LOOP!")
+      if (flags.nonEmpty) flagged += 1
+      println(f"$name%-22s exch=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d bnlj=$bnlj%-2d$flags")
+    }
+    println(s"\nflagged: $flagged")
+    spark.stop()
+  }
+}

@@ -115,10 +115,47 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** ss4_ann_ivf — approximate all-pairs similarity, IVF-style: assign
+    * each vector to its nearest coarse centroid (deterministic seeded
+    * centroids — in production these come from a k-means fit), then
+    * search only within cells. Same bucket-join shape as ss2 with a
+    * learned-partition flavor; probing the single nearest cell trades
+    * recall for a smaller candidate set. No oracle (approximate):
+    * rows-only check. */
+  def ss4AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val dim = 64; val cells = 8
+    val rnd = new scala.util.Random(7)
+    val centroids: Seq[Seq[Double]] = Seq.fill(cells, dim)(rnd.nextGaussian())
+    val e = Tables.embeddings(s, dir)
+    // nearest centroid by (normalized) dot product, argmax via when-chain
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      (VectorFunctions.vecDot(col("embedding"), typedLit(c.map(_.toFloat))) / nrm).as(s"c_$i")
+    }
+    val withScores = e.select((col("vec_id") +: col("embedding") +: nrm.as("nrm") +: scores): _*)
+    val best = greatest((0 until cells).map(i => col(s"c_$i")): _*)
+    val cell = (0 until cells).foldRight(lit(-1)) { (i, els) =>
+      when(col(s"c_$i") === best, lit(i)).otherwise(els)
+    }
+    val assigned = withScores.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
+      .where(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> (ss1CosineTopk _),
     "ss2_ann_lsh" -> (ss2AnnLsh _),
     "ss3_embedding_neardup" -> (ss3EmbeddingNeardup _),
+    "ss4_ann_ivf" -> (ss4AnnIvf _),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same

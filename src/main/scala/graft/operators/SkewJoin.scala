@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large equi-joins (the 100 TB toolbox next to AQE's
+  * automatic skew-join splitting, for engines/paths where AQE can't help
+  * — e.g. skewed aggregations feeding a join, or deterministic plans).
+  *
+  * `saltedJoin(left, right, key, salt)`: the skewed (large) side gets a
+  * uniform random-ish salt derived from a hash of its whole row number
+  * space; the small side is exploded `salt`× so every (key, salt) bucket
+  * finds its partner. One shuffle on (key, salt) with `salt`× better
+  * balance; results are identical to the unsalted join.
+  */
+object SkewJoin {
+
+  /** Equi-join `left ⋈ right` on `key`, salting the left (skewed) side.
+    * The salt is deterministic (xxhash64 of all left columns mod salt) so
+    * plans stay reproducible. `right` rows are replicated `salt` times —
+    * keep `right` the smaller side. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val leftCols = left.columns
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(leftCols.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale-toolbox tests: salted joins give identical results to plain
+  * joins while spreading hot keys; bucketed tables co-locate a join with
+  * no shuffle on either side. */
+class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private var warehouse: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    warehouse = java.nio.file.Files.createTempDirectory("wh")
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("scale-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    spark0.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(warehouse.toFile)
+  }
+
+  test("saltedJoin returns exactly the rows of the plain join under skew") {
+    import spark.implicits._
+    // heavily skewed left: 10k rows on key 1, a few elsewhere
+    val left = (Seq.fill(10000)(1) ++ Seq(2, 2, 3)).toDF("k")
+      .withColumn("lv", monotonically_increasing_id())
+    val right = Seq((1, "one"), (2, "two"), (4, "four")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+    val salted = SkewJoin.saltedJoin(left, right, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "lv", "rv").except(plain.select("k", "lv", "rv")).isEmpty)
+    assert(plain.select("k", "lv", "rv").except(salted.select("k", "lv", "rv")).isEmpty)
+    // outer flavor keeps unmatched left rows
+    val leftOuter = SkewJoin.saltedJoin(left, right, "k", 4, "left_outer")
+    assert(leftOuter.count() == left.count())
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val or = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    or.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("or_bucketed")
+    // disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must have no shuffle beneath it: the only
+      // exchange allowed is for the final tiny aggregation
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(joined.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed")
+    }
+  }
+}
