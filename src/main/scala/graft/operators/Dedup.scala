@@ -31,6 +31,11 @@ object Dedup {
   private def shingleCol: Column = array_distinct(expr(
     "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
 
+  /** NOTE on partitioning: an explicit repartition before shingling was
+    * measured SLOWER here — it moves the self-join's ReusedExchange point
+    * above the signature computation, so the expensive hashing runs once
+    * per join side instead of being shared at the aggregation shuffle.
+    * Exchange-reuse position beats raw input parallelism. */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", shingleCol)

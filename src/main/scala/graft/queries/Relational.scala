@@ -639,7 +639,8 @@ object Relational {
        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
        ORDER BY c_custkey""",
     "q17_window_rank" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+            CAST(rk AS INTEGER) AS rk
        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -663,7 +664,8 @@ object Relational {
        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q21_ntile_dense" ->
       """SELECT c_nationkey, n_cust,
-              dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+              CAST(dense_rank() OVER w AS INTEGER) AS drk,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile
        FROM (SELECT c_nationkey, count(*) AS n_cust
            FROM customer GROUP BY c_nationkey) t
        WINDOW w AS (ORDER BY n_cust DESC, c_nationkey)

@@ -30,6 +30,10 @@ def main(sf_dir, out_dir):
         if ocols != scols:
             print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark : {scols}")
             n_fail += 1; continue
+        # dtype drift surfaces as a schema-check risk driver-side
+        for c in ocols:
+            if str(odf[c].dtype) != str(sdf[c].dtype):
+                print(f"  note {name}.{c}: dtype oracle={odf[c].dtype} spark={sdf[c].dtype}")
         odf, sdf = odf[ocols], sdf[ocols]
         if len(odf) != len(sdf):
             print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}")
