@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import graft.tables.Tables
+
+/** Engine entry point (SURVEY.md §7.1 item 1): one place that knows how a
+  * graft session is configured — UTC, AQE, the custom-function
+  * extensions, ns-timestamp legacy read, and a shuffle parallelism that
+  * matches the actual cores instead of the 200 default.
+  *
+  * Lake credentials pass through to the ABFS driver exactly where the
+  * reference hand-signed each request (SharedKeyAuth,
+  * /root/reference/azure/datalake/gen2/client.py:143-178):
+  * `withAzureKey` sets `fs.azure.account.key.*` on the Hadoop conf.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+              master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def create(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Azure SharedKey pass-through (production lake access). */
+  def withAzureKey(spark: SparkSession, account: String, key: String,
+                   dnsSuffix: String = "dfs.core.windows.net"): SparkSession = {
+    spark.sparkContext.hadoopConfiguration
+      .set(s"fs.azure.account.key.$account.$dnsSuffix", key)
+    spark
+  }
+
+  /** Register every fixture table as a temp view so the full engine
+    * surface is reachable from `spark.sql` (including vec_dot /
+    * simhash_agg via the extensions). */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.table(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

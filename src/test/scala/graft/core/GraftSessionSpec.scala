@@ -1,0 +1,31 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session factory wires everything a user needs: UTC, extensions
+  * (vec_dot/simhash_agg reachable from SQL), ns-timestamp reads, and the
+  * SQL catalog over the fixture tables. */
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("create + registerTables gives a full SQL surface") {
+    val spark = GraftSession.builder("graft-test", "local[2]", 2).getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      GraftSession.registerTables(spark, "/root/testdata/sf0.001")
+      assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) == 6000L)
+      // events view has the normalized µs timestamp type
+      assert(spark.table("events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      // extension functions reachable from SQL
+      val d = spark.sql(
+        "SELECT vec_dot(embedding, embedding) AS n2 FROM embeddings WHERE vec_id = 0")
+        .collect()(0).getDouble(0)
+      assert(d > 0)
+      val sh = spark.sql(
+        "SELECT simhash_agg(xxhash64(tok)) FROM (SELECT explode(split(text, ' ')) AS tok " +
+          "FROM documents WHERE doc_id = 0)").collect()(0).getLong(0)
+      assert(sh != 0L)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    } finally spark.stop()
+  }
+}
