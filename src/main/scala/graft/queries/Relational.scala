@@ -180,13 +180,14 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** q11_anti_join — customers with NO orders (LEFT ANTI ≡ NOT EXISTS). */
+  /** q11_anti_join — orders with NO lineitems (LEFT ANTI ≡ NOT EXISTS;
+    * non-empty at every SF, unlike customers-without-orders). */
   def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** q12_outer_join — LEFT OUTER with null-aware aggregation: order count
@@ -497,6 +498,69 @@ object Relational {
       .orderBy(col("event_type"), col("key"))
   }
 
+  /** q32_pivot — PIVOT with pinned value columns (deterministic output
+    * schema; arbitrary-value pivots need a driver-side distinct first,
+    * which is why the value list is explicit at scale). */
+  def q32Pivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q33_unpivot — melt wide metrics to long (the inverse of q32),
+    * re-aggregated per metric. */
+  def q33Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("metric"))
+
+  /** q34_array_fns — array expression surface over the embedding column:
+    * size, min/max elements, sequential double sum. */
+  def q34ArrayFns(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(array_min(col("embedding")).cast("double"), 3).as("mn"),
+        round(array_max(col("embedding")).cast("double"), 3).as("mx"),
+        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("sm"))
+      .orderBy(col("vec_id"))
+
+  /** q35_full_outer — FULL OUTER join of two aggregates: customer vs
+    * supplier presence per nation, null-completed on both sides. */
+  def q35FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(
+        coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q36_collect — ordered collect: per-nation sorted name roster joined
+    * to a string (sorted so the collect is deterministic; raw
+    * collect_list order is partition-dependent and must never be
+    * compared). */
+  def q36Collect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -534,6 +598,11 @@ object Relational {
     "wa1_weighted_avg" -> (wa1WeightedAvg _),
     "q30_window_range" -> (q30WindowRange _),
     "q31_map_fns" -> (q31MapFns _),
+    "q32_pivot" -> (q32Pivot _),
+    "q33_unpivot" -> (q33Unpivot _),
+    "q34_array_fns" -> (q34ArrayFns _),
+    "q35_full_outer" -> (q35FullOuter _),
+    "q36_collect" -> (q36Collect _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -607,9 +676,9 @@ object Relational {
                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
        ORDER BY c_custkey""",
     "q11_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-       ORDER BY c_custkey""",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+       ORDER BY o_orderkey""",
     "q12_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
               coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0) AS spend
@@ -740,5 +809,38 @@ object Relational {
               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_val
        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
        GROUP BY event_type ORDER BY event_type, key""",
+    "q32_pivot" ->
+      """SELECT o_orderstatus,
+              CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS "1-URGENT",
+              CAST(round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS "2-HIGH",
+              CAST(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS "3-MEDIUM",
+              CAST(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS "4-NOT SPECIFIED",
+              CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS "5-LOW"
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q33_unpivot" ->
+      """SELECT metric, CAST(round(sum(CAST(val AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+              count(*) AS n
+       FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+       GROUP BY metric ORDER BY metric""",
+    "q34_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              round(CAST(list_min(embedding) AS DOUBLE), 3) AS mn,
+              round(CAST(list_max(embedding) AS DOUBLE), 3) AS mx,
+              round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) AS sm
+       FROM embeddings ORDER BY vec_id""",
+    "q35_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+              coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk
+       ORDER BY nationkey""",
+    "q36_collect" ->
+      """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names,
+              count(*) AS n
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
   )
 }
