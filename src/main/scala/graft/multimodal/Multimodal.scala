@@ -73,6 +73,23 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic payload subsampling to a target "width"
+    * (every ceil(w/targetW)-th byte), metadata updated to match. A real
+    * implementation swaps the byte subsampling for an image scaler; the
+    * schema contract (payload + meta in, payload + meta out, per-row map,
+    * no shuffle) is the part that matters for the pipeline. */
+  def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.width <= targetWidth || m.payload.isEmpty) m
+      else {
+        val step = math.ceil(m.width.toDouble / targetWidth).toInt
+        val out = m.payload.grouped(step).map(_.head).toArray
+        m.copy(payload = out, width = out.length)
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: every k-th fixed-size chunk
     * as a "frame" (stub chunking; the real op is the same explode shape). */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyK: Int): DataFrame = {

@@ -56,6 +56,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length == 10))
   }
 
+  test("resize subsamples payload deterministically and updates metadata") {
+    import spark.implicits._
+    val ds = Seq(media(1, Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val out = resize(ds, targetWidth = 25).collect()(0)
+    assert(out.width == 25 && out.payload.length == 25)
+    assert(out.payload(0) == 0 && out.payload(1) == 4) // every 4th byte
+    // no-op when already small enough
+    val same = resize(ds, targetWidth = 200).collect()(0)
+    assert(same.payload.length == 100)
+  }
+
   test("mediaFromDocuments binds the fixture table into the media schema") {
     val ds = mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val first = ds.head()
