@@ -11,7 +11,7 @@ object PlanAudit {
   // all-pairs (the LSH twins are the scale path) or (b) the build side is
   // a broadcast single row (scalar subquery / one query vector)
   private val expectedNestedLoop = Set(
-    "ss3_embedding_neardup", "q13_theta_join", // exact all-pairs by design
+    "q13_theta_join",                          // exact all-pairs by design
     "q16_scalar_subquery", "ss1_cosine_topk")  // 1-row broadcast build
 
   def main(args: Array[String]): Unit = {

@@ -100,18 +100,36 @@ object Similarity {
     * at 100 TB this query IS ss2 with a higher threshold. */
   def ss3EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    // norms once per vector (N sqrt+dot), one codegen dot per pair:
-    // sqrt(dot(a,a))*sqrt(dot(b,b)) factors are precomputed so the O(N^2)
-    // loop does exactly one fused dot product per pair
+    // Exact all-pairs, but NOT via a nested-loop theta join: vectors get a
+    // block id, the tiny (ba <= bb) block-pair table is broadcast, and two
+    // hash joins enumerate each unordered pair exactly once — pair
+    // generation runs in hash-join batches instead of BNLJ row-at-a-time,
+    // and the work is spread across B*(B+1)/2 block-pair units (which is
+    // also how you shard an exact pair scan across a cluster).
+    // Norms are precomputed so the pair loop does exactly one fused
+    // codegen dot product per pair.
+    val blocks = 16
+    import s.implicits._
+    val blockPairs = broadcast(
+      (for (ba <- 0 until blocks; bb <- ba until blocks) yield (ba, bb))
+        .toDF("ba", "bb"))
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("blk").as("ba"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("blk").as("bb"))
+    // each unordered pair appears exactly once: distinct block pairs take
+    // every (a in ba, b in bb) combination; within-block pairs are
+    // id-ordered. Output ids normalized to (min, max).
+    a.join(blockPairs, "ba").join(b, Seq("bb"))
+      .where(col("ba") < col("bb") || col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
         VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
