@@ -119,9 +119,11 @@ object Dedup {
     * sizes. This is the exact ground truth dd3 approximates (and the
     * DuckDB oracle mirrors it). */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shingled = withShingles(Tables.documents(s, dir))
+    val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // set sizes come straight off the (distinct) shingle arrays — no
+    // second explode+shuffle
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

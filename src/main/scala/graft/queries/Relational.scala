@@ -514,9 +514,9 @@ object Relational {
     * re-aggregated per metric. */
   def q33Unpivot(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       .unpivot(
-        Array(col("l_orderkey")),
+        Array.empty[Column],
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "val")
       .groupBy(col("metric"))
