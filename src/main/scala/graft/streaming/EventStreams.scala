@@ -92,6 +92,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * static dimension (re-read per micro-batch; Catalyst broadcasts the
+    * dim side, so the stream never shuffles for the join). The standard
+    * way a pipeline attaches user/customer attributes at 100 TB. */
+  def streamingEnriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left_outer")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        events("value"), dim("c_mktsegment").as("segment"))
+
   /** Arbitrary stateful processing (the escape hatch when built-in
     * windows can't express the semantics): per-user lifetime running
     * totals via flatMapGroupsWithState. State is one (count, sum) pair

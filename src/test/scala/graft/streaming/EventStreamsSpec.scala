@@ -107,6 +107,23 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-static join enriches events with dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingEnriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(0), 7, "a", 1.0), Ev(2, ts(1), 9, "b", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toMap
+    assert(rows == Map(1L -> Some("BUILDING"), 2L -> None))
+    q.stop()
+  }
+
   test("streaming file sink writes parquet with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
