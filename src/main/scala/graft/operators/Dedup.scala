@@ -167,12 +167,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** dd6_cluster — near-dup CLUSTERING: connected components over the
+    * exact-Jaccard pair graph (dd4), labeling every document with the
+    * smallest doc_id in its component and a keep flag — the "collapse
+    * each near-dup cluster to one representative" step of a dedup
+    * pipeline.
+    *
+    * Implementation is distributed min-label propagation (the standard
+    * large-scale connected-components loop, cf. GraphX/Pregel): each
+    * round joins labels across edges and takes the per-node min; the
+    * driver only checks the converged-yet counter. Pair computation is
+    * cached so iterations don't recompute the inverted-index join;
+    * label lineage is truncated each round. Near-dup components have
+    * tiny diameters, so this converges in 2-3 rounds (capped at 20).
+    * Oracle: DuckDB recursive CTE transitive closure. */
+  def dd6Cluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("u", "v")
+      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 20) {
+        val prop = edges.join(labels, edges("u") === labels("doc_id"))
+          .select(col("v").as("doc_id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .localCheckpoint() // truncate iteration lineage
+        val changed = next.as("n").join(labels.as("o"), "doc_id")
+          .where(col("n.label") =!= col("o.label")).count()
+        labels = next
+        converged = changed == 0
+        iters += 1
+      }
+      labels
+        .select(col("doc_id"), col("label").as("cluster_rep"),
+          (col("label") === col("doc_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    } finally pairs.unpersist(false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact" -> (dd1Exact _),
     "dd2_hash" -> (dd2Hash _),
     "dd3_minhash_lsh" -> (dd3MinhashLsh _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd5_simhash" -> (dd5Simhash _),
+    "dd6_cluster" -> (dd6Cluster _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -206,5 +251,32 @@ object Dedup {
        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
        ORDER BY doc_a, doc_b""",
     // dd5_simhash: custom sketch — no oracle (rows-only).
+    "dd6_cluster" ->
+      """WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      cnt AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT doc_a, doc_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION ALL SELECT doc_b, doc_a FROM prs),
+      reach AS (
+        SELECT doc_id AS u, doc_id AS v FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       SELECT u AS doc_id, min(v) AS cluster_rep, min(v) = u AS keep
+       FROM reach GROUP BY u ORDER BY doc_id""",
   )
 }

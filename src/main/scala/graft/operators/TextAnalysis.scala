@@ -97,11 +97,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** ta5_top_ngrams — corpus n-gram statistics: top-3 word bigrams per
+    * source by document frequency (deterministic lexicographic
+    * tie-break). Explode → two-key count → per-group top-k window: the
+    * same plan at 100 TB, with the bigram count shuffle being the only
+    * wide stage. */
+  def ta5TopNgrams(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_docs").desc, col("bigram"))
+    Tables.documents(s, dir)
+      .withColumn("toks", toks(col("text")))
+      .select(col("source"), col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+          "i -> concat_ws(' ', slice(toks, i, 2))))")).as("bigram"))
+      .groupBy(col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("source"), col("bigram"), col("n_docs"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3Langid _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
+    "ta5_top_ngrams" -> (ta5TopNgrams _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,5 +155,21 @@ object TextAnalysis {
               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
               substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
        FROM documents ORDER BY doc_id""",
+    "ta5_top_ngrams" ->
+      """WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT source, doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+1], ' ')
+                                     FOR i IN range(1, greatest(len(t), 2))])) AS bigram
+        FROM toks),
+      counts AS (
+        SELECT source, bigram, count(*) AS n_docs FROM bg GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, bigram, n_docs,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY n_docs DESC, bigram) AS INTEGER) AS rk
+        FROM counts)
+       SELECT source, bigram, n_docs, rk FROM ranked
+       WHERE rk <= 3 ORDER BY source, rk""",
   )
 }
