@@ -274,6 +274,23 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(resolve(filesystem, path).toString)
   }
+  /** Partition-level upsert: overwrite ONLY the partitions present in
+    * `updates`, leaving all other partitions untouched (dynamic partition
+    * overwrite — the parquet-lake stand-in for MERGE; at 100 TB this is
+    * how incremental reprocessing lands without rewriting the table). */
+  def upsertPartitions(updates: DataFrame, filesystem: String, path: String,
+                       partitionBy: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .parquet(resolve(filesystem, path).toString)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def readCsv(spark: SparkSession, filesystem: String, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(resolve(filesystem, path).toString)

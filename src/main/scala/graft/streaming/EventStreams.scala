@@ -92,6 +92,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream join: two unbounded streams joined on key within an
+    * event-time band. Both sides are watermarked and the join condition
+    * bounds how long either side's state is retained — without the time
+    * band the state store would grow forever. Inner join emits as soon
+    * as both sides arrive. */
+  def streamingStreamJoin(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * static dimension (re-read per micro-batch; Catalyst broadcasts the
     * dim side, so the stream never shuffles for the join). The standard

@@ -55,6 +55,21 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aCount > 0 && aCount < li.count())
   }
 
+  test("upsertPartitions overwrites only touched partitions") {
+    import spark.implicits._
+    client.createFilesystem("up")
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("id", "part", "v")
+    client.writeParquet(base, "up", "t", partitionBy = Seq("part"))
+    // update partition B only (new value + new row), leave A and C alone
+    val updates = Seq((2L, "B", 99.0), (4L, "B", 44.0)).toDF("id", "part", "v")
+    client.upsertPartitions(updates, "up", "t", Seq("part"))
+    val back = client.readParquet(spark, "up", "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toMap
+    assert(back == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 44.0))
+    client.deleteFilesystem("up")
+  }
+
   test("round-trip CSV and JSON through the lake client") {
     client.createFilesystem("io")
     val nation = graft.tables.Tables.nation(spark, "/root/testdata/sf0.001")

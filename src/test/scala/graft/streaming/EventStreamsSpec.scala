@@ -107,6 +107,25 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-stream join matches purchases to clicks within the time band") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.streamingStreamJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(Ev(100, ts(0), 1, "click", 0.0), Ev(101, ts(0), 2, "click", 0.0))
+    purchases.addData(
+      Ev(200, ts(10), 1, "purchase", 9.99),  // within 30m of click 100
+      Ev(201, ts(50), 2, "purchase", 5.0))   // outside the 30m band
+    q.processAllAvailable()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((100L, 200L)))
+    q.stop()
+  }
+
   test("stream-static join enriches events with dimension attributes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
