@@ -119,12 +119,35 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** ta6_winnow — winnowing fingerprints (the MOSS scheme): hash every
+    * character k-gram, slide a window of w hashes, keep each window's
+    * minimum, dedupe. Robust to local edits: two documents sharing any
+    * run of >= k+w-1 chars share a fingerprint. Pure per-row array
+    * expressions inside codegen — the shape scales linearly. The hash is
+    * md5-of-substring (lexicographic min) so the DuckDB oracle can mirror
+    * it exactly; a production variant would swap in a cheaper rolling
+    * hash, which is oracle-free but identical plumbing. */
+  def ta6Winnow(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 4
+    Tables.documents(s, dir)
+      .withColumn("h", expr(
+        s"transform(sequence(1, greatest(length(text) - $k + 1, 1)), i -> md5(substring(text, i, $k)))"))
+      .withColumn("fps", array_distinct(expr(
+        s"transform(sequence(1, greatest(size(h) - $w + 1, 1)), j -> array_min(slice(h, j, $w)))")))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3Langid _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_top_ngrams" -> (ta5TopNgrams _),
+    "ta6_winnow" -> (ta6Winnow _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +194,17 @@ object TextAnalysis {
         FROM counts)
        SELECT source, bigram, n_docs, rk FROM ranked
        WHERE rk <= 3 ORDER BY source, rk""",
+    "ta6_winnow" ->
+      """WITH h AS (
+        SELECT doc_id,
+               [md5(substring(text, i, 8)) FOR i IN range(1, greatest(length(text) - 8 + 1, 1) + 1)] AS hs
+        FROM documents),
+      fp AS (
+        SELECT doc_id,
+               list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, greatest(len(hs) - 4 + 1, 1) + 1)]) AS fps
+        FROM h)
+       SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+            list_min(fps) AS min_fp
+       FROM fp ORDER BY doc_id""",
   )
 }

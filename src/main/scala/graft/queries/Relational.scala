@@ -350,7 +350,8 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median_price"))
       .orderBy(col("l_returnflag"))
 
   /** q23_setops — UNION / INTERSECT / EXCEPT (distinct set semantics) over
