@@ -211,6 +211,15 @@ object Dedup {
     } finally pairs.unpersist(false)
   }
 
+  /** User-facing pipeline op: the deduplicated corpus — documents with
+    * near-dup clusters (dd6 components) collapsed to their smallest-id
+    * representative. This is the operator a training-data pipeline
+    * actually calls; dd1-dd6 are its building blocks. */
+  def keepRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val reps = dd6Cluster(s, dir).where(col("keep")).select(col("doc_id"))
+    Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact" -> (dd1Exact _),
     "dd2_hash" -> (dd2Hash _),

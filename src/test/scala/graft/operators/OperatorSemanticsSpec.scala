@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-operator semantic invariants the DuckDB oracle can't express:
+  * the approximate operators against their exact twins, cluster
+  * consistency, and the end-user dedup op. */
+class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("semantics-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash LSH (dd3) finds a subset of the exact pairs (dd4), with high recall") {
+    val approx = pairs(Dedup.dd3MinhashLsh(spark, dir), "doc_a", "doc_b")
+    val exact = pairs(Dedup.dd4NgramJaccard(spark, dir), "doc_a", "doc_b")
+    assert(approx.subsetOf(exact), "LSH must never invent pairs (it verifies with exact Jaccard)")
+    assert(exact.nonEmpty)
+    // 16x4 banding at threshold .8 -> expected recall ~.9998
+    assert(approx.size >= (exact.size * 0.9).toInt,
+      s"recall too low: ${approx.size}/${exact.size}")
+  }
+
+  test("ANN candidates (ss2 LSH, ss4 IVF) are subsets of the exact pair set (ss3)") {
+    val exact = pairs(Similarity.ss3EmbeddingNeardup(spark, dir)
+      .where("cos >= 0.45"), "vec_a", "vec_b")
+    val lsh = pairs(Similarity.ss2AnnLsh(spark, dir).where("cos >= 0.45"), "vec_a", "vec_b")
+    val ivf = pairs(Similarity.ss4AnnIvf(spark, dir).where("cos >= 0.45"), "vec_a", "vec_b")
+    assert(lsh.subsetOf(exact) && ivf.subsetOf(exact))
+  }
+
+  test("cluster labels are consistent with the pair graph and reps are minimal") {
+    val labels = Dedup.dd6Cluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = pairs(Dedup.dd4NgramJaccard(spark, dir), "doc_a", "doc_b")
+    // both endpoints of every near-dup pair share a label
+    exact.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
+    // a representative is the min id of its component
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
+
+  test("keepRepresentatives drops exactly the non-representative near-dups") {
+    val total = graft.tables.Tables.documents(spark, dir).count()
+    val clusters = Dedup.dd6Cluster(spark, dir)
+    val nonReps = clusters.where("NOT keep").count()
+    val kept = Dedup.keepRepresentatives(spark, dir)
+    assert(kept.count() == total - nonReps)
+    // every kept doc is its own representative
+    assert(kept.join(clusters.where("NOT keep"), Seq("doc_id"), "left_semi").count() == 0)
+  }
+}
