@@ -169,11 +169,61 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
+    * approximate neighbors (the all-queries form of similarity search a
+    * training pipeline runs, e.g. for semantic dedup or hard-negative
+    * mining). Candidates come from the ss2 LSH tables kept in both
+    * orientations (each vector owns its neighbor list); exact cosine
+    * ranks candidates; per-vector top-k via window. One bucket
+    * self-join + one window — no cross join at any scale. Approximate
+    * recall → rows-only check; SimilaritySpec measures recall against
+    * brute force. */
+  def ss5KnnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    // many short tables, not few long ones: kNN needs recall for
+    // moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables, and
+    // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08.
+    // At corpus scale, bits grows with log(N) to keep buckets bounded.
+    val dim = 64; val tables = 16; val bits = 4
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
+    val e = Tables.embeddings(s, dir)
+    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bucket = tbl.zipWithIndex.map { case (plane, b) =>
+        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
+        when(proj >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("sig"))
+      .select(col("vec_id"), col("sig.table").as("table"), col("sig.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("table", "bucket"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val sided = e.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    cand
+      .join(sided.select(col("vec_id"), col("embedding").as("emb_q"), col("nrm").as("nrm_q")), "vec_id")
+      .join(sided.select(col("vec_id").as("nbr_id"), col("embedding").as("emb_n"),
+        col("nrm").as("nrm_n")), "nbr_id")
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")), 3))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> (ss1CosineTopk _),
     "ss2_ann_lsh" -> (ss2AnnLsh _),
     "ss3_embedding_neardup" -> (ss3EmbeddingNeardup _),
     "ss4_ann_ivf" -> (ss4AnnIvf _),
+    "ss5_knn_join" -> ((s: SparkSession, dir: String) => ss5KnnJoin(s, dir)),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same

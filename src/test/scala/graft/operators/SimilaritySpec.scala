@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.VectorFunctions
+
+/** kNN-join semantics: structure (k per vector, ranked), and measured
+  * recall against the brute-force ground truth. */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("similarity-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  test("ss5 kNN join: at most k ranked neighbors per vector; useful recall vs brute force") {
+    VectorFunctions.ensureRegistered(spark)
+    val k = 5
+    val knn = Similarity.ss5KnnJoin(spark, dir, k)
+    val rows = knn.collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length <= k))
+    // ranks are 1..n and cos non-increasing within each vector
+    byVec.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).sameElements(1 to sorted.length))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+
+    // brute-force ground truth top-k per vector
+    val e = graft.tables.Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    val truth = a.join(b, col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 3))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"kNN recall@$k vs brute force: $recall%.3f (16 tables x 4 bits)")
+    // 16x4-bit hyperplane tables: measured ~.9 on this corpus; leave
+    // slack for fixture regeneration
+    assert(recall > 0.5, f"recall $recall%.3f too low")
+  }
+}
