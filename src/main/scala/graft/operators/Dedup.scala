@@ -140,8 +140,9 @@ object Dedup {
   /** dd5_simhash — 64-bit SimHash per document + near-dup pairs within
     * Hamming distance 3, found via 4x16-bit band buckets (pigeonhole: <=3
     * differing bits leave >=1 of 4 bands identical). Signature built by
-    * per-token hash bit-voting — explode, 64 conditional sums, reassemble.
-    * No oracle (custom sketch): rows-only check. */
+    * per-token hash bit-voting via the custom TypedImperativeAggregate
+    * [[graft.functions.SimHashAgg]] (one 256-byte vote buffer per group,
+    * map-side combined). No oracle (custom sketch): rows-only check. */
   def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
     val tok = Tables.documents(s, dir)

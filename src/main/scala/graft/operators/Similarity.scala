@@ -10,10 +10,11 @@ import graft.functions.VectorFunctions
   * random-hyperplane LSH bucketed variant as the scale path, and
   * embedding-cosine near-dup pairs.
   *
-  * The cosine kernel is pure `sql.functions` (zip_with + aggregate over
-  * the array) — stays inside whole-stage codegen, no UDF serialization.
-  * Computation is done in double after casting each float element, in
-  * strict left-to-right order, so results are bit-reproducible.
+  * The cosine kernel is the custom codegen expression
+  * [[graft.functions.FloatVectorDot]] (`vec_dot`), with the pure
+  * `sql.functions` zip_with+aggregate form kept below as the composable
+  * reference — both accumulate in double, left-to-right, so results are
+  * bit-identical and reproducible (VectorExpressionsSpec proves it).
   *
   * Scale design (100 TB): brute force is O(N·Q) dot products — fine for a
   * broadcast query batch against a partitioned corpus (ss1: corpus-side
@@ -25,7 +26,9 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Composable (built-ins-only) dot product — the reference formulation
+    * the codegen kernel is verified against, and what the DuckDB oracle
+    * mirrors. Production paths use VectorFunctions.vecDot. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
