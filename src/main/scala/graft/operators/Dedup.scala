@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -12,20 +13,44 @@ import graft.tables.Tables
   *   - exact dedup is one shuffle on the content hash (never on raw text);
   *   - MinHash/LSH turns the quadratic all-pairs problem into
   *     shuffle-on-band-bucket + candidate verification — the only join is
-  *     between docs sharing a bucket;
+  *     between docs sharing a bucket, and buckets larger than
+  *     [[MaxBucketSize]] are excluded (a bucket that collects a constant
+  *     fraction of the corpus is both quadratic and useless as a
+  *     discriminator);
   *   - SimHash bands its 64 bits into 4×16 so any pair within Hamming
   *     distance 3 shares at least one band (pigeonhole) — again a bucket
   *     join, not a cross join;
-  *   - exact n-gram Jaccard uses an inverted-index join (token → doc);
-  *     at scale you'd drop stop-shingles first (df cutoff) — the pattern
-  *     is the same join.
+  *   - exact n-gram Jaccard uses an inverted-index join (shingle → doc)
+  *     restricted to discriminative shingles: document frequency ≤
+  *     [[MaxShingleDf]]. A stop-shingle with df=d contributes d²/2
+  *     candidate pairs, so without the cutoff one hot shingle makes the
+  *     self-join quadratic in corpus size — the cutoff is what makes the
+  *     inverted-index join linear-ish at 100 TB. (Clusters of >MaxShingleDf
+  *     verbatim copies are exact duplicates and belong to dd1/dd2, which
+  *     run first in a real pipeline.)
   * All signatures are built from `xxhash64` column expressions — fully
-  * codegen'd, no UDFs, no driver-side state.
+  * codegen'd, no UDFs, no driver-side state. The MinHash kernel hashes
+  * each shingle string ONCE and derives the 64 per-function values by
+  * re-hashing the resulting 8-byte long — constant-size integer work per
+  * hash function instead of 64 full string traversals.
   */
 object Dedup {
 
   val NumHashes = 64
   val NumBands = 16 // 16 bands x 4 rows: P(candidate | jaccard .8) ~ .9998
+
+  /** Document-frequency cutoff for the n-gram inverted index (dd3 verify,
+    * dd4, dd6): shingles appearing in more than this many documents carry
+    * no near-dup signal and are dropped before the self-join. Mirrored
+    * literally in the dd4/dd6 DuckDB oracle SQL so the hash gate stays
+    * exact. Inactive at the test scale factors (max observed df at sf0.1
+    * is 25) — it exists to bound join fan-out at corpus scale. */
+  val MaxShingleDf = 100
+
+  /** LSH band-bucket size cap (dd3): buckets holding more members are
+    * excluded from candidate generation. A degenerate bucket (e.g. many
+    * near-empty documents hashing identically) otherwise goes quadratic. */
+  val MaxBucketSize = 200
 
   /** Word 3-shingles (distinct), the unit for MinHash and Jaccard. */
   private def shingleCol: Column = array_distinct(expr(
@@ -40,6 +65,17 @@ object Dedup {
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", shingleCol)
 
+  /** Exploded (doc_id, shingle) pairs restricted to discriminative
+    * shingles (df ≤ [[MaxShingleDf]]). The df filter is a whole-partition
+    * window count, so the output is already hash-partitioned on `sh` —
+    * the downstream inverted-index self-join reuses that exchange instead
+    * of shuffling again. */
+  private def keptShingles(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("df") <= MaxShingleDf)
+      .select(col("doc_id"), col("sh"))
+
   /** dd1_exact — exact duplicate groups by full-text equality: one
     * shuffle keyed on text (at scale: key on sha2 first, q.v. dd2). */
   def dd1Exact(s: SparkSession, dir: String): DataFrame =
@@ -53,8 +89,7 @@ object Dedup {
     * first-doc_id-wins within its sha256 group. The shuffle key is the
     * 32-byte hash, not the document — this is the form that scales. */
   def dd2Hash(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("keep", row_number().over(w) === 1)
@@ -62,16 +97,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signatures via explode + 64-way min aggregation: each
-    * (doc, shingle) row computes 64 xxhash64 values (pure codegen, no
-    * array allocation), and map-side partial min-agg shrinks the shuffle
-    * to 64 longs per doc per partition. This beats 64 separate
-    * transform+array_min passes (which materialize 64 temp arrays per
-    * row) by an order of magnitude at scale. */
+  /** MinHash signatures via explode + 64-way min aggregation. Each
+    * (doc, shingle) row hashes the shingle string ONCE (`xxhash64(sh)`)
+    * and derives the 64 per-function values by hashing (i, h) — 16 bytes
+    * of integer input per function instead of re-traversing the string 64
+    * times (the round-1 kernel; it was the bench's top hotspot). Map-side
+    * partial min-agg shrinks the shuffle to 64 longs per doc per
+    * partition. */
   private def minhashSigs(shingled: DataFrame): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"sig_$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"sig_$i"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -84,27 +122,33 @@ object Dedup {
   }
 
   /** dd3_minhash_lsh — near-duplicate pairs via MinHash+LSH banding,
-    * verified with exact Jaccard >= 0.8 on the shingle sets.
-    * Plan shape: per-row signature (codegen) -> posexplode 16 bands ->
-    * shuffle on (band, bucket) -> self-join within buckets -> distinct
-    * candidate pairs -> verify. No oracle: LSH recall is ~.9998, not 1,
-    * so the exact-SQL answer can differ — rows-only check; dd4 carries
-    * the exact-Jaccard oracle. */
+    * verified with exact Jaccard >= 0.8 on the discriminative
+    * (df-cutoff) shingle sets — the same sets dd4 scores, so dd3 ⊆ dd4
+    * by construction. Plan shape: per-row signature (codegen) ->
+    * posexplode 16 bands -> shuffle on (band, bucket) -> cap bucket size
+    * -> self-join within buckets -> distinct candidate pairs -> verify.
+    * No oracle: LSH recall is ~.9998, not 1, so the exact-SQL answer can
+    * differ — rows-only check; dd4 carries the exact-Jaccard oracle. */
   def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val shingled = withShingles(Tables.documents(s, dir)).select(col("doc_id"), col("shingles"))
     // slim candidate generation: only (doc_id, band, bucket) flows through
-    // the self-join; shingle arrays rejoin AFTER the distinct pair set is
+    // the self-join; shingle sets rejoin AFTER the distinct pair set is
     // known (candidates << corpus, so the two hash joins are cheap)
     val bands = minhashSigs(shingled)
       .withColumn("bands", bandCol)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bsz") <= MaxBucketSize)
+      .select(col("doc_id"), col("band"), col("bucket"))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val keptSets = keptShingles(shingled)
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
     cand
-      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(keptSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(keptSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -114,17 +158,15 @@ object Dedup {
   }
 
   /** dd4_ngram_jaccard — exact near-dup pairs by word-3-shingle Jaccard
-    * >= 0.8 via inverted-index join: explode (doc, shingle), self-join on
-    * shingle, count common shingles per pair, Jaccard from per-doc set
-    * sizes. This is the exact ground truth dd3 approximates (and the
-    * DuckDB oracle mirrors it). */
+    * >= 0.8 over discriminative shingles (df ≤ [[MaxShingleDf]]) via
+    * inverted-index join: explode (doc, shingle), drop hot shingles,
+    * self-join on shingle, count common shingles per pair, Jaccard from
+    * per-doc kept-set sizes. This is the exact ground truth dd3
+    * approximates; the DuckDB oracle mirrors it including the cutoff. */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shingled = withShingles(Tables.documents(s, dir))
-    val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // set sizes come straight off the (distinct) shingle arrays — no
-    // second explode+shuffle
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    val kept = keptShingles(withShingles(Tables.documents(s, dir)))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -172,28 +214,36 @@ object Dedup {
     * exact-Jaccard pair graph (dd4), labeling every document with the
     * smallest doc_id in its component and a keep flag — the "collapse
     * each near-dup cluster to one representative" step of a dedup
-    * pipeline.
+    * pipeline. Oracle: DuckDB recursive CTE transitive closure (with the
+    * same df cutoff as dd4). */
+  def dd6Cluster(s: SparkSession, dir: String): DataFrame =
+    dd6ClusterFrom(
+      Tables.documents(s, dir).select(col("doc_id")),
+      dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an arbitrary precomputed pair graph —
+    * callers that already materialized the dd4 pairs (or any other edge
+    * set) pass them here so the inverted-index join is not recomputed
+    * per clustering run.
     *
     * Implementation is distributed min-label propagation (the standard
     * large-scale connected-components loop, cf. GraphX/Pregel): each
     * round joins labels across edges and takes the per-node min; the
-    * driver only checks the converged-yet counter. Pair computation is
-    * cached so iterations don't recompute the inverted-index join;
-    * label lineage is truncated each round. Near-dup components have
-    * tiny diameters, so this converges in 2-3 rounds (capped at 20).
-    * Oracle: DuckDB recursive CTE transitive closure. */
-  def dd6Cluster(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val pairs = dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * driver only checks the converged-yet counter. Pairs are cached so
+    * iterations don't recompute them; label lineage is truncated each
+    * round. Near-dup components have tiny diameters, so this converges
+    * in 2-3 rounds; a component of diameter > [[DdMaxIterations]] raises
+    * rather than silently returning partial labels. */
+  def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .union(pairs.select(pairs.columns(1), pairs.columns(0)))
         .toDF("u", "v")
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       var converged = false
       var iters = 0
-      while (!converged && iters < 20) {
+      while (!converged && iters < DdMaxIterations) {
         val prop = edges.join(labels, edges("u") === labels("doc_id"))
           .select(col("v").as("doc_id"), col("label"))
         val next = labels.union(prop)
@@ -205,12 +255,21 @@ object Dedup {
         converged = changed == 0
         iters += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge in $DdMaxIterations rounds — " +
+          "component diameter exceeds the iteration cap; raise DdMaxIterations")
       labels
         .select(col("doc_id"), col("label").as("cluster_rep"),
           (col("label") === col("doc_id")).as("keep"))
         .orderBy(col("doc_id"))
     } finally pairs.unpersist(false)
   }
+
+  /** Iteration cap for min-label propagation; covers components of
+    * diameter up to this. Near-dup graphs are dense (cliques-ish), so
+    * real convergence is 2-3 rounds — hitting the cap means the input
+    * is not a near-dup graph, and dd6ClusterFrom throws. */
+  val DdMaxIterations = 50
 
   /** User-facing pipeline op: the deduplicated corpus — documents with
     * near-dup clusters (dd6 components) collapsed to their smallest-id
@@ -230,6 +289,33 @@ object Dedup {
     "dd6_cluster" -> (dd6Cluster _),
   )
 
+  /** Shared oracle CTE: exploded discriminative shingles — the DuckDB
+    * mirror of [[keptShingles]], cutoff literal included. */
+  private val keptCte =
+    """toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
+        FROM toks),
+      kept AS (
+        SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= 100),
+      sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      cnt AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT doc_a, doc_b,
+               round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        FROM cnt
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8)"""
+
   val oracle: Map[String, String] = Map(
     "dd1_exact" ->
       """SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies,
@@ -241,44 +327,11 @@ object Dedup {
        FROM documents ORDER BY doc_id""",
     // dd3_minhash_lsh: approximate recall — no oracle (rows-only).
     "dd4_ngram_jaccard" ->
-      """WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
-        FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      pairs AS (
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        GROUP BY 1, 2)
-       SELECT doc_a, doc_b,
-            round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-       FROM pairs
-       JOIN sizes sa ON sa.doc_id = doc_a
-       JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
-       ORDER BY doc_a, doc_b""",
+      s"""WITH $keptCte
+       SELECT doc_a, doc_b, jaccard FROM prs ORDER BY doc_a, doc_b""",
     // dd5_simhash: custom sketch — no oracle (rows-only).
     "dd6_cluster" ->
-      """WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
-        FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      cnt AS (
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        GROUP BY 1, 2),
-      prs AS (
-        SELECT doc_a, doc_b FROM cnt
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8),
+      s"""WITH RECURSIVE $keptCte,
       edges AS (
         SELECT doc_a AS u, doc_b AS v FROM prs
         UNION ALL SELECT doc_b, doc_a FROM prs),
