@@ -175,12 +175,13 @@ object Similarity {
   /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
     * approximate neighbors (the all-queries form of similarity search a
     * training pipeline runs, e.g. for semantic dedup or hard-negative
-    * mining). Candidates come from the ss2 LSH tables kept in both
-    * orientations (each vector owns its neighbor list); exact cosine
-    * ranks candidates; per-vector top-k via window. One bucket
-    * self-join + one window — no cross join at any scale. Approximate
-    * recall → rows-only check; SimilaritySpec measures recall against
-    * brute force. */
+    * mining). Candidates come from 16 random-hyperplane LSH tables kept
+    * in both orientations (each vector owns its neighbor list),
+    * deduplicated AT THE JOIN (first-colliding-table rule — no distinct
+    * shuffle of the candidate explosion); exact cosine ranks candidates;
+    * per-vector top-k via window. One bucket self-join + one window — no
+    * cross join at any scale. Approximate recall → rows-only check;
+    * SimilaritySpec measures recall against brute force. */
   def ss5KnnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     // many short tables, not few long ones: kNN needs recall for
@@ -191,30 +192,65 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val e = Tables.embeddings(s, dir)
-    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
-      val bucket = tbl.zipWithIndex.map { case (plane, b) =>
+    val bucketCols = planes.map { tbl =>
+      tbl.zipWithIndex.map { case (plane, b) =>
         val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
         when(proj >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
     }
+    // Join-time dedup instead of distinct(): all 16 4-bit buckets pack
+    // into ONE long per vector, and a pair is kept ONLY in the first
+    // table where the two signatures collide. "No earlier table collides"
+    // is pure integer work on the packed XOR: collapse each nibble to its
+    // OR'd low bit, then demand every nibble-bit below this table is set.
+    // ~6 codegen'd long ops per joined row, no allocation — whereas the
+    // round-1 distinct() was a full extra shuffle of the multi-table
+    // candidate explosion (tables x bucket^2 rows), and an array-slice
+    // formulation of the same rule measured slower than the distinct.
+    val packedSig = bucketCols.zipWithIndex
+      .map { case (b, t) => shiftleft(b, 4 * t) }
+      .reduce((x, y) => x.bitwiseOR(y))
+    // Embeddings travel THROUGH the bucket join (the exploded table is
+    // only N x tables rows, so shuffling the vectors there is cheap);
+    // cosine is computed inline on the joined rows, and only slim
+    // (vec_id, nbr_id, cos) rows reach the top-k window shuffle. The
+    // round-1 shape instead re-joined the multi-million-pair candidate
+    // set against the embeddings TWICE — two shuffles of 256-byte arrays
+    // keyed by a huge pair table.
     val banded = e
-      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("sig"))
-      .select(col("vec_id"), col("sig.table").as("table"), col("sig.bucket").as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("table", "bucket"))
-      .where(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
-      .distinct()
-    val sided = e.select(col("vec_id"), col("embedding"),
-      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
+        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
+        posexplode(array((0 until tables).map(t =>
+          shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L))): _*))
+          .as(Seq("table", "bucket")))
+    val nibbleBits = lit(0x1111111111111111L)
+    val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
+    val collapsed = xorSig
+      .bitwiseOR(shiftright(xorSig, 1))
+      .bitwiseOR(shiftright(xorSig, 2))
+      .bitwiseOR(shiftright(xorSig, 3))
+      .bitwiseAND(nibbleBits)
+    val earlierMask = nibbleBits.bitwiseAND(
+      expr("shiftleft(CAST(1 AS BIGINT), table * 4)") - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    cand
-      .join(sided.select(col("vec_id"), col("embedding").as("emb_q"), col("nrm").as("nrm_q")), "vec_id")
-      .join(sided.select(col("vec_id").as("nbr_id"), col("embedding").as("emb_n"),
-        col("nrm").as("nrm_n")), "nbr_id")
-      .withColumn("cos", round(
-        VectorFunctions.vecDot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")), 3))
+    // Size-adaptive join strategy: below ~1M vectors the exploded table
+    // (N x tables rows) fits comfortably in a broadcast, and a broadcast
+    // hash join keeps the whole candidate pipeline — signature, explode,
+    // probe, dedup filter, dot product — in ONE whole-stage-codegen pass
+    // with no sort and no per-output-row copies (the sort-merge join
+    // materializes every joined row, copying both 256-byte embeddings).
+    // At corpus scale the hint is wrong (can't broadcast the corpus) and
+    // the shuffled bucket join with log(N)-scaled `bits` is the plan.
+    val probeSide =
+      if (e.count() <= 1000000L) broadcast(banded.as("b")) else banded.as("b")
+    banded.as("a").join(probeSide, Seq("table", "bucket"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 3).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))

@@ -77,9 +77,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     val df = graft.tables.Tables.embeddings(spark, dir)
       .select(graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).sum > 0)
+    // executed plan (post-AQE final plan): vec_dot's project must sit in
+    // a WholeStageCodegen span, not a standalone interpreted Project
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("*(1)"), s"expected WholeStageCodegen stage in:\n$plan")
-    assert(df.selectExpr("sum(d)").collect()(0).getDouble(0) > 0)
+    assert(plan.contains("*("), s"expected WholeStageCodegen stage in:\n$plan")
   }
 
   test("q15 as-of join is one shuffle + window, not a range cross-join") {
