@@ -20,7 +20,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * fused loop inside whole-stage codegen — no allocation, no virtual
   * calls — which is what an O(N·k) similarity scan needs at 100 TB.
   * Accumulation order is the same left-to-right as the composed form, so
-  * results are bit-identical.
+  * results are bit-identical for equal-length inputs; length-mismatched
+  * inputs yield NULL (as the zip_with form does: the padded null element
+  * nulls the whole aggregate) — a dimension bug surfaces instead of
+  * silently producing a truncated dot product.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,12 +39,15 @@ case class FloatVectorDot(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even for non-null inputs: length mismatch produces NULL
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // dimension mismatch -> NULL, like zip_with
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -53,12 +59,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double ${ev.value}_acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double ${ev.value}_acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        |  }
+        |  ${ev.value} = ${ev.value}_acc;
         |}
-        |${ev.value} = ${ev.value}_acc;
       """.stripMargin
     })
 

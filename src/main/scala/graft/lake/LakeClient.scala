@@ -97,12 +97,35 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     val src = resolve(filesystem, source)
     // missing source -> false, mirroring the reference's explicit
     // pre-check (client.py:377-384); some FileSystem impls throw instead
-    fs.exists(src) && fs.rename(src, resolve(filesystem, dest))
+    if (!fs.exists(src)) return false
+    val isDir = fs.getFileStatus(src).isDirectory
+    val dst = resolve(filesystem, dest)
+    val ok = fs.rename(src, dst)
+    // Properties travel with the path, as in ADLS. A directory's sidecar
+    // lives inside it and moves with the rename; a file's sits beside it
+    // and must be moved explicitly.
+    if (ok && !isDir) {
+      val srcSidecar = fileSidecar(src)
+      if (fs.exists(srcSidecar)) {
+        val dstSidecar = fileSidecar(dst)
+        fs.delete(dstSidecar, false) // rename fails on existing target
+        fs.rename(srcSidecar, dstSidecar)
+      }
+    }
+    ok
   }
 
-  /** delete_path — client.py:397-422; recursive flag. */
-  def deletePath(filesystem: String, path: String, recursive: Boolean = false): Boolean =
-    fs.delete(resolve(filesystem, path), recursive)
+  /** delete_path — client.py:397-422; recursive flag. Properties die with
+    * the path (ADLS semantics): the file's property sidecar is removed so
+    * a re-created path does not inherit stale properties. A directory's
+    * sidecar lives inside it and is removed by the recursive delete. */
+  def deletePath(filesystem: String, path: String, recursive: Boolean = false): Boolean = {
+    val p = resolve(filesystem, path)
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    val ok = fs.delete(p, recursive)
+    if (ok && !isDir) fs.delete(fileSidecar(p), false)
+    ok
+  }
 
   /** get_properties_path action=getStatus — client.py:424-447. */
   def pathStatus(filesystem: String, path: String): Option[PathInfo] = {
@@ -314,9 +337,13 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
 
   // -- properties sidecar -------------------------------------------------
 
+  /** Sidecar location for a FILE path (beside it, hidden). */
+  private def fileSidecar(p: Path): Path =
+    new Path(p.getParent, s".${p.getName}$PropsSuffix")
+
   private def propsPath(p: Path): Path =
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory) new Path(p, PropsFileName)
-    else new Path(p.getParent, s".${p.getName}$PropsSuffix")
+    else fileSidecar(p)
 
   private def writeProps(p: Path, props: Map[String, String]): Unit = {
     val out = fs.create(propsPath(p), true)
@@ -378,12 +405,22 @@ object LakeClient {
 
   /** Production client for an ADLS Gen2 account: credentials flow through
     * Hadoop conf exactly where the reference hand-signs each request
-    * (SharedKeyAuth, client.py:143-178). */
+    * (SharedKeyAuth, client.py:143-178).
+    *
+    * `container` names a pre-existing ADLS container; the URI authority is
+    * `<container>@<account>.<dnsSuffix>` as the ABFS driver requires (an
+    * empty container name is rejected at `getFileSystem`). The client is
+    * rooted inside that container, so `createFilesystem` makes logical
+    * filesystems as top-level directories there — real container lifecycle
+    * stays with the account's management plane, while the reference
+    * addresses containers per-call over REST (client.py:186-198,228-230). */
   def forAccount(spark: SparkSession, account: String, accountKey: String,
+                 container: String,
                  dnsSuffix: String = "dfs.core.windows.net"): LakeClient = {
+    require(container.nonEmpty, "container must name an existing ADLS container")
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set(s"fs.azure.account.key.$account.$dnsSuffix", accountKey)
-    val root = new Path(s"abfss://@$account.$dnsSuffix/")
+    val root = new Path(s"abfss://$container@$account.$dnsSuffix/")
     new LakeClient(root.getFileSystem(hc), root)
   }
 

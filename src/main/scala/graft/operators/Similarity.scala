@@ -14,7 +14,8 @@ import graft.functions.VectorFunctions
   * [[graft.functions.FloatVectorDot]] (`vec_dot`), with the pure
   * `sql.functions` zip_with+aggregate form kept below as the composable
   * reference — both accumulate in double, left-to-right, so results are
-  * bit-identical and reproducible (VectorExpressionsSpec proves it).
+  * bit-identical and reproducible for equal-length inputs, and both yield
+  * NULL on a dimension mismatch (VectorExpressionsSpec proves it).
   *
   * Scale design (100 TB): brute force is O(N·Q) dot products — fine for a
   * broadcast query batch against a partitioned corpus (ss1: corpus-side
@@ -25,6 +26,13 @@ import graft.functions.VectorFunctions
   * centroid).
   */
 object Similarity {
+
+  /** Broadcast cap for ss5's exploded probe side, in ESTIMATED bytes
+    * (optimizer statistics of the base relation x number of LSH tables).
+    * 128 MB of parquet-file bytes keeps even a pessimistic 3-4x
+    * decompression factor under a ~0.5 GB in-memory broadcast — large
+    * corpora take the shuffled bucket join instead. */
+  val MaxKnnBroadcastBytes: BigInt = BigInt(128L << 20)
 
   /** Composable (built-ins-only) dot product — the reference formulation
     * the codegen kernel is verified against, and what the DuckDB oracle
@@ -235,16 +243,25 @@ object Similarity {
       expr("shiftleft(CAST(1 AS BIGINT), table * 4)") - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    // Size-adaptive join strategy: below ~1M vectors the exploded table
-    // (N x tables rows) fits comfortably in a broadcast, and a broadcast
-    // hash join keeps the whole candidate pipeline — signature, explode,
-    // probe, dedup filter, dot product — in ONE whole-stage-codegen pass
-    // with no sort and no per-output-row copies (the sort-merge join
-    // materializes every joined row, copying both 256-byte embeddings).
-    // At corpus scale the hint is wrong (can't broadcast the corpus) and
-    // the shuffled bucket join with log(N)-scaled `bits` is the plan.
+    // Size-adaptive join strategy: when the exploded table (N x tables
+    // rows) fits in a broadcast, a broadcast hash join keeps the whole
+    // candidate pipeline — signature, explode, probe, dedup filter, dot
+    // product — in ONE whole-stage-codegen pass with no sort and no
+    // per-output-row copies (the sort-merge join materializes every
+    // joined row, copying both 256-byte embeddings). The decision is by
+    // BYTES from the optimizer's plan statistics (file-size based for a
+    // parquet scan) — estimating the exploded side as `tables` x the base
+    // relation — so building the query launches NO job (the round-2
+    // `e.count()` probe ran a full corpus scan per construction) and a
+    // row-blind threshold can't smuggle a multi-GB corpus into the
+    // driver. Above the cap the shuffled bucket join with log(N)-scaled
+    // `bits` is the plan, and AQE may still convert it back to broadcast
+    // if runtime sizes allow.
+    val explodedBytes =
+      e.queryExecution.optimizedPlan.stats.sizeInBytes * tables
     val probeSide =
-      if (e.count() <= 1000000L) broadcast(banded.as("b")) else banded.as("b")
+      if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
+      else banded.as("b")
     banded.as("a").join(probeSide, Seq("table", "bucket"))
       .where(col("a.vec_id") =!= col("b.vec_id"))
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)

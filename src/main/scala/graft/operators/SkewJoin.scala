@@ -18,15 +18,44 @@ object SkewJoin {
   /** Equi-join `left ⋈ right` on `key`, salting the left (skewed) side.
     * The salt is deterministic (xxhash64 of all left columns mod salt) so
     * plans stay reproducible. `right` rows are replicated `salt` times —
-    * keep `right` the smaller side. */
+    * keep `right` the smaller side.
+    *
+    * Only LEFT-preserving join types are accepted: the right side is
+    * replicated `salt`×, so a right-preserving type (right/full outer)
+    * would emit each unmatched right row `salt` times — not the unsalted
+    * result. For those, salt the other side or use AQE skew handling. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+      .contains(normalized),
+      s"saltedJoin replicates the right side $salt×, so only left-preserving " +
+        s"join types keep results identical to the unsalted join; got '$joinType'")
     val leftCols = left.columns
     val l = left.withColumn("_salt",
       pmod(xxhash64(leftCols.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}
+
+/** Fail-fast input guards for operators whose OUTPUT is inherently
+  * super-linear (e.g. an unbounded-inequality theta join is Θ(N²) rows no
+  * matter the plan). Decisions come from the optimizer's byte statistics
+  * (file sizes for a parquet scan) so a guard never launches a job. */
+object Guards {
+
+  /** Require `df`'s estimated size to be at most `maxBytes`; otherwise
+    * throw with `what` and the scalable alternative named. At 100 TB the
+    * guard is what turns "cluster-melting cross product" into an
+    * immediate, explainable error. */
+  def requireEstimatedBytesAtMost(df: DataFrame, maxBytes: Long, what: String): Unit = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxBytes,
+      s"$what: estimated input size $est bytes exceeds the $maxBytes-byte cap " +
+        "for a quadratic-output operator — band/bucket the join (see " +
+        "q28_range_join) or pre-aggregate before pairing")
   }
 }

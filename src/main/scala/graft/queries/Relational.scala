@@ -204,18 +204,31 @@ object Relational {
   }
 
   /** q13_theta_join — non-equi (theta) self-join: supplier pairs ranked by
-    * account balance. Cross-product theta joins only make sense on small
-    * inputs; at scale one side must be banded/bucketed first (see
-    * q15_asof_join for the banded pattern). */
+    * account balance. The predicate (`rich > 2 * poor`) is an UNBOUNDED
+    * inequality, so the OUTPUT is Θ(N²) rows — no plan shape fixes that
+    * (contrast q28, whose bounded interval bands into an equi-join). The
+    * operator therefore fail-fasts above [[MaxThetaInputBytes]] via
+    * optimizer statistics (no probe job) instead of silently melting a
+    * cluster; inputs that need inequality semantics at scale must band
+    * (bounded ranges, q28) or pre-aggregate before pairing. */
   def q13ThetaJoin(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables.supplier(s, dir).select(
+    val sup = Tables.supplier(s, dir)
+    graft.operators.Guards.requireEstimatedBytesAtMost(
+      sup, MaxThetaInputBytes, "q13_theta_join (quadratic-output theta join)")
+    val a = sup.select(
       col("s_suppkey").as("rich_key"), col("s_acctbal").as("rich_bal"))
-    val b = Tables.supplier(s, dir).select(
+    val b = sup.select(
       col("s_suppkey").as("poor_key"), col("s_acctbal").as("poor_bal"))
     a.join(b, col("rich_bal") > col("poor_bal") * 2)
       .select(col("rich_key"), col("poor_key"))
       .orderBy(col("rich_key"), col("poor_key"))
   }
+
+  /** Input cap for the cross-product theta join: 64 MB of estimated input
+    * (~a few hundred thousand rows) bounds the pair count at ~10¹⁰ — the
+    * documented ceiling where q13's Θ(N²) output stops being a query and
+    * becomes a bug. */
+  val MaxThetaInputBytes: Long = 64L << 20
 
   /** q14_star_join — full star: lineitem ⋈ supplier ⋈ nation ⋈ region,
     * revenue by region. Dims broadcast; the fact table never shuffles

@@ -66,17 +66,32 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("null inputs yield null; mismatched lengths use common prefix") {
+  test("null inputs and length mismatches yield null (codegen + interpreted)") {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
     val d = Seq(
       (1L, Some(Array(1.0f)), None: Option[Array[Float]]),
-      (2L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(10.0f))))
+      (2L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(10.0f))),
+      (3L, Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))))
       .toDF("id", "a", "b")
     val rows = d.select(col("id"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
       .orderBy(col("id")).collect()
     assert(rows(0).isNullAt(1))
-    assert(rows(1).getDouble(1) == 10.0)
+    // dimension mismatch -> NULL, matching zip_with's null-padding, not a
+    // silently truncated dot product
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 11.0)
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = d.select(col("id"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+        .orderBy(col("id")).collect()
+      assert(interp(1).isNullAt(1) && interp(2).getDouble(1) == 11.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("vecCosine of identical vectors is 1") {

@@ -143,6 +143,33 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("hid")
   }
 
+  test("properties die with the path: delete then re-create starts clean") {
+    client.createFilesystem("pd")
+    client.uploadString("pd", "f.txt", "v1")
+    client.setPathProperties("pd", "f.txt", Map("stale" -> "yes"))
+    assert(client.deletePath("pd", "f.txt"))
+    client.uploadString("pd", "f.txt", "v2")
+    // ADLS semantics: a re-created path must NOT inherit the old properties
+    assert(client.getPathProperties("pd", "f.txt") == Map.empty)
+    client.deleteFilesystem("pd")
+  }
+
+  test("properties travel with a renamed file; old name starts clean") {
+    client.createFilesystem("pr")
+    client.uploadString("pr", "a.txt", "x")
+    client.setPathProperties("pr", "a.txt", Map("k" -> "v"))
+    assert(client.renamePath("pr", "a.txt", "b.txt"))
+    assert(client.getPathProperties("pr", "b.txt") == Map("k" -> "v"))
+    client.uploadString("pr", "a.txt", "fresh")
+    assert(client.getPathProperties("pr", "a.txt") == Map.empty)
+    // directory properties (sidecar inside) also move with the dir
+    client.createPath("pr", "d1", directory = true)
+    client.setPathProperties("pr", "d1", Map("dk" -> "dv"))
+    assert(client.renamePath("pr", "d1", "d2"))
+    assert(client.getPathProperties("pr", "d2") == Map("dk" -> "dv"))
+    client.deleteFilesystem("pr")
+  }
+
   test("chunked upload round-trips arbitrary bytes x chunk sizes (reference bug client.py:582)") {
     client.createFilesystem("rt")
     val rnd = new scala.util.Random(42)

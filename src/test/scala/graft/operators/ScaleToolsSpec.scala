@@ -48,6 +48,33 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftOuter.count() == left.count())
   }
 
+  test("saltedJoin rejects right-preserving join types (right rows are replicated)") {
+    import spark.implicits._
+    val left = Seq((1, "l")).toDF("k", "lv")
+    val right = Seq((1, "r"), (2, "unmatched")).toDF("k", "rv")
+    for (jt <- Seq("right_outer", "full_outer", "full", "rightouter", "outer"))
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(left, right, "k", 4, jt)
+      }
+    // semi/anti stay legal: the left side carries exactly one salt value,
+    // so replicated right rows can't duplicate output
+    assert(SkewJoin.saltedJoin(left, right, "k", 4, "left_semi").count() == 1)
+    assert(SkewJoin.saltedJoin(left, right, "k", 4, "left_anti").count() == 0)
+  }
+
+  test("quadratic-output guard trips on large inputs by byte statistics, no job") {
+    // 1B-row range: ~8 GB estimated, far over any sane theta-join cap
+    val big = spark.range(1000L * 1000 * 1000).toDF("k")
+    intercept[IllegalArgumentException] {
+      Guards.requireEstimatedBytesAtMost(big, 64L << 20, "test op")
+    }
+    // small input passes
+    Guards.requireEstimatedBytesAtMost(spark.range(10).toDF("k"), 64L << 20, "test op")
+    // q13 itself stays runnable at fixture scale (guard is inactive there)
+    assert(graft.queries.Relational.q13ThetaJoin(spark, "/root/testdata/sf0.001")
+      .limit(1).count() == 1)
+  }
+
   test("bucketed tables join without an exchange on either side") {
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val or = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")

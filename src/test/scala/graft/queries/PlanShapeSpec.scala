@@ -84,6 +84,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), s"expected WholeStageCodegen stage in:\n$plan")
   }
 
+  test("ss5: query construction launches no job beyond the table read itself") {
+    // round-2 regression guard: the broadcast-vs-shuffle choice must come
+    // from optimizer statistics (file bytes), not an eager e.count() scan.
+    // A plain parquet read launches one tiny schema-inference job (footer
+    // read); ss5 construction must add NOTHING on top of that baseline.
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // listener bus delivery is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val baseline = jobsDuring(graft.tables.Tables.embeddings(spark, dir))
+    val ss5 = jobsDuring(graft.operators.Similarity.ss5KnnJoin(spark, dir))
+    assert(ss5 <= baseline,
+      s"building ss5 launched $ss5 job(s) vs $baseline for a bare table read — " +
+        "the size probe must not scan the corpus")
+  }
+
   test("q15 as-of join is one shuffle + window, not a range cross-join") {
     val plan = planString(Relational.q15AsofJoin(spark, dir))
     assert(plan.contains("Window"), s"plan:\n$plan")
