@@ -274,12 +274,56 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** ss6_knn_exact — EXACT batch kNN join: every vector's true top-k
+    * neighbors by cosine — the hash-checkable ground truth of ss5's
+    * LSH approximation. Pair enumeration is the ss3 block-pair shape
+    * (broadcast block grid + two hash joins, never a nested-loop join),
+    * here over the FULL b×b grid because each vector owns its own
+    * neighbor list; only slim (vec_id, nbr_id, cos) rows reach the
+    * per-vector top-k window. Exact kNN is inherently Θ(N²) dot
+    * products, so the operator fail-fasts above [[MaxExactKnnBytes]] —
+    * at corpus scale ss5 IS this query with LSH-bounded candidates. */
+  def ss6KnnExact(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val blocks = 16
+    import s.implicits._
+    val e0 = Tables.embeddings(s, dir)
+    graft.operators.Guards.requireEstimatedBytesAtMost(
+      e0, MaxExactKnnBytes, "ss6_knn_exact (quadratic-work exact kNN; use ss5)")
+    val blockPairs = broadcast(
+      (for (ba <- 0 until blocks; bb <- 0 until blocks) yield (ba, bb))
+        .toDF("ba", "bb"))
+    val e = e0.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    val a = e.select(col("vec_id"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("blk").as("ba"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("blk").as("bb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    a.join(blockPairs, "ba").join(b, Seq("bb"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")), 3).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Input cap for the exact kNN join (quadratic work): 32 MB of
+    * estimated input (~100k embeddings) bounds the dot products at
+    * ~10¹⁰; larger corpora must use ss5. */
+  val MaxExactKnnBytes: Long = 32L << 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> (ss1CosineTopk _),
     "ss2_ann_lsh" -> (ss2AnnLsh _),
     "ss3_embedding_neardup" -> (ss3EmbeddingNeardup _),
     "ss4_ann_ivf" -> (ss4AnnIvf _),
     "ss5_knn_join" -> ((s: SparkSession, dir: String) => ss5KnnJoin(s, dir)),
+    "ss6_knn_exact" -> ((s: SparkSession, dir: String) => ss6KnnExact(s, dir)),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same
@@ -296,6 +340,17 @@ object Similarity {
        WHERE a.vec_id = 0 AND b.vec_id <> 0
        ORDER BY cos DESC, b.vec_id LIMIT 10""",
     // ss2_ann_lsh: approximate recall — no oracle (rows-only).
+    "ss6_knn_exact" ->
+      s"""WITH pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, round($duckCos, 3) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, nbr_id, cos,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, nbr_id) AS INTEGER) AS rk
+        FROM pairs)
+       SELECT vec_id, nbr_id, cos, rk FROM ranked WHERE rk <= 5
+       ORDER BY vec_id, rk""",
     "ss3_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($duckCos, 3) AS cos
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -55,11 +55,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** ta3_langid — language-ID heuristic: score each candidate language by
-    * marker-token overlap, argmax with 'en' fallback. A real deployment
+    * marker-token overlap, argmax with 'und' fallback. A real deployment
     * swaps the marker lists for char-n-gram profiles; the plumbing
     * (array_intersect against broadcast literal profiles, argmax via
     * greatest/when) is the scale-ready part — per-row, no shuffle.
-    * No SQL oracle (heuristic-defined output): rows-only check. */
+    * The marker argmax is plain SQL, so the DuckDB oracle mirrors it
+    * exactly (list_intersect + CASE argmax, same tie order). */
   def ta3Langid(s: SparkSession, dir: String): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and", "is"),
@@ -172,7 +173,31 @@ object TextAnalysis {
             round((len_chars - n_tok + 1) * 1.0 / n_tok, 4) AS avg_tok_len,
             round(n_distinct * 1.0 / n_tok * 0.5 + (1 - n_stop * 1.0 / n_tok) * 0.5, 4) AS quality_score
        FROM t ORDER BY doc_id""",
-    // ta3_langid: heuristic-defined output — no oracle (rows-only).
+    // ta3: the Spark argmax checks languages in profile order (en..zh) and
+    // falls back to 'und' when every score is 0 — the CASE mirrors both.
+    "ta3_langid" ->
+      """WITH t AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+               len(list_intersect(toks, ['the','a','of','and','is'])) AS score_en,
+               len(list_intersect(toks, ['el','la','de','y','es'])) AS score_es,
+               len(list_intersect(toks, ['le','la','de','et','est'])) AS score_fr,
+               len(list_intersect(toks, ['der','die','das','und','ist'])) AS score_de,
+               len(list_intersect(toks, ['的','是','了','在','我'])) AS score_zh
+        FROM t),
+      m AS (
+        SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS mx
+        FROM s)
+       SELECT doc_id, lang AS claimed_lang,
+            CASE WHEN mx = 0 THEN 'und'
+                 WHEN score_en = mx THEN 'en'
+                 WHEN score_es = mx THEN 'es'
+                 WHEN score_fr = mx THEN 'fr'
+                 WHEN score_de = mx THEN 'de'
+                 ELSE 'zh' END AS detected_lang
+       FROM m ORDER BY doc_id""",
     "ta4_fingerprint" ->
       """SELECT doc_id,
               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,

@@ -61,5 +61,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // 16x4-bit hyperplane tables: measured ~.9 on this corpus; leave
     // slack for fixture regeneration
     assert(recall > 0.5, f"recall $recall%.3f too low")
+
+    // ss6 (exact twin) must reproduce the brute-force ground truth EXACTLY
+    val ss6 = Similarity.ss6KnnExact(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ss6 == truth, "ss6_knn_exact must equal the brute-force top-k set")
+  }
+
+  test("ss6 guard trips on oversized input") {
+    // the exact kNN join is quadratic work; a corpus past the byte cap
+    // must fail fast instead of launching N² dot products
+    import spark.implicits._
+    val big = spark.range(100L * 1000 * 1000)
+      .select(col("id").as("vec_id"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Guards.requireEstimatedBytesAtMost(
+        big, Similarity.MaxExactKnnBytes, "ss6_knn_exact")
+    }
   }
 }
