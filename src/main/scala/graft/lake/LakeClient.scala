@@ -163,36 +163,63 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   }
 
   /** list_path — client.py:481-526: recursive flag, maxResults paging,
-    * 404 → empty (client.py:523-524). Iterator-paged via RemoteIterator —
-    * never materializes the full listing on the driver beyond one page. */
+    * 404 → empty (client.py:523-524). First page only; a truncated
+    * listing is resumable via [[listPathsPage]]'s continuation token (the
+    * reference pages with `x-ms-continuation`, client.py:493-498,518-521). */
   def listPaths(filesystem: String, directory: String = "",
                 recursive: Boolean = true,
-                maxResults: Int = 5000): Seq[FsEntry] = {
+                maxResults: Int = 5000): Seq[FsEntry] =
+    listPathsPage(filesystem, directory, recursive, maxResults).entries
+
+  /** Paged listing with an opaque continuation token — the reference's
+    * `x-ms-continuation` semantics (client.py:493-498,518-521): a page of
+    * at most `maxResults` entries plus a token that resumes EXACTLY after
+    * the last returned path, so a >maxResults directory never silently
+    * loses its tail.
+    *
+    * Traversal is deterministic pre-order DFS with name-sorted children
+    * (the DFS API's lexical listing order), which makes the token just
+    * "the last path served": resumption walks the same order, PRUNING any
+    * subtree that lies wholly at-or-before the token — no rescan of
+    * already-served branches beyond the token's ancestor chain. Driver
+    * memory stays one page regardless of directory size. */
+  def listPathsPage(filesystem: String, directory: String = "",
+                    recursive: Boolean = true,
+                    maxResults: Int = 5000,
+                    continuation: Option[String] = None): PathPage = {
+    require(maxResults > 0, "maxResults must be positive")
     val dir = resolve(filesystem, directory)
-    if (!fs.exists(dir)) return Seq.empty // 404 -> {"paths": []}
+    if (!fs.exists(dir)) return PathPage(Seq.empty, None) // 404 -> {"paths": []}
+    val cursor: Option[Seq[String]] = continuation.map(decodeCursor)
     val out = ArrayBuffer.empty[FsEntry]
-    def visible(st: FileStatus): Boolean =
-      !st.getPath.getName.endsWith(PropsSuffix) // hide property sidecars
-    if (recursive) {
-      // listFiles(recursive) only yields files; directories come from a
-      // breadth-first listStatus walk to match the DFS API's path listing.
-      val stack = scala.collection.mutable.Queue(dir)
-      while (stack.nonEmpty && out.size < maxResults) {
-        val d = stack.dequeue()
-        fs.listStatus(d).foreach { st =>
-          if (visible(st) && out.size < maxResults) out += FsEntry.of(st)
-          if (st.isDirectory) stack.enqueue(st.getPath)
-        }
-      }
-    } else {
-      val it = fs.listStatusIterator(dir)
-      while (it.hasNext && out.size < maxResults) {
-        val st = it.next()
-        if (visible(st)) out += FsEntry.of(st)
+    // collect one extra entry to learn whether a further page exists
+    // (Long: maxResults may be Int.MaxValue)
+    val want = maxResults.toLong + 1
+    def comps(st: FileStatus): Seq[String] =
+      st.getPath.toUri.getPath.split('/').toSeq.filter(_.nonEmpty)
+    // walk children of d in name order; returns false when the page (+1
+    // lookahead) is full and traversal should stop
+    def walk(d: Path): Boolean = {
+      val children = fs.listStatus(d).filter(visible).sortBy(_.getPath.getName)
+      children.forall { st =>
+        val c = comps(st)
+        val emit = cursor.forall(preOrderAfter(c, _))
+        if (emit) out += FsEntry.of(st)
+        if (out.size >= want) false
+        else if (recursive && st.isDirectory &&
+          (emit || cursor.exists(isPrefixOf(c, _)))) walk(st.getPath)
+        else true
       }
     }
-    out.toSeq.sortBy(_.name)
+    walk(dir)
+    val page = out.take(maxResults).toSeq
+    val next =
+      if (out.size > maxResults) Some(encodeCursor(page.last.name)) else None
+    PathPage(page, next)
   }
+
+  private def visible(st: FileStatus): Boolean =
+    !st.getPath.getName.endsWith(PropsSuffix) // hide property sidecars
 
   // -- data plane: reference #12-#16 --------------------------------------
 
@@ -271,19 +298,44 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
 
   // -- DataFrame surface (BASELINE.json `spark_approach`) -----------------
 
-  /** Listing-as-DataFrame: the catalog view of a lake directory. */
+  /** Listing-as-DataFrame: the catalog view of a lake directory.
+    *
+    * Distributed: the driver lists only the FIRST level; each
+    * subdirectory's subtree is walked by an executor task against its own
+    * `FileSystem` handle (Hadoop conf ships as a plain map). A
+    * million-file lake never materializes on the driver — the round-2
+    * implementation pulled the entire listing into a driver Seq. Skew
+    * note: one task per top-level subtree mirrors Spark's own
+    * InMemoryFileIndex parallel listing; a single flat directory is
+    * bounded by the DFS API's sequential pager either way. */
   def listPathsDF(spark: SparkSession, filesystem: String, directory: String = "",
                   recursive: Boolean = true): DataFrame = {
-    val rows = listPaths(filesystem, directory, recursive, Int.MaxValue).map { e =>
-      Row(e.name, e.isDirectory, e.length, e.modificationTime)
+    val dir = resolve(filesystem, directory)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], ListingSchema)
+    if (!fs.exists(dir)) return empty
+    val top = fs.listStatus(dir).filter(visible).sortBy(_.getPath.getName)
+    val topRows = top.map(FsEntry.of).map(e =>
+      Row(e.name, e.isDirectory, e.length, e.modificationTime)).toSeq
+    val topDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(topRows, math.max(1, math.min(topRows.size, 4))),
+      ListingSchema)
+    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    if (!recursive || subDirs.isEmpty) topDf
+    else {
+      val confEntries: Map[String, String] = {
+        val it = fs.getConf.iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      val slices = math.min(subDirs.size, spark.sparkContext.defaultParallelism)
+      val subtreeRows = spark.sparkContext
+        .parallelize(subDirs, math.max(1, slices))
+        .flatMap(d => walkSubtree(d, confEntries))
+        .map { case (p, isDir, len, mtime) => Row(p, isDir, len, mtime) }
+      topDf.union(spark.createDataFrame(subtreeRows, ListingSchema))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList, 1),
-      StructType(Seq(
-        StructField("path", StringType, nullable = false),
-        StructField("is_directory", BooleanType, nullable = false),
-        StructField("length", LongType, nullable = false),
-        StructField("modification_time", LongType, nullable = false))))
   }
 
   /** DataFrame read/write against lake paths — the production data plane.
@@ -377,6 +429,80 @@ object LakeClient {
   /** Hidden sidecar names for the x-ms-properties analogue. */
   val PropsFileName = "._graft_props"
   val PropsSuffix = "._graft_props"
+
+  /** One page of a listing plus the opaque token resuming after it
+    * (None = listing complete) — reference `x-ms-continuation`. */
+  final case class PathPage(entries: Seq[FsEntry], continuation: Option[String])
+
+  /** Opaque continuation token: base64 of the last served path. Opaque to
+    * callers (reference tokens are server blobs); versioned for safety. */
+  private[lake] def encodeCursor(path: String): String =
+    java.util.Base64.getUrlEncoder.encodeToString(
+      s"v1:$path".getBytes(StandardCharsets.UTF_8))
+
+  private[lake] def decodeCursor(token: String): Seq[String] = {
+    val decoded = new String(
+      java.util.Base64.getUrlDecoder.decode(token), StandardCharsets.UTF_8)
+    require(decoded.startsWith("v1:"), s"unrecognized continuation token")
+    decoded.stripPrefix("v1:").split('/').toSeq.filter(_.nonEmpty)
+  }
+
+  /** True iff path `e` comes STRICTLY AFTER path `c` in a pre-order DFS
+    * with name-sorted children: the first differing component decides;
+    * with no differing component, the longer path (a descendant) follows
+    * its ancestor. */
+  private[lake] def preOrderAfter(e: Seq[String], c: Seq[String]): Boolean = {
+    val n = math.min(e.length, c.length)
+    var i = 0
+    while (i < n && e(i) == c(i)) i += 1
+    if (i < n) e(i) > c(i) else e.length > c.length
+  }
+
+  /** True iff `e` is an ancestor of (or equal to) `c` — its subtree may
+    * still contain entries after the cursor, so traversal must descend. */
+  private[lake] def isPrefixOf(e: Seq[String], c: Seq[String]): Boolean =
+    e.length <= c.length && e.indices.forall(i => e(i) == c(i))
+
+  /** Schema of [[LakeClient.listPathsDF]]. */
+  val ListingSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("is_directory", BooleanType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("modification_time", LongType, nullable = false)))
+
+  /** Executor-side subtree walk for [[LakeClient.listPathsDF]]: rebuilds a
+    * `FileSystem` from the shipped conf entries (credentials included — the
+    * same map the driver's client used) and streams the subtree's entries.
+    * Static on the companion so the task closure never captures the
+    * driver's non-serializable `FileSystem`. */
+  private[lake] def walkSubtree(dirUri: String,
+      confEntries: Map[String, String]): Iterator[(String, Boolean, Long, Long)] = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val root = new Path(dirUri)
+    val efs = root.getFileSystem(conf)
+    val stack = scala.collection.mutable.Stack(root)
+    new Iterator[(String, Boolean, Long, Long)] {
+      private var buf: List[FileStatus] = Nil
+      @annotation.tailrec
+      private def fill(): Unit =
+        if (buf.isEmpty && stack.nonEmpty) {
+          val d = stack.pop()
+          buf = efs.listStatus(d)
+            .filter(st => !st.getPath.getName.endsWith(PropsSuffix))
+            .sortBy(_.getPath.getName).toList
+          buf.foreach(st => if (st.isDirectory) stack.push(st.getPath))
+          fill()
+        }
+      override def hasNext: Boolean = { fill(); buf.nonEmpty }
+      override def next(): (String, Boolean, Long, Long) = {
+        fill()
+        val st = buf.head
+        buf = buf.tail
+        (st.getPath.toUri.getPath, st.isDirectory, st.getLen, st.getModificationTime)
+      }
+    }
+  }
 
   /** The reference's `key1=val1,key2=val2` x-ms-properties wire format
     * (client.py:224-225: `','.join(f"{k}={v}" ...)`), values base64'd as

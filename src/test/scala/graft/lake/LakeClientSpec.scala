@@ -143,6 +143,46 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("hid")
   }
 
+  test("listPathsPage: continuation token pages a >maxResults tree to completion") {
+    client.createFilesystem("pg")
+    // 3-level tree, 60+ entries, nested dirs interleaved with files
+    for (i <- 0 until 20) client.uploadString("pg", f"a/f$i%02d.txt", "x")
+    for (i <- 0 until 20) client.uploadString("pg", f"b/sub$i%02d/data.txt", "y")
+    client.uploadString("pg", "top.txt", "z")
+    val full = client.listPaths("pg", maxResults = Int.MaxValue)
+    assert(full.size == 63) // 20 + (20 dirs + 20 files) + dirs a,b + top.txt
+
+    // page with size 7: collect all pages via the cursor
+    val pages = Iterator.iterate(
+      client.listPathsPage("pg", maxResults = 7)) { p =>
+        client.listPathsPage("pg", maxResults = 7, continuation = p.continuation)
+      }
+      .takeWhile(_.entries.nonEmpty)
+      .take(20).toList
+    val (complete, rest) = pages.span(_.continuation.isDefined)
+    val all = (complete ++ rest.take(1)).flatMap(_.entries)
+    // no entry lost, none duplicated, same set as the unpaged listing
+    assert(all.map(_.name) == all.map(_.name).distinct)
+    assert(all.map(_.name).toSet == full.map(_.name).toSet)
+    assert(all.size == full.size)
+    // last page reports no continuation
+    assert(rest.head.continuation.isEmpty)
+
+    // resumption order is deterministic: concatenated pages = one big page
+    assert(all.map(_.name) == client.listPaths("pg", maxResults = 1000).map(_.name))
+    client.deleteFilesystem("pg")
+  }
+
+  test("listPathsPage: bogus continuation token is rejected") {
+    client.createFilesystem("tok")
+    client.uploadString("tok", "f.txt", "x")
+    intercept[IllegalArgumentException] {
+      client.listPathsPage("tok", continuation = Some(
+        java.util.Base64.getUrlEncoder.encodeToString("evil".getBytes("UTF-8"))))
+    }
+    client.deleteFilesystem("tok")
+  }
+
   test("properties die with the path: delete then re-create starts clean") {
     client.createFilesystem("pd")
     client.uploadString("pd", "f.txt", "v1")

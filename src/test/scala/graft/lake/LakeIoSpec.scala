@@ -79,6 +79,25 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.readJson(spark, "io", "nation_json").count() == 25)
   }
 
+  test("listPathsDF: distributed listing matches the paged client listing") {
+    client.createFilesystem("cat")
+    for (i <- 0 until 15) client.uploadString("cat", f"d1/f$i%02d.txt", "x")
+    for (i <- 0 until 15) client.uploadString("cat", f"d2/s$i%02d/leaf.txt", "yy")
+    client.uploadString("cat", "root.txt", "zzz")
+    client.setPathProperties("cat", "root.txt", Map("k" -> "v")) // sidecar hidden
+    val df = client.listPathsDF(spark, "cat")
+    val fromDf = df.collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    val fromClient = client.listPaths("cat", maxResults = Int.MaxValue)
+      .map(e => (e.name, e.isDirectory, e.length)).toSet
+    assert(fromDf == fromClient)
+    assert(fromDf.size == 48) // 15 + (15 dirs + 15 leaves) + d1 + d2 + root.txt
+    // non-recursive stays shallow
+    assert(client.listPathsDF(spark, "cat", recursive = false).count() == 3)
+    // distributed: the subtree scan runs on >1 partition when dirs allow
+    assert(df.rdd.getNumPartitions > 1)
+    client.deleteFilesystem("cat")
+  }
+
   test("binaryFile source reads lake objects as opaque bytes") {
     client.createFilesystem("bin")
     client.uploadString("bin", "blobs/a.bin", "alpha")
