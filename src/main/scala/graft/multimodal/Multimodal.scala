@@ -8,11 +8,13 @@ import graft.tables.Tables
   * `binary` columns with typed metadata structs, plus the decode /
   * feature-extract plumbing a training-data pipeline needs.
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked deterministic stub ([[FakeDecoder]]); everything
-  * Spark-side — schema, batching, partition-iterator shape, feature
-  * schema — is real and tested (MultimodalSpec). Swapping in a real
-  * decoder changes one function.
+  * IMAGE decode is REAL — JDK `javax.imageio` (PNG/BMP/GIF/JPEG, zero
+  * external dependencies) to a normalized luminance histogram feature.
+  * Audio/video codecs are NOT in this container, so non-image formats
+  * take a clearly-marked deterministic byte-histogram stub
+  * ([[MediaDecoder.decodeOpaque]]); the Spark-side plumbing — schema,
+  * per-partition decoder lifecycle with task-completion cleanup, feature
+  * schema — is identical once a real av codec is swapped in.
   *
   * Scale design: payloads never pass through a shuffle (decode before
   * aggregate, project features only); `mapPartitions` amortizes per-batch
@@ -37,39 +39,92 @@ object Multimodal {
       mean_byte: Double,
       feature: Array[Float])
 
-  /** STUB decoder — stands in for image/audio decode (libs absent here).
-    * Deterministic: "pixels" are a rolling function of payload bytes, the
-    * feature vector is an 8-bin byte histogram. A real implementation
-    * replaces decode() with e.g. javax.imageio / ffmpeg bindings; the
-    * per-partition init/close lifecycle is already in place. */
-  object FakeDecoder {
-    def init(): FakeDecoder = new FakeDecoder
+  object MediaDecoder {
+    /** Formats decoded by the REAL `javax.imageio` path. */
+    val ImageFormats: Set[String] = Set("png", "bmp", "gif", "jpg", "jpeg")
+    def init(): MediaDecoder = new MediaDecoder
   }
-  final class FakeDecoder {
-    def decode(payload: Array[Byte]): Array[Float] = {
+
+  /** Per-partition media decoder. Images go through `javax.imageio` (in
+    * the JDK — no new dependency); everything else (audio/video, and the
+    * fixture's text-as-media rows) takes the deterministic byte-histogram
+    * STUB below, clearly marked, because av codec libs are absent in this
+    * environment. */
+  final class MediaDecoder {
+
+    /** REAL image decode: 8-bin normalized Rec.601-luma histogram — the
+      * kind of cheap content feature a pipeline computes before handing
+      * pixels to a vision preprocessor. Undecodable payload → None (a
+      * real corpus always has corrupt images; callers get an empty
+      * feature to filter on rather than a task-killing exception). */
+    def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val hist = new Array[Float](8)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+              + 114 * (rgb & 0xFF)) / 1000
+            hist(luma >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < 8) { hist(i) /= n; i += 1 }
+        Some(hist)
+      }
+    }
+
+    /** STUB for non-image media (audio/video codecs absent here): an
+      * 8-bin byte histogram — deterministic and schema-identical to the
+      * image feature, so swapping in a real codec changes only this
+      * function. */
+    def decodeOpaque(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](8)
       var i = 0
       while (i < payload.length) { hist((payload(i) & 0xFF) >> 5) += 1f; i += 1 }
       if (payload.length > 0) { var j = 0; while (j < 8) { hist(j) /= payload.length; j += 1 } }
       hist
     }
+
+    /** Dispatch on the typed metadata's format tag. */
+    def decode(payload: Array[Byte], format: String): Array[Float] =
+      if (MediaDecoder.ImageFormats(format.toLowerCase))
+        decodeImage(payload).getOrElse(Array.empty[Float])
+      else decodeOpaque(payload)
+
+    /** ImageIO is stateless; a real av-codec handle releases here. Wired
+      * to TaskContext.addTaskCompletionListener in extractFeatures. */
     def close(): Unit = ()
   }
 
   /** Decode + featurize a media Dataset. One decoder instance per
-    * partition (not per row) — the pattern that matters at scale. */
+    * partition (not per row) with task-completion cleanup — the lifecycle
+    * that matters when the decoder holds native codec state. Undecodable
+    * images yield an empty `feature`; filter `size(feature) > 0`. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val dec = FakeDecoder.init()
-      val out = it.map { m =>
-        val f = dec.decode(m.payload)
+      val dec = MediaDecoder.init()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.map { m =>
+        val f = dec.decode(m.payload, m.format)
         val mean =
           if (m.payload.isEmpty) 0.0
           else m.payload.map(b => (b & 0xFF).toDouble).sum / m.payload.length
         MediaFeatures(m.media_id, m.payload.length, mean, f)
       }
-      out // decoder closed with executor; real impl: TaskContext.addTaskCompletionListener
     }
   }
 

@@ -47,6 +47,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(0).feature.sameElements(feats(0).feature))
   }
 
+  test("extractFeatures decodes a REAL PNG via javax.imageio (not the stub)") {
+    import spark.implicits._
+    // 8x4 image: left half pure black (luma 0 -> bin 0), right half pure
+    // white (luma 255 -> bin 7)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    val ds = Seq(
+      MediaRecord(1L, png, "png", 8, 4),
+      MediaRecord(2L, Array[Byte](1, 2, 3), "png", 1, 1), // corrupt image
+      MediaRecord(3L, png, "bin", png.length, 1)          // non-image -> stub
+    ).toDS()
+    val feats = extractFeatures(ds).collect().sortBy(_.media_id)
+
+    // real decode: half the pixels black, half white — the stub byte
+    // histogram over compressed PNG bytes could never produce this
+    assert(feats(0).feature.length == 8)
+    assert(math.abs(feats(0).feature(0) - 0.5f) < 1e-6)
+    assert(math.abs(feats(0).feature(7) - 0.5f) < 1e-6)
+    assert((1 to 6).forall(feats(0).feature(_) == 0f))
+    // corrupt image -> empty feature, not an exception
+    assert(feats(1).feature.isEmpty)
+    // same bytes under a non-image format take the documented stub path
+    assert(feats(2).feature.sum > 0f && !feats(2).feature.sameElements(feats(0).feature))
+  }
+
   test("sampleFrames: chunking + every-k selection") {
     import spark.implicits._
     val ds = Seq(media(7, Array.tabulate[Byte](100)(_.toByte))).toDS()
