@@ -215,11 +215,34 @@ object Dedup {
     * smallest doc_id in its component and a keep flag — the "collapse
     * each near-dup cluster to one representative" step of a dedup
     * pipeline. Oracle: DuckDB recursive CTE transitive closure (with the
-    * same df cutoff as dd4). */
+    * same df cutoff as dd4).
+    *
+    * The dd4 pair graph is persisted and memoized per (session, dir): a
+    * pipeline that runs dd4 then dd6 (or dd6 repeatedly — the CC loop
+    * itself would otherwise recompute the inverted-index join once per
+    * iteration via lineage) pays for pair enumeration once. Callers with
+    * their own edge set use [[dd6ClusterFrom]] directly. */
   def dd6Cluster(s: SparkSession, dir: String): DataFrame =
     dd6ClusterFrom(
       Tables.documents(s, dir).select(col("doc_id")),
-      dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      cachedPairGraph(s, dir))
+
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Persisted dd4 pair graph, one per (session, scale dir). Bounded: one
+    * slim (doc_a, doc_b) frame per fixture dir actually queried. */
+  private def cachedPairGraph(s: SparkSession, dir: String): DataFrame =
+    pairGraphCache.computeIfAbsent((s, dir), { _ =>
+      dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Drop memoized pair graphs (tests / session teardown). */
+  def clearCaches(): Unit = {
+    pairGraphCache.values().forEach(df => { df.unpersist(false); () })
+    pairGraphCache.clear()
+  }
 
   /** Connected components over an arbitrary precomputed pair graph —
     * callers that already materialized the dd4 pairs (or any other edge
@@ -235,7 +258,13 @@ object Dedup {
     * in 2-3 rounds; a component of diameter > [[DdMaxIterations]] raises
     * rather than silently returning partial labels. */
   def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame): DataFrame = {
-    val pairs = pairDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a caller-persisted edge set stays the caller's to unpersist (the
+    // dd6Cluster memo keeps its graph alive across calls)
+    val callerOwned =
+      pairDf.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (callerOwned) pairDf
+      else pairDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val edges = pairs
         .union(pairs.select(pairs.columns(1), pairs.columns(0)))
@@ -262,7 +291,7 @@ object Dedup {
         .select(col("doc_id"), col("label").as("cluster_rep"),
           (col("label") === col("doc_id")).as("keep"))
         .orderBy(col("doc_id"))
-    } finally pairs.unpersist(false)
+    } finally if (!callerOwned) { pairs.unpersist(false); () }
   }
 
   /** Iteration cap for min-label propagation; covers components of

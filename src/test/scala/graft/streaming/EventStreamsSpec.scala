@@ -167,6 +167,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
   }
 
+  test("state stays bounded under watermark eviction across many micro-batches") {
+    // the 100 TB streaming claim, measured: run 22 hourly micro-batches
+    // through the windowed agg and assert the state store holds only the
+    // open window tail (watermark evicts closed windows), i.e. state does
+    // NOT grow with stream length
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingTumbling(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("bounded")
+      .outputMode(OutputMode.Append()).start()
+    val batches = 22 // keeps event time inside one day for the ts() helper
+    for (h <- 0 until batches) {
+      val base = h * 60
+      in.addData(Ev(h * 2L, ts(base + 5), 1, "a", 1.0),
+        Ev(h * 2L + 1, ts(base + 25), 1, "a", 2.0))
+      q.processAllAvailable()
+    }
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal)
+    assert(states.nonEmpty)
+    val maxState = states.max
+    // 44 events across 22 hourly windows; an unbounded store would hold
+    // ~22 rows by the last batch — eviction must keep it to the open tail
+    assert(maxState <= 4, s"state grew to $maxState rows — watermark not evicting")
+    // and the closed windows were actually emitted downstream
+    assert(spark.table("bounded").count() >= batches - 2)
+    q.stop()
+  }
+
   test("streaming sessions merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
