@@ -340,7 +340,13 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("price"))
 
   /** q21_ntile_dense — dense_rank + ntile quartiles over one global
-    * ordering of nations by customer count. */
+    * ordering of nations by customer count.
+    *
+    * The unpartitioned window (WindowExec warns) is deliberate and safe:
+    * it runs AFTER the aggregation, whose cardinality is bounded by the
+    * grouping key's domain (#nations ≤ 25) — not by the fact table. A
+    * global ranking whose input grows with the data would instead need
+    * the two-pass range-partitioned ranking pattern. */
   def q21NtileDense(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.customer(s, dir)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
