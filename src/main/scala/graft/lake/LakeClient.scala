@@ -100,6 +100,13 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     if (!fs.exists(src)) return false
     val isDir = fs.getFileStatus(src).isDirectory
     val dst = resolve(filesystem, dest)
+    // POSIX/HDFS rename semantics: renaming INTO an existing directory
+    // lands the source at dst/<srcName> — the sidecar must follow the
+    // file's ACTUAL landing spot, not the raw dest argument
+    val landed =
+      if (fs.exists(dst) && fs.getFileStatus(dst).isDirectory)
+        new Path(dst, src.getName)
+      else dst
     val ok = fs.rename(src, dst)
     // Properties travel with the path, as in ADLS. A directory's sidecar
     // lives inside it and moves with the rename; a file's sits beside it
@@ -107,7 +114,7 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     if (ok && !isDir) {
       val srcSidecar = fileSidecar(src)
       if (fs.exists(srcSidecar)) {
-        val dstSidecar = fileSidecar(dst)
+        val dstSidecar = fileSidecar(landed)
         fs.delete(dstSidecar, false) // rename fails on existing target
         fs.rename(srcSidecar, dstSidecar)
       }
@@ -200,7 +207,32 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     // walk children of d in name order; returns false when the page (+1
     // lookahead) is full and traversal should stop
     def walk(d: Path): Boolean = {
-      val children = fs.listStatus(d).filter(visible).sortBy(_.getPath.getName)
+      // Bounded child selection, NOT a full-directory materialize+sort:
+      // stream the RemoteIterator (ABFS pages server-side) keeping only
+      // the `needed` name-smallest EMITTABLE children — each contributes
+      // >= 1 entry, so larger-named siblings cannot reach this page —
+      // plus the at-most-one descend-only child that is an ancestor of
+      // the cursor. Driver memory per directory level is O(page) even
+      // for a million-object flat directory (the case paging exists for).
+      val needed = math.min(want - out.size, Int.MaxValue.toLong).toInt
+      val byName = Ordering.by((st: FileStatus) => st.getPath.getName)
+      val smallest = // max-heap: dequeue evicts the largest kept name
+        scala.collection.mutable.PriorityQueue.empty[FileStatus](byName)
+      var ancestorChild: Option[FileStatus] = None
+      val it = fs.listStatusIterator(d)
+      while (it.hasNext) {
+        val st = it.next()
+        if (visible(st)) {
+          val c = comps(st)
+          if (cursor.forall(preOrderAfter(c, _))) {
+            smallest += st
+            if (smallest.size > needed) { smallest.dequeue(); () }
+          } else if (st.isDirectory && cursor.exists(isPrefixOf(c, _))) {
+            ancestorChild = Some(st) // unique: the cursor's prefix chain
+          }
+        }
+      }
+      val children = (smallest.toSeq ++ ancestorChild).sortBy(_.getPath.getName)
       children.forall { st =>
         val c = comps(st)
         val emit = cursor.forall(preOrderAfter(c, _))
@@ -329,10 +361,13 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
         b.result()
       }
+      // broadcast once per job: the conf (1000+ entries incl. credentials)
+      // must not re-serialize into every task closure
+      val confBc = spark.sparkContext.broadcast(confEntries)
       val slices = math.min(subDirs.size, spark.sparkContext.defaultParallelism)
       val subtreeRows = spark.sparkContext
         .parallelize(subDirs, math.max(1, slices))
-        .flatMap(d => walkSubtree(d, confEntries))
+        .flatMap(d => walkSubtree(d, confBc.value))
         .map { case (p, isDir, len, mtime) => Row(p, isDir, len, mtime) }
       topDf.union(spark.createDataFrame(subtreeRows, ListingSchema))
     }

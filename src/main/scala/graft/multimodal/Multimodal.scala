@@ -58,9 +58,12 @@ object Multimodal {
       * real corpus always has corrupt images; callers get an empty
       * feature to filter on rather than a task-killing exception). */
     def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+      // NonFatal, not just IOException: JDK ImageIO plugins throw
+      // RuntimeExceptions (AIOOBE, NegativeArraySize, CMMException...) on
+      // malformed input — a fuzzed image must not kill the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) None
       else {
         val hist = new Array[Float](8)
@@ -99,7 +102,8 @@ object Multimodal {
 
     /** Dispatch on the typed metadata's format tag. */
     def decode(payload: Array[Byte], format: String): Array[Float] =
-      if (MediaDecoder.ImageFormats(format.toLowerCase))
+      // Locale.ROOT: default-locale lowercasing misroutes "GIF" on tr JVMs
+      if (MediaDecoder.ImageFormats(format.toLowerCase(java.util.Locale.ROOT)))
         decodeImage(payload).getOrElse(Array.empty[Float])
       else decodeOpaque(payload)
 

@@ -231,16 +231,36 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Persisted dd4 pair graph, one per (session, scale dir). Bounded: one
-    * slim (doc_a, doc_b) frame per fixture dir actually queried. */
-  private def cachedPairGraph(s: SparkSession, dir: String): DataFrame =
+    * slim (doc_a, doc_b) frame per fixture dir actually queried. Entries
+    * of stopped sessions are evicted on every access (the map must not
+    * pin a dead SparkContext or its block metadata). STALENESS contract:
+    * the memo assumes `dir` is immutable for the session's lifetime (true
+    * for the fixture dirs); after rewriting data in place, call
+    * [[invalidate]] (or [[clearCaches]]) before re-clustering. */
+  private def cachedPairGraph(s: SparkSession, dir: String): DataFrame = {
+    pairGraphCache.keySet().removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
     pairGraphCache.computeIfAbsent((s, dir), { _ =>
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
-  /** Drop memoized pair graphs (tests / session teardown). */
+  /** Drop the memoized pair graph for one data dir (call after rewriting
+    * the documents under it). */
+  def invalidate(s: SparkSession, dir: String): Unit =
+    Option(pairGraphCache.remove((s, dir)))
+      .foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () })
+
+  /** Drop all memoized pair graphs (tests / session teardown). */
   def clearCaches(): Unit = {
-    pairGraphCache.values().forEach(df => { df.unpersist(false); () })
+    pairGraphCache.forEach { (k, df) =>
+      if (!k._1.sparkContext.isStopped) {
+        try { df.unpersist(false); () }
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
     pairGraphCache.clear()
   }
 

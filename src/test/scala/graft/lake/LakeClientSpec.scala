@@ -207,6 +207,14 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.setPathProperties("pr", "d1", Map("dk" -> "dv"))
     assert(client.renamePath("pr", "d1", "d2"))
     assert(client.getPathProperties("pr", "d2") == Map("dk" -> "dv"))
+    // rename INTO an existing directory: POSIX semantics land the file at
+    // dst/<name> — the sidecar must follow the actual landing spot
+    client.uploadString("pr", "c.txt", "x")
+    client.setPathProperties("pr", "c.txt", Map("ck" -> "cv"))
+    assert(client.renamePath("pr", "c.txt", "d2"))
+    assert(client.getPathProperties("pr", "d2/c.txt") == Map("ck" -> "cv"))
+    // the directory's own properties are untouched by the move-in
+    assert(client.getPathProperties("pr", "d2") == Map("dk" -> "dv"))
     client.deleteFilesystem("pr")
   }
 
