@@ -329,6 +329,24 @@ object Dedup {
     Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi")
   }
 
+  /** dd7_semantic_cluster — SEMANTIC (embedding-based) dedup clustering:
+    * connected components over the exact embedding-cosine near-dup graph
+    * (ss3, cos >= 0.45), labeling every vector with its component's
+    * smallest vec_id plus a keep flag — the "drop semantically redundant
+    * documents" step of a training pipeline, where dd6 is its lexical
+    * twin. Deliberately composes [[dd6ClusterFrom]] with a DIFFERENT
+    * edge set: the CC engine is edge-source-agnostic, so any pair
+    * generator (lexical Jaccard, embedding cosine, SimHash) feeds the
+    * same clustering. At 100 TB the edge set comes from ss2/ss5's LSH
+    * candidates instead of ss3's exact block-pair scan — same shape.
+    * Oracle: DuckDB recursive CTE closure over the mirrored ss3 pairs. */
+  def dd7SemanticCluster(s: SparkSession, dir: String): DataFrame =
+    dd6ClusterFrom(
+      Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
+      Similarity.ss3EmbeddingNeardup(s, dir).select(col("vec_a"), col("vec_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact" -> (dd1Exact _),
     "dd2_hash" -> (dd2Hash _),
@@ -336,6 +354,7 @@ object Dedup {
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd5_simhash" -> (dd5Simhash _),
     "dd6_cluster" -> (dd6Cluster _),
+    "dd7_semantic_cluster" -> (dd7SemanticCluster _),
   )
 
   /** Shared oracle CTE: exploded discriminative shingles — the DuckDB
@@ -390,5 +409,20 @@ object Dedup {
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        SELECT u AS doc_id, min(v) AS cluster_rep, min(v) = u AS keep
        FROM reach GROUP BY u ORDER BY doc_id""",
+    // dd7: same recursive closure over the ss3 (embedding cosine) edges.
+    "dd7_semantic_cluster" ->
+      s"""WITH RECURSIVE prs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(${Similarity.duckCos}, 3) >= 0.45),
+      edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM prs
+        UNION ALL SELECT vec_b, vec_a FROM prs),
+      reach AS (
+        SELECT vec_id AS u, vec_id AS v FROM embeddings
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       SELECT u AS vec_id, min(v) AS cluster_rep, min(v) = u AS keep
+       FROM reach GROUP BY u ORDER BY vec_id""",
   )
 }

@@ -327,8 +327,9 @@ object Similarity {
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same
-  // left-to-right reduction order as Spark's `aggregate`.
-  private val duckCos =
+  // left-to-right reduction order as Spark's `aggregate`. Shared with
+  // Dedup's dd7 oracle (CC over the ss3 edge set).
+  private[operators] val duckCos =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""

@@ -59,6 +59,22 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd7 semantic clusters agree with the ss3 cosine pair graph") {
+    val labels = Dedup.dd7SemanticCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs(Similarity.ss3EmbeddingNeardup(spark, dir), "vec_a", "vec_b")
+    assert(edges.nonEmpty)
+    // both endpoints of every cosine near-dup pair share a label
+    edges.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
+    // unpaired vectors are singleton clusters keeping themselves
+    val inPairs = edges.flatMap { case (a, b) => Seq(a, b) }
+    labels.foreach { case (v, rep) => if (!inPairs(v)) assert(rep == v) }
+    // reps are component minima
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
+
   test("keepRepresentatives drops exactly the non-representative near-dups") {
     val total = graft.tables.Tables.documents(spark, dir).count()
     val clusters = Dedup.dd6Cluster(spark, dir)
