@@ -73,6 +73,48 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** st4_attribution — LAST-TOUCH ATTRIBUTION in batch: each purchase is
+    * credited to the same user's most recent click at-or-before it,
+    * provided that click is within 30 minutes; otherwise unattributed
+    * (null). The batch face of the stream-stream join family (the
+    * streaming band join in [[streamingStreamJoin]] emits all pairs in
+    * the band; attribution picks the latest).
+    *
+    * Shape is the scalable as-of pattern (q15): dedupe clicks per
+    * (user, ts) for deterministic ties, tag + union both sides, ONE
+    * shuffle on user_id, one window carrying the last click forward,
+    * keep purchase rows, apply the 30-minute band as a post-filter.
+    * No range cross-join at any scale. Oracle: DuckDB native ASOF LEFT
+    * JOIN with the same dedupe and band filter. */
+  def st4Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("t"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("t"), lit(0).as("is_purchase"),
+        col("click_id"), lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("is_purchase"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_purchase")) // same-instant click sorts first
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_t",
+        last(when(col("click_id").isNotNull, col("t")), ignoreNulls = true).over(w))
+      .where(col("is_purchase") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        when(col("last_click_t") >= col("t") - expr("INTERVAL 30 MINUTES"),
+          col("last_click_id")).as("click_id"),
+        col("value"))
+      .orderBy(col("purchase_id"))
+  }
+
   // -- true streaming entry points (used by EventStreamsSpec) -------------
 
   /** Streaming tumbling aggregation with a watermark for state eviction;
@@ -159,6 +201,7 @@ object EventStreams {
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
+    "st4_attribution" -> (st4Attribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +218,20 @@ object EventStreams {
        SELECT window_start, count(*) AS n,
             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
        FROM starts GROUP BY 1 ORDER BY window_start""",
+    "st4_attribution" ->
+      """WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      purch AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase')
+       SELECT p.purchase_id, p.user_id,
+            CASE WHEN c.ts >= p.ts - INTERVAL '30 minutes'
+                 THEN c.click_id END AS click_id,
+            p.value
+       FROM purch p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND c.ts <= p.ts
+       ORDER BY p.purchase_id""",
     "st3_session" ->
       """WITH flagged AS (
         SELECT user_id, ts, value,
