@@ -15,8 +15,16 @@ import graft.tables.Tables
   */
 object GraftSession {
 
+  /** Cluster-safe default master: under spark-submit the launcher sets
+    * `spark.master` (yarn/k8s/standalone) and we must NOT override it
+    * with a local one; standalone JVMs (tests, mains) fall back to
+    * local[cores]. */
+  private def defaultMaster: String =
+    sys.props.getOrElse("spark.master",
+      s"local[${Runtime.getRuntime.availableProcessors()}]")
+
   def builder(appName: String = "graft",
-              master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              master: String = defaultMaster,
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
     SparkSession.builder()

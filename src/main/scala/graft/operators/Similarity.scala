@@ -317,6 +317,32 @@ object Similarity {
     * ~10¹⁰; larger corpora must use ss5. */
   val MaxExactKnnBytes: Long = 32L << 20
 
+  /** ss7_label_centroids — embedding-column analytics: the per-label
+    * centroid, component by component (the "is my labeled training data
+    * clustered sanely" check, and the fit step IVF/ss4 coarse centroids
+    * come from in production). Shape: posexplode to (label, dim, e) →
+    * ONE hash aggregation on tiny (label, dim) keys with map-side
+    * combine — embarrassingly scalable; no vector ever crosses a shuffle
+    * whole.
+    *
+    * Determinism: float addition is order-dependent, so components are
+    * first quantized to 1e-6 by `floor` (no rounding ties, bit-identical
+    * on any engine and at any parallelism) and summed exactly as longs —
+    * the same reproducibility convention as the DECIMAL money sums. The
+    * 1e-6 quantization error is negligible against embedding noise. The
+    * final mean is ONE IEEE double division of exact integers — also
+    * bit-identical — with NO decimal rounding after it (engines disagree
+    * on round-at-.5 boundaries of inexact doubles; measured at sf0.01). */
+  def ss7LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .withColumn("q", floor(col("e").cast("double") * 1000000L))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("qsum") / (col("n") * 1000000.0)).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> (ss1CosineTopk _),
     "ss2_ann_lsh" -> (ss2AnnLsh _),
@@ -324,6 +350,7 @@ object Similarity {
     "ss4_ann_ivf" -> (ss4AnnIvf _),
     "ss5_knn_join" -> ((s: SparkSession, dir: String) => ss5KnnJoin(s, dir)),
     "ss6_knn_exact" -> ((s: SparkSession, dir: String) => ss6KnnExact(s, dir)),
+    "ss7_label_centroids" -> (ss7LabelCentroids _),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same
@@ -357,5 +384,16 @@ object Similarity {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE round($duckCos, 3) >= 0.45
        ORDER BY vec_a, vec_b""",
+    // ss7: same 1e-6 floor-quantization as the Spark side — exact long
+    // sums, so the mean is bit-deterministic on both engines.
+    "ss7_label_centroids" ->
+      """WITH ex AS (
+        SELECT label,
+               CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings)
+       SELECT label, dim, count(*) AS n,
+            CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
+       FROM ex GROUP BY 1, 2 ORDER BY label, dim""",
   )
 }
