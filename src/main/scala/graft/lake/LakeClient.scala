@@ -112,12 +112,13 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     // lives inside it and moves with the rename; a file's sits beside it
     // and must be moved explicitly.
     if (ok && !isDir) {
+      // an overwritten target's properties die with it — clear the landing
+      // spot's sidecar even when the SOURCE has none (else the renamed
+      // file inherits the replaced file's properties)
+      val dstSidecar = fileSidecar(landed)
+      fs.delete(dstSidecar, false)
       val srcSidecar = fileSidecar(src)
-      if (fs.exists(srcSidecar)) {
-        val dstSidecar = fileSidecar(landed)
-        fs.delete(dstSidecar, false) // rename fails on existing target
-        fs.rename(srcSidecar, dstSidecar)
-      }
+      if (fs.exists(srcSidecar)) fs.rename(srcSidecar, dstSidecar)
     }
     ok
   }

@@ -242,6 +242,13 @@ object Dedup {
       sess.sparkContext.isStopped
     }
     pairGraphCache.computeIfAbsent((s, dir), { _ =>
+      // evict on session shutdown too — the access-time sweep above only
+      // runs if dd6 is called again, which a teardown never does
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          pairGraphCache.keySet().removeIf { case (sess, _) => sess eq s }
+      })
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })

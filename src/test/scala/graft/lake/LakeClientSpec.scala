@@ -218,6 +218,20 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("pr")
   }
 
+  test("rename onto a path with a stale sidecar does not inherit its properties") {
+    client.createFilesystem("ro")
+    // leave an orphaned sidecar where the rename will land (the state a
+    // rename-overwrite of a propertied file produces)
+    client.uploadString("ro", "b.txt", "old")
+    client.setPathProperties("ro", "b.txt", Map("stale" -> "yes"))
+    client.fs.delete(client.accountRoot.suffix("/ro/b.txt"), false) // bytes only
+    client.uploadString("ro", "a.txt", "new")
+    assert(client.renamePath("ro", "a.txt", "b.txt"))
+    // a.txt had no properties; the landed b.txt must not resurrect old ones
+    assert(client.getPathProperties("ro", "b.txt") == Map.empty)
+    client.deleteFilesystem("ro")
+  }
+
   test("chunked upload round-trips arbitrary bytes x chunk sizes (reference bug client.py:582)") {
     client.createFilesystem("rt")
     val rnd = new scala.util.Random(42)

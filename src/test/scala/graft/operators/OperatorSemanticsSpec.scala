@@ -24,7 +24,10 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
   }
 
-  override def afterAll(): Unit = spark0.stop()
+  override def afterAll(): Unit = {
+    Dedup.clearCaches() // drop the memoized pair graph before session stop
+    spark0.stop()
+  }
 
   private def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -185,6 +185,10 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Ev(h * 2L + 1, ts(base + 25), 1, "a", 2.0))
       q.processAllAvailable()
     }
+    // one final watermark-advancing event: without it the last windows'
+    // emission would depend on no-data micro-batches being enabled
+    in.addData(Ev(9999L, ts(23 * 60), 2, "z", 0.0))
+    q.processAllAvailable()
     val states = q.recentProgress.toSeq
       .flatMap(p => Option(p.stateOperators).toSeq.flatten)
       .map(_.numRowsTotal)
