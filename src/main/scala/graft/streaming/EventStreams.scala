@@ -162,6 +162,50 @@ object EventStreams {
       .select(events("event_id"), events("user_id"), events("event_type"),
         events("value"), dim("c_mktsegment").as("segment"))
 
+  /** Streaming LAST-TOUCH ATTRIBUTION — [[st4Attribution]]'s unbounded
+    * face: one click/purchase stream, state = the most recent click per
+    * user (a single (id, ts) pair — constant per key, evicted by
+    * event-time timeout), purchases emit their attribution immediately.
+    * Rows inside a micro-batch are not time-ordered, so each group's
+    * batch slice is sorted by (ts, event_id) before folding — standard
+    * for order-sensitive stateful ops. */
+  def streamingAttribution(events: DataFrame, watermark: String = "2 hours",
+                           idleTimeout: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bandMs = 30L * 60 * 1000
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as[Long], col("user_id").as[Long],
+        col("event_type").as[String], col("ts").as[java.sql.Timestamp],
+        col("value").as[Double])
+      .groupByKey(_._2)
+    typed.flatMapGroupsWithState[(Long, Long), (Long, Long, Option[Long], Double)](
+      OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (userId, rows, state: GroupState[(Long, Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._1))
+          var last = state.getOption // (clickId, clickMs)
+          val out = ordered.flatMap {
+            case (id, _, "click", ts, _) =>
+              last = Some((id, ts.getTime)); None
+            case (id, _, "purchase", ts, v) =>
+              val attributed = last.collect {
+                case (cid, cms) if cms >= ts.getTime - bandMs && cms <= ts.getTime => cid
+              }
+              Some((id, userId, attributed, v))
+            case _ => None
+          }
+          last.foreach(state.update)
+          if (state.getCurrentWatermarkMs() > 0)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + bandMs)
+          out.iterator
+        }
+    }.toDF("purchase_id", "user_id", "click_id", "value")
+  }
+
   /** Arbitrary stateful processing (the escape hatch when built-in
     * windows can't express the semantics): per-user lifetime running
     * totals via flatMapGroupsWithState. State is one (count, sum) pair

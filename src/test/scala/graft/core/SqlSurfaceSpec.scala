@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The pure-SQL face of the engine: GraftSession.registerTables exposes
+  * every fixture table as a view and GraftExtensions injects the custom
+  * functions, so a user who only speaks `spark.sql(...)` reaches the full
+  * surface — relational, window, JSON, and the custom codegen kernels —
+  * without touching the DataFrame API. */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = GraftSession.builder("sql-surface-test", "local[4]", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.registerTables(spark, dir)
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  test("relational SQL: star join + aggregation over the registered views") {
+    val revenue = spark.sql(
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 0) AS rev
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""").collect()
+    assert(revenue.length == 5 && revenue.forall(_.getDouble(1) > 0))
+  }
+
+  test("window + qualify-style SQL") {
+    val top = spark.sql(
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC) AS rk
+           FROM orders) WHERE rk = 1""").collect()
+    // one top order per customer with orders
+    assert(top.length == spark.sql("SELECT count(DISTINCT o_custkey) FROM orders")
+      .collect()(0).getLong(0))
+  }
+
+  test("custom codegen kernels are reachable from SQL (vec_dot, simhash_agg)") {
+    val sims = spark.sql(
+      """SELECT a.vec_id,
+              vec_dot(a.embedding, b.embedding)
+                / (sqrt(vec_dot(a.embedding, a.embedding))
+                   * sqrt(vec_dot(b.embedding, b.embedding))) AS cos
+         FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+         WHERE a.vec_id <> 0 ORDER BY cos DESC LIMIT 5""").collect()
+    assert(sims.length == 5 && sims.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+    val sketches = spark.sql(
+      """SELECT doc_id, simhash_agg(xxhash64(tok)) AS sh
+         FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+         GROUP BY doc_id""").collect()
+    assert(sketches.length == 500)
+  }
+
+  test("JSON access over the events props column in SQL") {
+    val n = spark.sql(
+      """SELECT count(*) FROM events
+         WHERE CAST(get_json_object(props, '$.k') AS INT) >= 0""")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}

@@ -107,6 +107,31 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming attribution credits purchases to the latest in-band click") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingAttribution(in.toDF())
+      .writeStream.format("memory").queryName("lasttouch")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(10), 1, "click", 0.0),
+      Ev(3, ts(15), 1, "purchase", 9.99), // latest in-band click is 2
+      Ev(4, ts(5), 2, "purchase", 5.0))   // user 2 never clicked -> null
+    q.processAllAvailable()
+    // state carries across micro-batches: a later purchase still sees click 2
+    in.addData(Ev(5, ts(30), 1, "purchase", 1.0))
+    q.processAllAvailable()
+    // ... but a purchase >30m after the last click is unattributed
+    in.addData(Ev(6, ts(100), 1, "purchase", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("lasttouch").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows == Map(3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None))
+    q.stop()
+  }
+
   test("stream-stream join matches purchases to clicks within the time band") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
