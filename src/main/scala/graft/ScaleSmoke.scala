@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: run the heavy LLM-pipeline operators at ~20× the
+  * largest fixture (100k documents, 40k embeddings) to show the plans
+  * survive a scale-up the per-round bench never exercises — bounded
+  * candidate fan-out (df cutoff, bucket caps, adaptive LSH tiers),
+  * convergent clustering, no driver materialization. Replicas perturb
+  * the text (replica-suffix token) so near-dup structure is realistic
+  * 20-cliques, not pure exact duplicates.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [replicas]
+  * Prints one timing line per operator; exits nonzero on any failure.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val r = explode(sequence(lit(0), lit(replicas - 1)))
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .withColumn("r", r)
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
+      .persist()
+    val embs = graft.tables.Tables.embeddings(spark, sfDir)
+      .withColumn("r", r)
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"), col("embedding"))
+      .persist()
+    val nDocs = docs.count()
+    val nVecs = embs.count()
+    println(s"scale-smoke: $nDocs docs, $nVecs vectors (x$replicas)")
+
+    var failed = false
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val rows = body
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+
+    timed("dd2_hash (exact)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      docs.withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("keep", row_number().over(w) === 1)
+        .count()
+    }
+    timed("dd4_ngram_jaccard (exact)") {
+      graft.operators.Dedup.dd4From(docs).count()
+    }
+    timed("dd3_minhash_lsh") {
+      graft.operators.Dedup.dd3From(docs).count()
+    }
+    timed("dd6_cluster (CC over dd4)") {
+      graft.operators.Dedup.dd6ClusterFrom(
+        docs.select(col("doc_id")),
+        graft.operators.Dedup.dd4From(docs).select(col("doc_a"), col("doc_b"))).count()
+    }
+    timed("ss5_knn_join (adaptive LSH)") {
+      graft.operators.Similarity.knnJoin(embs).count()
+    }
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

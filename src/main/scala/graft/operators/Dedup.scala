@@ -129,8 +129,12 @@ object Dedup {
     * -> self-join within buckets -> distinct candidate pairs -> verify.
     * No oracle: LSH recall is ~.9998, not 1, so the exact-SQL answer can
     * differ — rows-only check; dd4 carries the exact-Jaccard oracle. */
-  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val shingled = withShingles(Tables.documents(s, dir)).select(col("doc_id"), col("shingles"))
+  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dd3From(Tables.documents(s, dir))
+
+  /** dd3 over an arbitrary documents DataFrame (`doc_id`, `text`). */
+  def dd3From(docs: DataFrame): DataFrame = {
+    val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
     // slim candidate generation: only (doc_id, band, bucket) flows through
     // the self-join; shingle sets rejoin AFTER the distinct pair set is
     // known (candidates << corpus, so the two hash joins are cheap)
@@ -163,8 +167,12 @@ object Dedup {
     * self-join on shingle, count common shingles per pair, Jaccard from
     * per-doc kept-set sizes. This is the exact ground truth dd3
     * approximates; the DuckDB oracle mirrors it including the cutoff. */
-  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val kept = keptShingles(withShingles(Tables.documents(s, dir)))
+  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dd4From(Tables.documents(s, dir))
+
+  /** dd4 over an arbitrary documents DataFrame (`doc_id`, `text`). */
+  def dd4From(docs: DataFrame): DataFrame = {
+    val kept = keptShingles(withShingles(docs))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))

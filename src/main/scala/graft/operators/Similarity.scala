@@ -192,31 +192,55 @@ object Similarity {
     * SimilaritySpec measures recall against brute force. */
   def ss5KnnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    // many short tables, not few long ones: kNN needs recall for
-    // moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables, and
-    // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08.
-    // At corpus scale, bits grows with log(N) to keep buckets bounded.
-    val dim = 64; val tables = 16; val bits = 4
+    knnJoin(Tables.embeddings(s, dir), k)
+  }
+
+  /** LSH tier table for [[knnJoin]]: (estimated corpus rows → tables ×
+    * bits), keeping tables*bits = 64 so the signature packs into one
+    * long. Small corpora spend tables on recall (16×4 measures ~.9);
+    * large corpora spend bits on bucket granularity so per-bucket size —
+    * and with it the self-join's fan-out — stays bounded as N grows
+    * (bucket ≈ N/2^bits; fixed bits would make the bucket join quadratic
+    * at corpus scale). The estimate comes from plan-statistics bytes at
+    * ~300 parquet bytes per 64-float row — tier boundaries are coarse on
+    * purpose. */
+  val KnnLshTiers: Seq[(Long, Int, Int)] = Seq(
+    (16000L, 16, 4),    // < 16k rows: buckets ≥ ~1k-way split, recall-first
+    (2000000L, 8, 8),   // < 2M rows: 256 buckets/table
+    (Long.MaxValue, 4, 16)) // beyond: 65k buckets/table
+
+  /** Batch kNN join over an arbitrary embedding DataFrame (`vec_id`,
+    * `embedding`); [[ss5KnnJoin]] binds it to the fixture table. */
+  def knnJoin(e0: DataFrame, k: Int = 5): DataFrame = {
+    VectorFunctions.ensureRegistered(e0.sparkSession)
+    val dim = 64
+    // many short tables, not few long ones, at small N: kNN needs recall
+    // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
+    // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At
+    // corpus scale bits grows (tier table above) to bound buckets.
+    val estRows = (e0.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val (_, tables, bits) = KnnLshTiers.find(estRows < _._1).get
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
-    val e = Tables.embeddings(s, dir)
     val bucketCols = planes.map { tbl =>
       tbl.zipWithIndex.map { case (plane, b) =>
         val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
         when(proj >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
     }
-    // Join-time dedup instead of distinct(): all 16 4-bit buckets pack
-    // into ONE long per vector, and a pair is kept ONLY in the first
-    // table where the two signatures collide. "No earlier table collides"
-    // is pure integer work on the packed XOR: collapse each nibble to its
-    // OR'd low bit, then demand every nibble-bit below this table is set.
-    // ~6 codegen'd long ops per joined row, no allocation — whereas the
+    // Join-time dedup instead of distinct(): all `tables` bits-wide
+    // buckets pack into ONE long per vector (tables*bits = 64), and a
+    // pair is kept ONLY in the first table where the two signatures
+    // collide. "No earlier table collides" is pure integer work on the
+    // packed XOR: collapse each bits-wide group to its OR'd low bit,
+    // then demand every group-bit below this table is set. A handful of
+    // codegen'd long ops per joined row, no allocation — whereas the
     // round-1 distinct() was a full extra shuffle of the multi-table
     // candidate explosion (tables x bucket^2 rows), and an array-slice
     // formulation of the same rule measured slower than the distinct.
     val packedSig = bucketCols.zipWithIndex
-      .map { case (b, t) => shiftleft(b, 4 * t) }
+      .map { case (b, t) => shiftleft(b, bits * t) }
       .reduce((x, y) => x.bitwiseOR(y))
     // Embeddings travel THROUGH the bucket join (the exploded table is
     // only N x tables rows, so shuffling the vectors there is cheap);
@@ -225,22 +249,27 @@ object Similarity {
     // round-1 shape instead re-joined the multi-million-pair candidate
     // set against the embeddings TWICE — two shuffles of 256-byte arrays
     // keyed by a huge pair table.
-    val banded = e
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = e0
       .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
         sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
         posexplode(array((0 until tables).map(t =>
-          shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L))): _*))
+          shiftright(col("sig"), bits * t).bitwiseAND(lit(bucketMask))): _*))
           .as(Seq("table", "bucket")))
-    val nibbleBits = lit(0x1111111111111111L)
+    // one marker bit at the bottom of each bits-wide group
+    val groupBits = lit {
+      var m = 0L; var i = 0
+      while (i < 64) { m |= 1L << i; i += bits }
+      m
+    }
     val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
-    val collapsed = xorSig
-      .bitwiseOR(shiftright(xorSig, 1))
-      .bitwiseOR(shiftright(xorSig, 2))
-      .bitwiseOR(shiftright(xorSig, 3))
-      .bitwiseAND(nibbleBits)
-    val earlierMask = nibbleBits.bitwiseAND(
-      expr("shiftleft(CAST(1 AS BIGINT), table * 4)") - 1)
+    // log-shift OR-fold: low bit of each group = OR of the whole group
+    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < bits)
+      .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
+      .bitwiseAND(groupBits)
+    val earlierMask = groupBits.bitwiseAND(
+      expr(s"shiftleft(CAST(1 AS BIGINT), table * $bits)") - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
     // Size-adaptive join strategy: when the exploded table (N x tables
@@ -258,7 +287,7 @@ object Similarity {
     // `bits` is the plan, and AQE may still convert it back to broadcast
     // if runtime sizes allow.
     val explodedBytes =
-      e.queryExecution.optimizedPlan.stats.sizeInBytes * tables
+      e0.queryExecution.optimizedPlan.stats.sizeInBytes * tables
     val probeSide =
       if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
       else banded.as("b")
