@@ -190,8 +190,22 @@ object Multimodal {
         col("lang"))
       .orderBy(col("doc_id"))
 
+  /** mm2_frame_sample — frame sampling as a checkable query: every 4th
+    * 64-byte "frame" of each payload with its size and content hash (the
+    * video-frame-sampling shape over the text-as-media fixture; a real
+    * video swaps the chunker for a keyframe extractor, same explode
+    * plan). The fixture text is pure ASCII, so the DuckDB oracle mirrors
+    * byte chunks with 1-based character slices exactly. */
+  def mm2FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir), frameBytes = 64, everyK = 4)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_payload")).as("n_bytes"),
+        sha2(col("frame_payload"), 256).as("frame_sha"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_meta" -> (mm1BinaryMeta _),
+    "mm2_frame_sample" -> (mm2FrameSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +213,15 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
               sha256(text) AS payload_sha, lang
        FROM documents ORDER BY doc_id""",
+    "mm2_frame_sample" ->
+      """WITH f AS (
+        SELECT doc_id AS media_id,
+               [{'j': j, 'c': text[j*64+1 : (j+1)*64]}
+                FOR j IN range(0, CAST(ceil(length(text) / 64.0) AS INT))] AS frames
+        FROM documents),
+      e AS (SELECT media_id, unnest(frames, recursive := true) FROM f)
+       SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
+            CAST(length(c) AS INTEGER) AS n_bytes, sha256(c) AS frame_sha
+       FROM e WHERE j % 4 = 0 ORDER BY media_id, frame_idx""",
   )
 }
