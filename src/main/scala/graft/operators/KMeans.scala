@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Distributed spherical k-means (Lloyd's) over an embedding DataFrame —
+  * the fit step that produces the IVF coarse centroids
+  * [[Similarity.ss4AnnIvf]] consumes (its seeded centroids stand in for
+  * this fit at fixture scale).
+  *
+  * Scale design: each iteration is ONE assignment pass (argmax cosine
+  * against k broadcast literal centroids — per-row codegen, no shuffle)
+  * plus ONE tiny-key aggregation (posexplode → (cell, dim) partial sums,
+  * map-side combined — the ss7 shape). Driver state is k×dim floats per
+  * iteration, the legitimate model-parameter collect of iterative ML; no
+  * data row ever reaches the driver.
+  *
+  * Determinism at any parallelism: init = the k smallest vec_ids;
+  * component sums are 1e-6 floor-quantized exact longs (the ss7
+  * convention), so every iteration — and therefore the fit — is
+  * bit-reproducible. */
+object KMeans {
+
+  /** Fitted model: centroids (unnormalized component means) and the
+    * iterations actually run (< maxIters means assignments converged). */
+  final case class Model(centroids: Seq[Array[Float]], iters: Int, converged: Boolean)
+
+  /** Cell assignment by maximum cosine against literal centroids — the
+    * same argmax shape ss4 plans (broadcast constants, per-row codegen,
+    * zero shuffle). Ties break to the lower cell id. */
+  def assignCells(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    VectorFunctions.ensureRegistered(e.sparkSession)
+    if (centroids.size == 1)
+      return e.select(col("vec_id"), lit(0).as("cell"))
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val scores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      (VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)) / (nrm * cNorm))
+        .as(s"c_$i")
+    }
+    val withScores = e.select((col("vec_id") +: col("embedding") +: scores): _*)
+    val best = greatest(centroids.indices.map(i => col(s"c_$i")): _*)
+    val cell = centroids.indices.foldRight(lit(-1)) { (i, els) =>
+      when(col(s"c_$i") === best, lit(i)).otherwise(els)
+    }
+    withScores.select(col("vec_id"), cell.as("cell"))
+  }
+
+  /** Lloyd's iterations until assignments stop changing (or maxIters).
+    * Empty cells keep their previous centroid. */
+  def fit(e0: DataFrame, k: Int = 8, maxIters: Int = 10): Model = {
+    require(k > 0 && maxIters > 0)
+    val spark = e0.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      var centroids: Seq[Array[Float]] = e.orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      require(centroids.size == k, s"need at least $k vectors to seed $k cells")
+      var prev: Option[DataFrame] = None
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val assigned = assignCells(e, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = prev match {
+          case None => Long.MaxValue
+          case Some(p) =>
+            assigned.join(p.withColumnRenamed("cell", "prev_cell"), "vec_id")
+              .where(col("cell") =!= col("prev_cell")).count()
+        }
+        if (changed == 0) converged = true
+        else {
+          // quantized exact component means per cell (the ss7 convention)
+          val means = e.join(assigned, "vec_id")
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+            .withColumn("q", floor(col("v").cast("double") * 1000000L))
+            .groupBy(col("cell"), col("dim"))
+            .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+            .select(col("cell"), col("dim"),
+              (col("qs") / (col("n") * 1000000.0)).as("m"))
+            .collect()
+          val next = centroids.map(_.clone()).toArray
+          means.foreach { r =>
+            next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+          }
+          centroids = next.toSeq
+        }
+        prev.foreach(_.unpersist(false))
+        prev = Some(assigned)
+        iter += 1
+      }
+      prev.foreach(_.unpersist(false))
+      Model(centroids, iter, converged)
+    } finally { e.unpersist(false); () }
+  }
+}

@@ -146,7 +146,9 @@ object Similarity {
 
   /** ss4_ann_ivf — approximate all-pairs similarity, IVF-style: assign
     * each vector to its nearest coarse centroid (deterministic seeded
-    * centroids — in production these come from a k-means fit), then
+    * centroids here for oracle-free reproducibility — production fits
+    * them with [[KMeans.fit]] and assigns via [[KMeans.assignCells]],
+    * the same argmax plan), then
     * search only within cells. Same bucket-join shape as ss2 with a
     * learned-partition flavor; probing the single nearest cell trades
     * recall for a smaller candidate set. No oracle (approximate):

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.VectorFunctions
+
+/** The IVF fit step: Lloyd's converges, is bit-deterministic at any
+  * parallelism (quantized sums), and produces centroids that beat the
+  * single-global-centroid baseline. */
+class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("kmeans-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = spark0.stop()
+
+  test("fit converges, is deterministic, and beats the 1-centroid baseline") {
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val m1 = KMeans.fit(e, k = 8, maxIters = 30)
+    assert(m1.converged, s"did not converge in ${m1.iters} iterations")
+
+    // bit-determinism: a second fit reproduces every centroid component
+    val m2 = KMeans.fit(e, k = 8, maxIters = 30)
+    assert(m1.centroids.zip(m2.centroids).forall { case (a, b) => a.sameElements(b) })
+
+    // every vector lands in a valid cell; at least half the cells are used
+    val cells = KMeans.assignCells(e, m1.centroids)
+    val dist = cells.groupBy("cell").count().collect()
+    assert(dist.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    assert(dist.length >= 4, s"only ${dist.length} of 8 cells used")
+
+    // mean cosine to the OWN fitted centroid must beat the global-mean
+    // baseline — the fit has to actually cluster
+    VectorFunctions.ensureRegistered(spark)
+    def meanCos(centroids: Seq[Array[Float]]): Double = {
+      val assigned = KMeans.assignCells(e, centroids)
+      val withCos = e.join(assigned, "vec_id")
+        .withColumn("cos",
+          centroids.indices.foldRight(lit(Double.NaN)) { (i, els) =>
+            when(col("cell") === i,
+              VectorFunctions.vecCosine(col("embedding"),
+                typedLit(centroids(i).toSeq))).otherwise(els)
+          })
+      withCos.agg(avg(col("cos"))).head().getDouble(0)
+    }
+    val global = KMeans.fit(e, k = 1, maxIters = 5)
+    val fitted = meanCos(m1.centroids)
+    val baseline = meanCos(global.centroids)
+    info(f"mean cos to own centroid: fitted $fitted%.4f vs 1-centroid $baseline%.4f")
+    assert(fitted > baseline, f"k-means no better than baseline ($fitted%.4f <= $baseline%.4f)")
+  }
+}
