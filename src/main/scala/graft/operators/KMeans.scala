@@ -31,6 +31,12 @@ object KMeans {
     * zero shuffle). Ties break to the lower cell id. */
   def assignCells(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
+    // an all-zero centroid would score NaN against every row, and Spark's
+    // NaN-is-greatest semantics would silently swallow the whole corpus
+    // into its cell — fail fast instead
+    require(centroids.forall(c => c.exists(_ != 0f)),
+      "assignCells: centroids must be non-zero (a zero seed vector, e.g. a " +
+        "failed-embedding padding row, cannot anchor a cosine cell)")
     if (centroids.size == 1)
       return e.select(col("vec_id"), lit(0).as("cell"))
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
@@ -56,11 +62,12 @@ object KMeans {
     val e = e0.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
       var centroids: Seq[Array[Float]] = e.orderBy(col("vec_id")).limit(k)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray).toSeq
       require(centroids.size == k, s"need at least $k vectors to seed $k cells")
+      require(centroids.map(_.length).distinct.size == 1,
+        "seed vectors disagree on dimensionality — mixed-dim input")
       var prev: Option[DataFrame] = None
       var iter = 0
       var converged = false

@@ -212,17 +212,25 @@ object Similarity {
     (Long.MaxValue, 4, 16)) // beyond: 65k buckets/table
 
   /** Batch kNN join over an arbitrary embedding DataFrame (`vec_id`,
-    * `embedding`); [[ss5KnnJoin]] binds it to the fixture table. */
-  def knnJoin(e0: DataFrame, k: Int = 5): DataFrame = {
-    VectorFunctions.ensureRegistered(e0.sparkSession)
-    val dim = 64
+    * `embedding`, whose arrays must all be `dim`-long — enforced with a
+    * per-row assert_true so a mismatched corpus fails loudly instead of
+    * collapsing every vector into bucket 0); [[ss5KnnJoin]] binds it to
+    * the fixture table. */
+  def knnJoin(e00: DataFrame, k: Int = 5, dim: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(e00.sparkSession)
+    // coalesce(assert_true(..)) -> true: a filter the optimizer cannot
+    // prune, throwing on the first wrong-dimension row
+    val e0 = e00.where(coalesce(
+      assert_true(size(col("embedding")) === dim,
+        lit(s"knnJoin: embedding dimension must be $dim")), lit(true)))
     // many short tables, not few long ones, at small N: kNN needs recall
     // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
     // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At
     // corpus scale bits grows (tier table above) to bound buckets.
-    val estRows = (e0.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
+    val estRows = (e00.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
       .min(BigInt(Long.MaxValue)).toLong.max(1L)
-    val (_, tables, bits) = KnnLshTiers.find(estRows < _._1).get
+    val (_, tables, bits) =
+      KnnLshTiers.find(estRows < _._1).getOrElse(KnnLshTiers.last)
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val bucketCols = planes.map { tbl =>
@@ -289,7 +297,7 @@ object Similarity {
     // `bits` is the plan, and AQE may still convert it back to broadcast
     // if runtime sizes allow.
     val explodedBytes =
-      e0.queryExecution.optimizedPlan.stats.sizeInBytes * tables
+      e00.queryExecution.optimizedPlan.stats.sizeInBytes * tables
     val probeSide =
       if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
       else banded.as("b")

@@ -169,8 +169,7 @@ object EventStreams {
     * Rows inside a micro-batch are not time-ordered, so each group's
     * batch slice is sorted by (ts, event_id) before folding — standard
     * for order-sensitive stateful ops. */
-  def streamingAttribution(events: DataFrame, watermark: String = "2 hours",
-                           idleTimeout: String = "2 hours"): DataFrame = {
+  def streamingAttribution(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
     import spark.implicits._
@@ -190,7 +189,13 @@ object EventStreams {
           var last = state.getOption // (clickId, clickMs)
           val out = ordered.flatMap {
             case (id, _, "click", ts, _) =>
-              last = Some((id, ts.getTime)); None
+              // a LATE click from an earlier event time must not replace
+              // a newer one across batches; ties take the higher id (the
+              // same rule as st4's per-(user, ts) max-id dedupe)
+              val ms = ts.getTime
+              if (last.forall { case (lid, lms) =>
+                ms > lms || (ms == lms && id > lid) }) last = Some((id, ms))
+              None
             case (id, _, "purchase", ts, v) =>
               val attributed = last.collect {
                 case (cid, cms) if cms >= ts.getTime - bandMs && cms <= ts.getTime => cid
@@ -198,9 +203,18 @@ object EventStreams {
               Some((id, userId, attributed, v))
             case _ => None
           }
-          last.foreach(state.update)
-          if (state.getCurrentWatermarkMs() > 0)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + bandMs)
+          last match {
+            case Some((_, cms)) =>
+              state.update(last.get)
+              // state must survive until the watermark passes click+band —
+              // only then can no in-band, non-late purchase still arrive.
+              // (The watermark-relative horizon evicted clicks whose event
+              // time ran ahead of the watermark.) Spark requires the
+              // timeout to sit above the current watermark.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(cms + bandMs, wm + 1))
+            case None => ()
+          }
           out.iterator
         }
     }.toDF("purchase_id", "user_id", "click_id", "value")

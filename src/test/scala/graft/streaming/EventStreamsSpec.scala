@@ -126,9 +126,17 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ... but a purchase >30m after the last click is unattributed
     in.addData(Ev(6, ts(100), 1, "purchase", 2.0))
     q.processAllAvailable()
+    // a LATE click (older event time, later batch) must not displace the
+    // newer click in state
+    in.addData(Ev(7, ts(95), 1, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Ev(8, ts(20), 1, "click", 0.0)) // late arrival
+    in.addData(Ev(9, ts(110), 1, "purchase", 3.0))
+    q.processAllAvailable()
     val rows = spark.table("lasttouch").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    assert(rows == Map(3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None))
+    assert(rows == Map(3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None,
+      9L -> Some(7L)))
     q.stop()
   }
 
