@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The user-facing corpus-cleaning pipeline — the composition a
+  * training-data job actually runs, built from the engine's operators in
+  * the canonical order (cheap exact passes first so the expensive
+  * near-dup join sees the smallest possible corpus):
+  *
+  *   1. exact dedupe on content hash (dd2 rule: first doc_id wins);
+  *   2. near-dup clustering over the surviving docs (dd4 pair graph →
+  *      dd6 connected components), keeping each cluster's representative;
+  *   3. quality floor (ta2's composite score);
+  *   4. optional language allow-list (ta3's detector).
+  *
+  * Each stage is one of the verified operators, so the pipeline inherits
+  * their scale shapes (hash-key shuffles, df-capped inverted index,
+  * bucket joins); nothing here adds a new shuffle. Returns the cleaned
+  * corpus plus a per-stage row-count audit — the numbers a data lead
+  * asks for first. */
+object CorpusPipeline {
+
+  final case class Stats(input: Long, afterExact: Long, afterNearDup: Long,
+                         afterQuality: Long, afterLang: Long)
+
+  def clean(docs: DataFrame,
+            minQuality: Double = 0.5,
+            langs: Option[Set[String]] = None): (DataFrame, Stats) = {
+    val input = docs.count()
+
+    // 1. exact: first doc_id per sha256 survives (dd2's keep rule)
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val exact = docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("content_hash", "rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+
+    // 2. near-dup: cluster the survivors, keep representatives
+    val clusters = Dedup.dd6ClusterFrom(
+      exact.select(col("doc_id")),
+      Dedup.dd4From(exact).select(col("doc_a"), col("doc_b")))
+    val reps = exact.join(
+      clusters.where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNearDup = reps.count()
+    exact.unpersist(false)
+
+    // 3. quality floor: ta2's composite (TTR + stopword balance)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val quality =
+      size(array_distinct(toks)) / nTok * 0.5 +
+        (lit(1) - size(filter(toks, t => t === "the" || t === "a")) / nTok) * 0.5
+    val qualified = reps.where(quality >= minQuality)
+    val nQuality = qualified.count()
+    reps.unpersist(false)
+
+    // 4. optional language allow-list via the ta3 detector
+    val cleaned = langs match {
+      case None => qualified
+      case Some(allowed) =>
+        val detected = TextAnalysis.ta3LangidFrom(qualified)
+          .where(col("detected_lang").isin(allowed.toSeq: _*))
+          .select(col("doc_id"))
+        qualified.join(detected, Seq("doc_id"), "left_semi")
+    }
+    val nLang = cleaned.count()
+
+    (cleaned, Stats(input, nExact, nNearDup, nQuality, nLang))
+  }
+}

@@ -61,14 +61,19 @@ object TextAnalysis {
     * greatest/when) is the scale-ready part — per-row, no shuffle.
     * The marker argmax is plain SQL, so the DuckDB oracle mirrors it
     * exactly (list_intersect + CASE argmax, same tie order). */
-  def ta3Langid(s: SparkSession, dir: String): DataFrame = {
+  def ta3Langid(s: SparkSession, dir: String): DataFrame =
+    ta3LangidFrom(Tables.documents(s, dir))
+
+  /** ta3 over an arbitrary documents DataFrame (`doc_id`, `text`,
+    * `lang`). */
+  def ta3LangidFrom(documents: DataFrame): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and", "is"),
       "es" -> Seq("el", "la", "de", "y", "es"),
       "fr" -> Seq("le", "la", "de", "et", "est"),
       "de" -> Seq("der", "die", "das", "und", "ist"),
       "zh" -> Seq("的", "是", "了", "在", "我"))
-    val d = Tables.documents(s, dir).withColumn("t", array_distinct(toks(col("text"))))
+    val d = documents.withColumn("t", array_distinct(toks(col("text"))))
     val scored = profiles.foldLeft(d) { case (df, (lang, markers)) =>
       df.withColumn(s"score_$lang",
         size(array_intersect(col("t"), typedLit(markers))))

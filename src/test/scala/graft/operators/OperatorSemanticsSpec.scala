@@ -78,6 +78,22 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corpus pipeline: monotone stages, no surviving near-dups, clean langs") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val (cleaned, st) = CorpusPipeline.clean(
+      docs, minQuality = 0.5, langs = Some(Set("en", "es", "fr", "de", "zh")))
+    // every stage only removes documents
+    assert(st.input >= st.afterExact && st.afterExact >= st.afterNearDup &&
+      st.afterNearDup >= st.afterQuality && st.afterQuality >= st.afterLang)
+    assert(cleaned.count() == st.afterLang && st.afterLang > 0)
+    // near-dup collapse is complete: the cleaned corpus has no pair left
+    assert(Dedup.dd4From(cleaned).count() == 0)
+    // the language gate held: every surviving doc detects into the allow-list
+    val det = TextAnalysis.ta3LangidFrom(cleaned)
+      .select("detected_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(det.subsetOf(Set("en", "es", "fr", "de", "zh")))
+  }
+
   test("keepRepresentatives drops exactly the non-representative near-dups") {
     val total = graft.tables.Tables.documents(spark, dir).count()
     val clusters = Dedup.dd6Cluster(spark, dir)
