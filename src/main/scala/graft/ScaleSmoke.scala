@@ -23,7 +23,6 @@ object ScaleSmoke {
     // config as the engine proper (hand-rolled conf here diverged)
     val spark = graft.core.GraftSession
       .builder("scale-smoke", s"local[$cpus]", cpus)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,11 +54,7 @@ object ScaleSmoke {
     }
 
     timed("dd2_hash (exact)") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      docs.withColumn("content_hash", sha2(col("text"), 256))
-        .withColumn("keep", row_number().over(w) === 1)
-        .count()
+      graft.operators.Dedup.dd2From(docs).count()
     }
     timed("dd4_ngram_jaccard (exact)") {
       graft.operators.Dedup.dd4From(docs).count()

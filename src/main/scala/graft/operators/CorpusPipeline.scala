@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The user-facing corpus-cleaning pipeline — the composition a
@@ -25,19 +24,21 @@ object CorpusPipeline {
   final case class Stats(input: Long, afterExact: Long, afterNearDup: Long,
                          afterQuality: Long, afterLang: Long)
 
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Returns the cleaned corpus (persisted and already materialized — the
+    * caller unpersists when done) plus per-stage counts. Input needs only
+    * (`doc_id`, `text`); the language gate uses the DETECTED language, so
+    * no claimed-`lang` column is required. */
   def clean(docs: DataFrame,
             minQuality: Double = 0.5,
             langs: Option[Set[String]] = None): (DataFrame, Stats) = {
     val input = docs.count()
 
     // 1. exact: first doc_id per sha256 survives (dd2's keep rule)
-    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val exact = docs
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("content_hash", "rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.dd2From(docs)
+      .where(col("keep")).drop("content_hash", "keep")
+      .persist(Disk)
     val nExact = exact.count()
 
     // 2. near-dup: cluster the survivors, keep representatives
@@ -46,30 +47,27 @@ object CorpusPipeline {
       Dedup.dd4From(exact).select(col("doc_a"), col("doc_b")))
     val reps = exact.join(
       clusters.where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Disk)
     val nNearDup = reps.count()
-    exact.unpersist(false)
 
-    // 3. quality floor: ta2's composite (TTR + stopword balance)
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val quality =
-      size(array_distinct(toks)) / nTok * 0.5 +
-        (lit(1) - size(filter(toks, t => t === "the" || t === "a")) / nTok) * 0.5
-    val qualified = reps.where(quality >= minQuality)
+    // 3. quality floor — ta2's composite score, same rounding, so a
+    // threshold means the same thing in analysis and filtering
+    val qualified = reps.where(TextAnalysis.qualityScore(col("text")) >= minQuality)
     val nQuality = qualified.count()
-    reps.unpersist(false)
 
-    // 4. optional language allow-list via the ta3 detector
-    val cleaned = langs match {
+    // 4. optional language allow-list via the ta3 detector (no claimed
+    // lang needed)
+    val cleaned = (langs match {
       case None => qualified
       case Some(allowed) =>
-        val detected = TextAnalysis.ta3LangidFrom(qualified)
+        val detected = TextAnalysis.detectLang(qualified)
           .where(col("detected_lang").isin(allowed.toSeq: _*))
           .select(col("doc_id"))
         qualified.join(detected, Seq("doc_id"), "left_semi")
-    }
-    val nLang = cleaned.count()
+    }).persist(Disk)
+    val nLang = cleaned.count() // materializes `cleaned` before the
+    exact.unpersist(false)      // upstream cached stages are dropped
+    reps.unpersist(false)
 
     (cleaned, Stats(input, nExact, nNearDup, nQuality, nLang))
   }

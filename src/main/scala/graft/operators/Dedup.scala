@@ -88,13 +88,19 @@ object Dedup {
   /** dd2_hash — content-hash dedup: mark each doc kept/dropped by
     * first-doc_id-wins within its sha256 group. The shuffle key is the
     * 32-byte hash, not the document — this is the form that scales. */
-  def dd2Hash(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("keep", row_number().over(w) === 1)
+  def dd2Hash(s: SparkSession, dir: String): DataFrame =
+    dd2From(Tables.documents(s, dir))
       .select(col("doc_id"), col("content_hash"), col("keep"))
       .orderBy(col("doc_id"))
+
+  /** dd2's keep rule over an arbitrary documents DataFrame: the input
+    * columns plus `content_hash` and `keep` — the SINGLE definition of
+    * "first doc_id per sha256 survives" that dd2_hash, CorpusPipeline and
+    * the scale smoke all apply. */
+  def dd2From(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docs.withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("keep", row_number().over(w) === 1)
   }
 
   /** MinHash signatures via explode + 64-way min aggregation. Each

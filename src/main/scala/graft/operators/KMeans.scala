@@ -28,7 +28,10 @@ object KMeans {
 
   /** Cell assignment by maximum cosine against literal centroids — the
     * same argmax shape ss4 plans (broadcast constants, per-row codegen,
-    * zero shuffle). Ties break to the lower cell id. */
+    * zero shuffle). Ties break to the lower cell id. Rows with no valid
+    * cosine — zero-norm padding vectors or dimension-mismatched arrays
+    * (vec_dot yields NULL) — get cell -1 rather than silently piling
+    * into a NaN-favored cell; [[fit]] excludes them from the means. */
   def assignCells(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
     // an all-zero centroid would score NaN against every row, and Spark's
@@ -50,7 +53,11 @@ object KMeans {
     val cell = centroids.indices.foldRight(lit(-1)) { (i, els) =>
       when(col(s"c_$i") === best, lit(i)).otherwise(els)
     }
-    withScores.select(col("vec_id"), cell.as("cell"))
+    // zero-norm rows score NaN everywhere and NaN === NaN would park them
+    // all in cell 0; dimension mismatches score NULL everywhere and would
+    // fall through to -1 anyway — make both explicit
+    val guarded = when(isnan(col("c_0")) || col("c_0").isNull, lit(-1)).otherwise(cell)
+    withScores.select(col("vec_id"), guarded.as("cell"))
   }
 
   /** Lloyd's iterations until assignments stop changing (or maxIters).
@@ -82,8 +89,9 @@ object KMeans {
         }
         if (changed == 0) converged = true
         else {
-          // quantized exact component means per cell (the ss7 convention)
-          val means = e.join(assigned, "vec_id")
+          // quantized exact component means per cell (the ss7 convention);
+          // cell -1 = unassignable rows (zero-norm / wrong-dim), excluded
+          val means = e.join(assigned.where(col("cell") >= 0), "vec_id")
             .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
             .withColumn("q", floor(col("v").cast("double") * 1000000L))
             .groupBy(col("cell"), col("dim"))

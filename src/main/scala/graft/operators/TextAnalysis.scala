@@ -17,6 +17,18 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** ta2's composite quality score (TTR + stopword balance, rounded to
+    * 4 dp) as a reusable column — the single definition both ta2Quality
+    * and [[CorpusPipeline]]'s quality floor apply, so a threshold behaves
+    * identically in analysis and filtering. */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t)
+    val nDistinct = size(array_distinct(t))
+    val nStop = size(filter(t, x => x === "the" || x === "a"))
+    round(nDistinct / nTok * 0.5 + (lit(1) - nStop / nTok) * 0.5, 4)
+  }
+
   /** ta1_tokens — token counting: whitespace tokens + a BPE-ish greedy
     * regex chunking (1-3 letter chunks approximate subword counts),
     * aggregated per source. */
@@ -50,8 +62,7 @@ object TextAnalysis {
         round(col("n_distinct") / col("n_tok"), 4).as("ttr"),
         round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
         round((length(col("text")) - col("n_tok") + 1) / col("n_tok"), 4).as("avg_tok_len"),
-        round(col("n_distinct") / col("n_tok") * 0.5
-          + (lit(1) - col("n_stop") / col("n_tok")) * 0.5, 4).as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
       .orderBy(col("doc_id"))
 
   /** ta3_langid — language-ID heuristic: score each candidate language by
@@ -65,8 +76,18 @@ object TextAnalysis {
     ta3LangidFrom(Tables.documents(s, dir))
 
   /** ta3 over an arbitrary documents DataFrame (`doc_id`, `text`,
-    * `lang`). */
-  def ta3LangidFrom(documents: DataFrame): DataFrame = {
+    * `lang`); use [[detectLang]] when there is no claimed `lang`. */
+  def ta3LangidFrom(documents: DataFrame): DataFrame =
+    withDetected(documents)
+      .select(col("doc_id"), col("lang").as("claimed_lang"), col("detected_lang"))
+      .orderBy(col("doc_id"))
+
+  /** The detector alone — (`doc_id`, `detected_lang`) from (`doc_id`,
+    * `text`), no claimed-language column required. */
+  def detectLang(documents: DataFrame): DataFrame =
+    withDetected(documents).select(col("doc_id"), col("detected_lang"))
+
+  private def withDetected(documents: DataFrame): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and", "is"),
       "es" -> Seq("el", "la", "de", "y", "es"),
@@ -84,9 +105,7 @@ object TextAnalysis {
     val detected = profiles.foldRight(lit("und")) { case ((lang, _), els) =>
       when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(els)
     }
-    scored
-      .select(col("doc_id"), col("lang").as("claimed_lang"), detected.as("detected_lang"))
-      .orderBy(col("doc_id"))
+    scored.withColumn("detected_lang", detected)
   }
 
   /** ta4_fingerprint — document fingerprinting: md5 over whitespace- and

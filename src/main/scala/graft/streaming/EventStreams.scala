@@ -163,12 +163,14 @@ object EventStreams {
         events("value"), dim("c_mktsegment").as("segment"))
 
   /** Streaming LAST-TOUCH ATTRIBUTION — [[st4Attribution]]'s unbounded
-    * face: one click/purchase stream, state = the most recent click per
-    * user (a single (id, ts) pair — constant per key, evicted by
-    * event-time timeout), purchases emit their attribution immediately.
-    * Rows inside a micro-batch are not time-ordered, so each group's
-    * batch slice is sorted by (ts, event_id) before folding — standard
-    * for order-sensitive stateful ops. */
+    * face: one click/purchase stream, state = a bounded buffer of the
+    * user's recent clicks (watermark-pruned + capped, evicted by
+    * event-time timeout), purchases emit their attribution immediately —
+    * including late-but-in-watermark purchases attributing to
+    * no-longer-newest clicks, matching the batch result. Rows inside a
+    * micro-batch are not time-ordered, so each group's batch slice is
+    * sorted by (ts, is_purchase, event_id) — st4's ordering — before
+    * folding. */
   def streamingAttribution(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
@@ -180,40 +182,49 @@ object EventStreams {
         col("event_type").as[String], col("ts").as[java.sql.Timestamp],
         col("value").as[Double])
       .groupByKey(_._2)
-    typed.flatMapGroupsWithState[(Long, Long), (Long, Long, Option[Long], Double)](
+    // State = the user's recent clicks as (id, ms) pairs, NOT just the
+    // newest one: a purchase arriving late (but inside the watermark) may
+    // attribute to a click that is no longer the newest, and a late click
+    // may be the right answer for an even later-arriving in-band purchase.
+    // The buffer is bounded two ways: clicks older than watermark-band
+    // can never serve a non-late purchase and are pruned, and a cap keeps
+    // a click-storm from growing state (newest kept — the ones purchases
+    // attribute to).
+    val maxClicks = 64
+    typed.flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Option[Long], Double)](
       OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      case (userId, rows, state: GroupState[(Long, Long)]) =>
+      case (userId, rows, state: GroupState[List[(Long, Long)]]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._1))
-          var last = state.getOption // (clickId, clickMs)
+          // same-instant click sorts before the purchase (st4's
+          // (t, is_purchase) rule), ties then by id
+          val ordered = rows.toSeq.sortBy(r =>
+            (r._4.getTime, if (r._3 == "purchase") 1 else 0, r._1))
+          var clicks = state.getOption.getOrElse(Nil) // (clickId, clickMs)
           val out = ordered.flatMap {
             case (id, _, "click", ts, _) =>
-              // a LATE click from an earlier event time must not replace
-              // a newer one across batches; ties take the higher id (the
-              // same rule as st4's per-(user, ts) max-id dedupe)
-              val ms = ts.getTime
-              if (last.forall { case (lid, lms) =>
-                ms > lms || (ms == lms && id > lid) }) last = Some((id, ms))
+              clicks = ((id, ts.getTime) :: clicks)
+                .sortBy { case (cid, cms) => (-cms, -cid) }.take(maxClicks)
               None
             case (id, _, "purchase", ts, v) =>
-              val attributed = last.collect {
-                case (cid, cms) if cms >= ts.getTime - bandMs && cms <= ts.getTime => cid
+              val ms = ts.getTime
+              // newest-first order: the first in-band click is last-touch;
+              // equal-ts clicks resolve to the higher id like st4's dedupe
+              val attributed = clicks.collectFirst {
+                case (cid, cms) if cms >= ms - bandMs && cms <= ms => cid
               }
               Some((id, userId, attributed, v))
             case _ => None
           }
-          last match {
-            case Some((_, cms)) =>
-              state.update(last.get)
-              // state must survive until the watermark passes click+band —
-              // only then can no in-band, non-late purchase still arrive.
-              // (The watermark-relative horizon evicted clicks whose event
-              // time ran ahead of the watermark.) Spark requires the
-              // timeout to sit above the current watermark.
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(cms + bandMs, wm + 1))
-            case None => ()
+          val wm = state.getCurrentWatermarkMs()
+          val kept = clicks.filter { case (_, cms) => cms + bandMs > wm }
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // survives until the watermark passes newest-click+band; only
+            // then can no in-band, non-late purchase still arrive. Spark
+            // requires the timeout to sit above the current watermark.
+            state.setTimeoutTimestamp(math.max(kept.head._2 + bandMs, wm + 1))
           }
           out.iterator
         }

@@ -127,16 +127,24 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     in.addData(Ev(6, ts(100), 1, "purchase", 2.0))
     q.processAllAvailable()
     // a LATE click (older event time, later batch) must not displace the
-    // newer click in state
+    // newer click for future purchases...
     in.addData(Ev(7, ts(95), 1, "click", 0.0))
     q.processAllAvailable()
     in.addData(Ev(8, ts(20), 1, "click", 0.0)) // late arrival
     in.addData(Ev(9, ts(110), 1, "purchase", 3.0))
     q.processAllAvailable()
+    // ...but a late purchase landing between the late click and the newer
+    // one still attributes to the late click (batch semantics)
+    in.addData(Ev(10, ts(25), 1, "purchase", 4.0))
+    q.processAllAvailable()
+    // same-instant click + purchase in one batch: the click sorts first
+    // (st4's (t, is_purchase) rule) even with a higher event_id
+    in.addData(Ev(13, ts(112), 1, "click", 0.0), Ev(12, ts(112), 1, "purchase", 6.0))
+    q.processAllAvailable()
     val rows = spark.table("lasttouch").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(rows == Map(3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None,
-      9L -> Some(7L)))
+      9L -> Some(7L), 10L -> Some(8L), 12L -> Some(13L)))
     q.stop()
   }
 
