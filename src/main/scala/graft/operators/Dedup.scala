@@ -244,6 +244,12 @@ object Dedup {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Sessions that already carry the shutdown-eviction listener: ONE
+    * listener per SparkSession however many dirs it clusters (a listener
+    * per cache entry accumulated on the bus of a long-lived session). */
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Persisted dd4 pair graph, one per (session, scale dir). Bounded: one
     * slim (doc_a, doc_b) frame per fixture dir actually queried. Entries
     * of stopped sessions are evicted on every access (the map must not
@@ -255,14 +261,22 @@ object Dedup {
     pairGraphCache.keySet().removeIf { case (sess, _) =>
       sess.sparkContext.isStopped
     }
-    pairGraphCache.computeIfAbsent((s, dir), { _ =>
-      // evict on session shutdown too — the access-time sweep above only
-      // runs if dd6 is called again, which a teardown never does
+    evictionHooked.removeIf(_.sparkContext.isStopped)
+    // evict on session shutdown too — the access-time sweep above only
+    // runs if dd6 is called again, which a teardown never does. Hooked
+    // OUTSIDE computeIfAbsent (no bus registration under the CHM bin
+    // lock) and at most once per session.
+    if (evictionHooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           pairGraphCache.keySet().removeIf { case (sess, _) => sess eq s }
+          evictionHooked.remove(s)
+          ()
+        }
       })
+    }
+    pairGraphCache.computeIfAbsent((s, dir), { _ =>
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })

@@ -40,9 +40,16 @@ object KMeans {
     require(centroids.forall(c => c.exists(_ != 0f)),
       "assignCells: centroids must be non-zero (a zero seed vector, e.g. a " +
         "failed-embedding padding row, cannot anchor a cosine cell)")
-    if (centroids.size == 1)
-      return e.select(col("vec_id"), lit(0).as("cell"))
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    if (centroids.size == 1) {
+      // same unassignable-row contract as the k>1 path: zero-norm rows
+      // (cosine NaN) and wrong-dim rows (vec_dot NULL) get cell -1 so
+      // fit(k=1) — the KMeansSpec baseline — excludes them from the mean
+      val c0 = VectorFunctions.vecDot(col("embedding"),
+        typedLit(centroids.head.toSeq)) / nrm
+      return e.select(col("vec_id"),
+        when(isnan(c0) || c0.isNull, lit(-1)).otherwise(lit(0)).as("cell"))
+    }
     val scores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
       (VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)) / (nrm * cNorm))

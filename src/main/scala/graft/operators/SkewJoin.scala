@@ -27,7 +27,7 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val normalized = joinType.toLowerCase.replace("_", "")
+    val normalized = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
       .contains(normalized),
       s"saltedJoin replicates the right side $salt×, so only left-preserving " +

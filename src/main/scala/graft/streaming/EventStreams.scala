@@ -170,8 +170,19 @@ object EventStreams {
     * no-longer-newest clicks, matching the batch result. Rows inside a
     * micro-batch are not time-ordered, so each group's batch slice is
     * sorted by (ts, is_purchase, event_id) — st4's ordering — before
-    * folding. */
-  def streamingAttribution(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    * folding.
+    *
+    * BATCH-DIVERGENCE BOUND: `maxClicks` caps per-user state. If one user
+    * produces more than `maxClicks` clicks inside the attribution band,
+    * the OLDEST in-band clicks are evicted, and a late (in-watermark)
+    * purchase whose true last-touch was an evicted click silently
+    * attributes to a newer click (or nothing) — a deliberate
+    * bounded-state / exactness trade the batch st4 does not make. Cap
+    * evictions (as opposed to watermark pruning) are counted in the
+    * "attribution.capEvictions" spark metric; size the cap to the
+    * heaviest plausible per-user in-band click storm. */
+  def streamingAttribution(events: DataFrame, watermark: String = "2 hours",
+                           maxClicks: Int = 64): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
     import spark.implicits._
@@ -187,10 +198,10 @@ object EventStreams {
     // attribute to a click that is no longer the newest, and a late click
     // may be the right answer for an even later-arriving in-band purchase.
     // The buffer is bounded two ways: clicks older than watermark-band
-    // can never serve a non-late purchase and are pruned, and a cap keeps
-    // a click-storm from growing state (newest kept — the ones purchases
-    // attribute to).
-    val maxClicks = 64
+    // can never serve a non-late purchase and are pruned, and the
+    // maxClicks cap keeps a click-storm from growing state (newest kept —
+    // the ones purchases attribute to; see the scaladoc divergence bound).
+    val capEvictions = spark.sparkContext.longAccumulator("attribution.capEvictions")
     typed.flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Option[Long], Double)](
       OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
       case (userId, rows, state: GroupState[List[(Long, Long)]]) =>
@@ -203,8 +214,11 @@ object EventStreams {
           var clicks = state.getOption.getOrElse(Nil) // (clickId, clickMs)
           val out = ordered.flatMap {
             case (id, _, "click", ts, _) =>
-              clicks = ((id, ts.getTime) :: clicks)
-                .sortBy { case (cid, cms) => (-cms, -cid) }.take(maxClicks)
+              val grown = ((id, ts.getTime) :: clicks)
+                .sortBy { case (cid, cms) => (-cms, -cid) }
+              if (grown.lengthCompare(maxClicks) > 0)
+                capEvictions.add(grown.size - maxClicks)
+              clicks = grown.take(maxClicks)
               None
             case (id, _, "purchase", ts, v) =>
               val ms = ts.getTime
