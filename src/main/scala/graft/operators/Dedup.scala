@@ -198,7 +198,17 @@ object Dedup {
     * differing bits leave >=1 of 4 bands identical). Signature built by
     * per-token hash bit-voting via the custom TypedImperativeAggregate
     * [[graft.functions.SimHashAgg]] (one 256-byte vote buffer per group,
-    * map-side combined). No oracle (custom sketch): rows-only check. */
+    * map-side combined).
+    *
+    * Scale-hardened like its dd3/ss5 siblings: band buckets larger than
+    * [[MaxBucketSize]] are excluded before the self-join (a degenerate
+    * chunk — e.g. near-empty docs all voting to 0 — is otherwise
+    * quadratic AND useless as a discriminator), and multi-band candidate
+    * dedup happens AT the join via the first-colliding-band rule — the
+    * bands ARE 16-bit chunks of the signature both sides already carry,
+    * so "no earlier band collides" is a handful of codegen'd integer ops
+    * on the XOR, replacing a dropDuplicates shuffle of the whole
+    * candidate explosion. No oracle (custom sketch): rows-only check. */
   def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
     val tok = Tables.documents(s, dir)
@@ -212,13 +222,27 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+      .where(col("bsz") <= MaxBucketSize)
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("chunk"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("chunk"))
+    // first-colliding-band dedup: OR-fold each 16-bit group of the XOR
+    // down to its low marker bit; a kept pair must have every band below
+    // the joined one DIFFER (marker set). Sign-extension from the
+    // arithmetic shifts (≤ 8 positions) never reaches a marker bit.
+    val xorSig = col("sh_a").bitwiseXOR(col("sh_b"))
+    val groupBits = lit(0x0001000100010001L)
+    val collapsed = Seq(1, 2, 4, 8)
+      .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
+      .bitwiseAND(groupBits)
+    val earlierMask = groupBits.bitwiseAND(
+      expr("shiftleft(CAST(1 AS BIGINT), band * 16)") - 1)
     a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
+      .withColumn("hamming", bit_count(xorSig))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -372,13 +396,20 @@ object Dedup {
     * twin. Deliberately composes [[dd6ClusterFrom]] with a DIFFERENT
     * edge set: the CC engine is edge-source-agnostic, so any pair
     * generator (lexical Jaccard, embedding cosine, SimHash) feeds the
-    * same clustering. At 100 TB the edge set comes from ss2/ss5's LSH
-    * candidates instead of ss3's exact block-pair scan — same shape.
+    * same clustering. The edge source is scale-adaptive
+    * ([[Similarity.semanticEdges]]): the exact block-pair scan
+    * (hash-oracled) below the exact-scan byte cap, tiered-LSH candidates
+    * verified by exact cosine above it — so the operator neither melts a
+    * cluster at 100 TB nor loses oracle exactness at fixture scale.
     * Oracle: DuckDB recursive CTE closure over the mirrored ss3 pairs. */
   def dd7SemanticCluster(s: SparkSession, dir: String): DataFrame =
+    dd7SemanticClusterFrom(s, Tables.embeddings(s, dir))
+
+  /** dd7 over an arbitrary embedding DataFrame (`vec_id`, `embedding`). */
+  def dd7SemanticClusterFrom(s: SparkSession, e: DataFrame): DataFrame =
     dd6ClusterFrom(
-      Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
-      Similarity.ss3EmbeddingNeardup(s, dir).select(col("vec_a"), col("vec_b")))
+      e.select(col("vec_id").as("doc_id")),
+      Similarity.semanticEdges(e).select(col("vec_a"), col("vec_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
       .orderBy(col("vec_id"))
 

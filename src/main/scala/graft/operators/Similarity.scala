@@ -63,53 +63,46 @@ object Similarity {
   }
 
   /** ss2_ann_lsh — approximate all-pairs similarity via random-hyperplane
-    * LSH: 4 hash tables x 8 sign bits; vectors sharing a (table, bucket)
-    * become candidates; candidates are verified with exact cosine >= 0.4.
-    * Hyperplanes are deterministic (seeded) literal arrays broadcast into
-    * the expression — no driver-side model state. No oracle (approximate
+    * LSH; vectors sharing a (table, bucket) become candidates; candidates
+    * are verified with exact cosine >= 0.4. Hyperplanes are deterministic
+    * (seeded) literal arrays broadcast into the expression — no
+    * driver-side model state. Table/bit geometry is TIERED by estimated
+    * corpus rows ([[PairLshTiers]]) so per-bucket population — and with
+    * it the self-join fan-out — stays bounded as N grows; candidate
+    * dedup happens AT the join (first-colliding-table rule), not via a
+    * distinct shuffle of the candidate explosion. No oracle (approximate
     * recall): rows-only check. */
-  def ss2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.ensureRegistered(s)
-    val dim = 64; val tables = 4; val bits = 8
-    val rnd = new scala.util.Random(42)
-    // hyperplane (t, b) = dim gaussian coefficients
-    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
-    val e = Tables.embeddings(s, dir)
-    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
-      val bucket = tbl.zipWithIndex.map { case (plane, b) =>
-        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
-        when(proj >= 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    // slim candidate generation: only (vec_id, table, bucket) shuffles;
-    // embeddings rejoin after the distinct pair set is known
-    val banded = e
-      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("sig"))
-      .select(col("vec_id"), col("sig.table").as("table"), col("sig.bucket").as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("table", "bucket"))
-      .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val sided = e.select(col("vec_id"), col("embedding"),
-      sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
-    cand
-      .join(sided.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), "vec_a")
-      .join(sided.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), "vec_b")
-      .withColumn("cos", round(
-        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
-      .where(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+  def ss2AnnLsh(s: SparkSession, dir: String): DataFrame =
+    lshNeardupPairs(Tables.embeddings(s, dir), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
-  }
+
+  /** Input cap for the exact all-pairs scans (ss3 and dd7's exact edge
+    * source): Θ(N²) dot products no matter how well the block-pair shape
+    * shards them, so — like its ss6/q13 siblings — the operator
+    * fail-fasts above ~32 MB of estimated input (~100k embeddings,
+    * ~10¹⁰ dots) instead of silently melting a cluster. Larger corpora
+    * take [[lshNeardupPairs]] / [[semanticEdges]]. */
+  val MaxExactPairScanBytes: Long = 32L << 20
 
   /** ss3_embedding_neardup — exact embedding-cosine near-dup pairs
     * (cos >= 0.45) by brute all-pairs — the ground truth ss2
     * approximates. Kept exact here so the DuckDB oracle can mirror it;
-    * at 100 TB this query IS ss2 with a higher threshold. */
+    * at 100 TB this query IS ss2 with a higher threshold: above
+    * [[MaxExactPairScanBytes]] the guard raises and [[semanticEdges]]
+    * is the scale path. */
   def ss3EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    Guards.requireEstimatedBytesAtMost(
+      Tables.embeddings(s, dir), MaxExactPairScanBytes,
+      "ss3_embedding_neardup (quadratic-work exact pair scan; use " +
+        "lshNeardupPairs/semanticEdges)")
+    exactNeardupPairs(Tables.embeddings(s, dir), 0.45)
+  }
+
+  /** The exact block-pair scan behind ss3, over an arbitrary embedding
+    * DataFrame — UNGUARDED (callers size-check; [[semanticEdges]] routes
+    * large corpora to LSH instead). */
+  private[operators] def exactNeardupPairs(e00: DataFrame, threshold: Double): DataFrame = {
+    val s = e00.sparkSession
     VectorFunctions.ensureRegistered(s)
     // Exact all-pairs, but NOT via a nested-loop theta join: vectors get a
     // block id, the tiny (ba <= bb) block-pair table is broadcast, and two
@@ -124,7 +117,7 @@ object Similarity {
     val blockPairs = broadcast(
       (for (ba <- 0 until blocks; bb <- ba until blocks) yield (ba, bb))
         .toDF("ba", "bb"))
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+    val e = e00.select(col("vec_id"), col("embedding"),
       sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"),
       pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
@@ -138,27 +131,155 @@ object Similarity {
       .where(col("ba") < col("bb") || col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
         VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
-      .where(col("cos") >= 0.45)
+      .where(col("cos") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Pair-threshold LSH tier table: (estimated corpus rows → tables ×
+    * bits). Unlike kNN ([[KnnLshTiers]]: many SHORT tables, recall for
+    * moderate-cosine neighbors), threshold search targets HIGH-cosine
+    * pairs, whose per-bit collision probability is large — few LONGER
+    * tables suffice (4×8 measured fine at fixture scale; measured fact
+    * in NOTES.md: don't unify the two). Bits grow with N so per-bucket
+    * population ≈ N/2^bits — and the bucket self-join's fan-out — stays
+    * bounded; tables×bits ≤ 64 keeps the signature packable into one
+    * long for join-time dedup. */
+  val PairLshTiers: Seq[(Long, Int, Int)] = Seq(
+    (16000L, 4, 8),     // < 16k rows: 256 buckets/table
+    (2000000L, 4, 12),  // < 2M rows: 4k buckets/table
+    (Long.MaxValue, 4, 16)) // beyond: 65k buckets/table
+
+  /** Approximate near-dup pairs (exact cosine ≥ threshold over LSH
+    * candidates) for an arbitrary embedding DataFrame — the bounded-work
+    * face of [[exactNeardupPairs]] and the edge source [[semanticEdges]]
+    * uses above the exact-scan cap. Same scale machinery as [[knnJoin]]:
+    * tiered geometry from plan-statistics rows (no job at construction),
+    * all tables' buckets packed into ONE long signature, candidate pairs
+    * deduplicated AT the join by the first-colliding-table rule (integer
+    * work on the packed XOR — no distinct shuffle of the candidate
+    * explosion), embeddings traveling through the bucket join so only
+    * slim (vec_a, vec_b, cos) rows leave it. */
+  def lshNeardupPairs(e00: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(e00.sparkSession)
+    val e0 = e00.where(coalesce(
+      assert_true(size(col("embedding")) === dim,
+        lit(s"lshNeardupPairs: embedding dimension must be $dim")), lit(true)))
+    val estRows = (e00.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val (_, tables, bits) =
+      PairLshTiers.find(estRows < _._1).getOrElse(PairLshTiers.last)
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
+    val bucketCols = planes.map { tbl =>
+      tbl.zipWithIndex.map { case (plane, b) =>
+        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
+        when(proj >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val packedSig = bucketCols.zipWithIndex
+      .map { case (b, t) => shiftleft(b, bits * t) }
+      .reduce((x, y) => x.bitwiseOR(y))
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = e0
+      .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
+        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
+        posexplode(array((0 until tables).map(t =>
+          shiftright(col("sig"), bits * t).bitwiseAND(lit(bucketMask))): _*))
+          .as(Seq("table", "bucket")))
+    // first-collision dedup: OR-fold each bits-wide group of the packed
+    // XOR down to its low marker bit, then demand every group below this
+    // table is set (= every earlier table's buckets DIFFER). Marker bits
+    // only exist at multiples of `bits`, so sign-extension from the
+    // arithmetic shifts (≤ bits/2 positions) never reaches one.
+    val groupBits = lit {
+      var m = 0L; var i = 0
+      while (i < 64) { m |= 1L << i; i += bits }
+      m
+    }
+    val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
+    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < bits)
+      .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
+      .bitwiseAND(groupBits)
+    val earlierMask = groupBits.bitwiseAND(
+      expr(s"shiftleft(CAST(1 AS BIGINT), table * $bits)") - 1)
+    val explodedBytes =
+      e00.queryExecution.optimizedPlan.stats.sizeInBytes * tables
+    val probeSide =
+      if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
+      else banded.as("b")
+    banded.as("a").join(probeSide, Seq("table", "bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 3).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Scale-adaptive semantic near-dup edge set: the EXACT block-pair
+    * scan (hash-oracled, ss3) below [[MaxExactPairScanBytes]]; tiered
+    * LSH candidates verified by exact cosine ([[lshNeardupPairs]],
+    * recall < 1 but bounded work) above it. This is dd7's edge source —
+    * the decision is by optimizer byte statistics, so taking it launches
+    * no job. */
+  def semanticEdges(e: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val est = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= MaxExactPairScanBytes) exactNeardupPairs(e, threshold)
+    else lshNeardupPairs(e, threshold)
+  }
+
+  /** IVF coarse-cell count by estimated corpus rows: per-cell population
+    * ≈ N/cells is what the within-cell self-join squares, so cells must
+    * grow with N (production rule of thumb: cells ≈ √N, recall recovered
+    * by probing several nearest cells). Capped at 256 — the argmax
+    * when-chain is per-row codegen over `cells` branches; beyond that
+    * the assignment should become a broadcast-centroid join + max_by
+    * aggregation (same plan [[KMeans.assignCells]] would move to). */
+  val IvfCellTiers: Seq[(Long, Int)] = Seq(
+    (16000L, 8), (1000000L, 64), (Long.MaxValue, 256))
+
+  private def ivfCellsFor(e: DataFrame): Int = {
+    val estRows = (e.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+    IvfCellTiers.find(estRows < _._1).getOrElse(IvfCellTiers.last)._2
+  }
+
+  /** Within-cell verified pair join shared by the seeded and fitted IVF
+    * variants: self-join on `cell`, exact cosine ≥ threshold, slim
+    * output. `assigned` = (vec_id, embedding, nrm, cell). */
+  private def ivfCellPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** ss4_ann_ivf — approximate all-pairs similarity, IVF-style: assign
     * each vector to its nearest coarse centroid (deterministic seeded
-    * centroids here for oracle-free reproducibility — production fits
-    * them with [[KMeans.fit]] and assigns via [[KMeans.assignCells]],
-    * the same argmax plan), then
-    * search only within cells. Same bucket-join shape as ss2 with a
+    * centroids here for oracle-free reproducibility —
+    * [[ss4AnnIvfFitted]] is the learned-centroid variant), then search
+    * only within cells. Same bucket-join shape as ss2 with a
     * learned-partition flavor; probing the single nearest cell trades
-    * recall for a smaller candidate set. No oracle (approximate):
-    * rows-only check. */
+    * recall for a smaller candidate set. Cell count is TIERED by
+    * estimated corpus rows ([[IvfCellTiers]]) so per-cell population —
+    * and the within-cell self-join — stays bounded as N grows. No
+    * oracle (approximate): rows-only check. */
   def ss4AnnIvf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    val dim = 64; val cells = 8
+    val dim = 64
+    val e = Tables.embeddings(s, dir)
+    val cells = ivfCellsFor(e)
     val rnd = new scala.util.Random(7)
     val centroids: Seq[Seq[Double]] = Seq.fill(cells, dim)(rnd.nextGaussian())
-    val e = Tables.embeddings(s, dir)
     // nearest centroid by (normalized) dot product, argmax via when-chain
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
     val scores = centroids.zipWithIndex.map { case (c, i) =>
@@ -170,16 +291,32 @@ object Similarity {
       when(col(s"c_$i") === best, lit(i)).otherwise(els)
     }
     val assigned = withScores.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
-    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"), col("cell"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"), col("cell"))
-    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(
-        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
-      .where(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    ivfCellPairs(assigned, 0.4)
+  }
+
+  /** ss4_ann_ivf_fitted — the production IVF path end-to-end:
+    * [[KMeans.fit]] learns the coarse centroids (data-dependent cells
+    * beat random hyperplane-ish seeds on recall), [[KMeans.assignCells]]
+    * assigns (the same broadcast-literal argmax plan), and the
+    * within-cell verified join is shared with the seeded variant.
+    * Unlike every other query constructor, building this one RUNS the
+    * fit's Spark jobs (a few assignment+mean passes) — inherent to
+    * iterative ML, and the k×dim centroid collect is model state, not
+    * data. Unassignable rows (cell -1: zero-norm or wrong-dim) are
+    * excluded from pairing. No oracle (approximate + iterative fit):
+    * rows-only check; SimilaritySpec measures recall vs the exact ss3
+    * pairs. */
+  def ss4AnnIvfFitted(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val model = KMeans.fit(e.select(col("vec_id"), col("embedding")),
+      k = ivfCellsFor(e), maxIters = 5)
+    val assigned = KMeans.assignCells(e, model.centroids)
+      .where(col("cell") >= 0)
+      .join(e.select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm")),
+        "vec_id")
+    ivfCellPairs(assigned, 0.4)
   }
 
   /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
@@ -387,6 +524,7 @@ object Similarity {
     "ss2_ann_lsh" -> (ss2AnnLsh _),
     "ss3_embedding_neardup" -> (ss3EmbeddingNeardup _),
     "ss4_ann_ivf" -> (ss4AnnIvf _),
+    "ss4_ann_ivf_fitted" -> (ss4AnnIvfFitted _),
     "ss5_knn_join" -> ((s: SparkSession, dir: String) => ss5KnnJoin(s, dir)),
     "ss6_knn_exact" -> ((s: SparkSession, dir: String) => ss6KnnExact(s, dir)),
     "ss7_label_centroids" -> (ss7LabelCentroids _),

@@ -50,6 +50,66 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.subsetOf(exact) && ivf.subsetOf(exact))
   }
 
+  test("dd5 join-time first-collision dedup reproduces the naive distinct pair set") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // naive reference form: band join + dropDuplicates + Hamming filter
+    // (the pre-round-4 shape, minus the bucket cap — inactive here)
+    val sig = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("chunk"))
+    val naive = a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 3)
+    val expected = pairs(naive, "doc_a", "doc_b")
+    val got = Dedup.dd5Simhash(spark, dir)
+    val gotPairs = pairs(got, "doc_a", "doc_b")
+    assert(gotPairs == expected, "first-collision dedup changed the dd5 pair set")
+    // and the first-collision rule emits each pair exactly once
+    assert(got.count() == gotPairs.size, "duplicate pairs escaped the join-time dedup")
+  }
+
+  test("lshNeardupPairs ⊆ exact pairs, no duplicates, identical cosines") {
+    import org.apache.spark.sql.functions._
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val lsh = Similarity.lshNeardupPairs(e, 0.45)
+    val exact = Similarity.ss3EmbeddingNeardup(spark, dir)
+    val lshMap = lsh.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactMap = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.count() == lshMap.size, "duplicate pairs escaped the join-time dedup")
+    assert(lshMap.keySet.subsetOf(exactMap.keySet), "LSH must never invent pairs")
+    lshMap.foreach { case (k, c) => assert(exactMap(k) == c, s"cosine drift on $k") }
+    assert(exactMap.nonEmpty)
+    info(s"lshNeardupPairs recall vs exact: ${lshMap.size}/${exactMap.size}")
+  }
+
+  test("semanticEdges: exact below the byte cap, LSH plan above it") {
+    import org.apache.spark.sql.functions._
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    // fixture corpus is far below the cap → byte-identical to the exact scan
+    val viaEdges = pairs(Similarity.semanticEdges(e), "vec_a", "vec_b")
+    val exact = pairs(Similarity.ss3EmbeddingNeardup(spark, dir), "vec_a", "vec_b")
+    assert(viaEdges == exact)
+    // a corpus estimated past the cap must take the LSH path (posexplode
+    // banding) — and must NOT throw the exact-scan guard
+    val big = spark.range(100L * 1000 * 1000)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> CAST(i AS FLOAT))").as("embedding"))
+    val plan = Similarity.semanticEdges(big).queryExecution.analyzed.toString
+    assert(plan.contains("posexplode"), "large corpus must route to LSH banding")
+  }
+
   test("cluster labels are consistent with the pair graph and reps are minimal") {
     val labels = Dedup.dd6Cluster(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

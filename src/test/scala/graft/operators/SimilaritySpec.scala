@@ -79,4 +79,35 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         big, Similarity.MaxExactKnnBytes, "ss6_knn_exact")
     }
   }
+
+  test("ss3 guard trips on oversized input (exact pair scan is quadratic)") {
+    val big = spark.range(100L * 1000 * 1000)
+      .select(col("id").as("vec_id"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Guards.requireEstimatedBytesAtMost(
+        big, Similarity.MaxExactPairScanBytes, "ss3_embedding_neardup")
+    }
+    // fixture-scale corpus stays under the cap and runs
+    assert(Similarity.ss3EmbeddingNeardup(spark, dir).limit(1).count() >= 0)
+  }
+
+  test("fitted IVF recall vs exact pairs is at least the seeded variant's") {
+    // sf0.01: 500 vectors — big enough for a meaningful pair universe
+    val d = "/root/testdata/sf0.01"
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Similarity.exactNeardupPairs(
+      graft.tables.Tables.embeddings(spark, d), 0.4))
+    val seeded = pairSet(Similarity.ss4AnnIvf(spark, d))
+    val fitted = pairSet(Similarity.ss4AnnIvfFitted(spark, d))
+    assert(truth.nonEmpty)
+    assert(seeded.subsetOf(truth) && fitted.subsetOf(truth),
+      "IVF variants verify with exact cosine — they can never invent pairs")
+    val rSeeded = seeded.size.toDouble / truth.size
+    val rFitted = fitted.size.toDouble / truth.size
+    info(f"IVF recall vs exact@0.4: seeded $rSeeded%.3f, fitted $rFitted%.3f")
+    assert(rFitted >= rSeeded,
+      f"learned centroids should not lose recall: fitted $rFitted%.3f < seeded $rSeeded%.3f")
+  }
 }
