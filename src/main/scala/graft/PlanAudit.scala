@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Diagnostic main: print a per-query physical-operator summary at a
   * small SF, flagging shapes that do not survive scale-up (cartesian
   * products, nested-loop joins outside the known exact-all-pairs ops,
-  * shuffle counts). Usage: runMain graft.PlanAudit [sfDir]. */
+  * shuffle counts). Session config comes from GraftSession.builder so
+  * the audited plans are the engine's real plans (AQE on, extensions
+  * registered). Usage: runMain graft.PlanAudit [sfDir]. */
 object PlanAudit {
   // nested-loop is expected where (a) the op is intentionally exact
   // all-pairs (the LSH twins are the scale path) or (b) the build side is
@@ -16,12 +16,8 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession
+      .builder("graft-plan-audit", "local[8]", 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var flagged = 0
