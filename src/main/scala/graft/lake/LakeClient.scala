@@ -326,6 +326,54 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
                         properties: Map[String, String]): Unit =
     writeProps(resolve(filesystem, path), properties)
 
+  /** update_path action=setAccessControl — client.py:587-588 with the
+    * x-ms-acl / x-ms-permissions / x-ms-owner / x-ms-group attrs of the
+    * PATCH (client.py:617-619): set POSIX ACLs and/or permission bits on
+    * a path — the write side of [[aclStatus]]. On filesystems without
+    * ACL support the ACL spec degrades to its base user::/group::/other::
+    * permission bits, the same graceful off-Azure degrade as
+    * [[aclStatus]]'s read side. `permission` accepts octal ("750",
+    * "0750") or 9-char symbolic ("rwxr-x---"). Returns the resulting
+    * [[aclStatus]] (the reference returns the PATCH response headers). */
+  def setAccessControl(filesystem: String, path: String,
+                       acl: Option[String] = None,
+                       permission: Option[String] = None,
+                       owner: Option[String] = None,
+                       group: Option[String] = None): Map[String, String] = {
+    import org.apache.hadoop.fs.permission.{AclEntry, AclEntryScope, AclEntryType, FsAction, FsPermission}
+    val p = resolve(filesystem, path)
+    require(fs.exists(p), s"setAccessControl: no such path: $path")
+    permission.foreach { s =>
+      val perm =
+        if (s.forall(_.isDigit)) new FsPermission(Integer.parseInt(s, 8).toShort)
+        else FsPermission.valueOf("-" + s) // valueOf expects the ls -l form
+      fs.setPermission(p, perm)
+    }
+    acl.foreach { spec =>
+      val entries = AclEntry.parseAclSpec(spec, true)
+      try fs.setAcl(p, entries)
+      catch {
+        case _: UnsupportedOperationException =>
+          // no ACL support (e.g. local fs): apply the spec's base access
+          // entries as permission bits; named/default entries need a real
+          // ACL store and are dropped here
+          import scala.jdk.CollectionConverters._
+          val base = entries.asScala.filter(e =>
+            e.getScope == AclEntryScope.ACCESS && e.getName == null)
+          def action(t: AclEntryType, current: FsAction): FsAction =
+            base.find(_.getType == t).map(_.getPermission).getOrElse(current)
+          val cur = fs.getFileStatus(p).getPermission
+          fs.setPermission(p, new FsPermission(
+            action(AclEntryType.USER, cur.getUserAction),
+            action(AclEntryType.GROUP, cur.getGroupAction),
+            action(AclEntryType.OTHER, cur.getOtherAction)))
+      }
+    }
+    if (owner.isDefined || group.isDefined)
+      fs.setOwner(p, owner.orNull, group.orNull)
+    aclStatus(filesystem, path)
+  }
+
   def getPathProperties(filesystem: String, path: String): Map[String, String] =
     readProps(resolve(filesystem, path))
 

@@ -134,6 +134,28 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("acl")
   }
 
+  test("setAccessControl round-trips permission bits; ACL spec degrades off-Azure") {
+    client.createFilesystem("acl")
+    client.uploadString("acl", "guarded.txt", "secret")
+    // octal form
+    val after = client.setAccessControl("acl", "guarded.txt", permission = Some("750"))
+    assert(after("permissions") == "rwxr-x---")
+    assert(client.aclStatus("acl", "guarded.txt")("permissions") == "rwxr-x---")
+    // symbolic form
+    client.setAccessControl("acl", "/guarded.txt", permission = Some("rw-r--r--"))
+    assert(client.aclStatus("acl", "guarded.txt")("permissions") == "rw-r--r--")
+    // ACL spec on a no-ACL filesystem degrades to its base-scope bits
+    // (same off-Azure degrade as aclStatus's read side)
+    val viaAcl = client.setAccessControl("acl", "guarded.txt",
+      acl = Some("user::rwx,group::r--,other::---"))
+    assert(viaAcl("permissions") == "rwxr-----")
+    // missing path fails loudly
+    intercept[IllegalArgumentException] {
+      client.setAccessControl("acl", "nope.txt", permission = Some("644"))
+    }
+    client.deleteFilesystem("acl")
+  }
+
   test("sidecar props files are not listed as data paths") {
     client.createFilesystem("hid")
     client.uploadString("hid", "f.txt", "x")
