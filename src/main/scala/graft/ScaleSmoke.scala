@@ -70,6 +70,24 @@ object ScaleSmoke {
     timed("ss5_knn_join (adaptive LSH)") {
       graft.operators.Similarity.knnJoin(embs).count()
     }
+    timed("dd5_simhash (capped bands)") {
+      graft.operators.Dedup.dd5From(docs).count()
+    }
+    timed("ss2/lshNeardupPairs (tiered)") {
+      graft.operators.Similarity.lshNeardupPairs(embs, 0.4).count()
+    }
+    timed("ss4_ann_ivf (tiered cells)") {
+      graft.operators.Similarity.ss4From(embs).count()
+    }
+    timed("dd7_cluster (CC over LSH edges)") {
+      // the forced-LSH edge source semanticEdges picks above the exact-
+      // scan byte cap — exercised explicitly so the smoke demonstrates
+      // the large-corpus dd7 path regardless of in-memory stats
+      graft.operators.Dedup.dd6ClusterFrom(
+        embs.select(col("vec_id").as("doc_id")),
+        graft.operators.Similarity.lshNeardupPairs(embs, 0.45)
+          .select(col("vec_a"), col("vec_b"))).count()
+    }
 
     spark.stop()
     if (failed) sys.exit(1)

@@ -209,9 +209,13 @@ object Dedup {
     * so "no earlier band collides" is a handful of codegen'd integer ops
     * on the XOR, replacing a dropDuplicates shuffle of the whole
     * candidate explosion. No oracle (custom sketch): rows-only check. */
-  def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(s)
-    val tok = Tables.documents(s, dir)
+  def dd5Simhash(s: SparkSession, dir: String): DataFrame =
+    dd5From(Tables.documents(s, dir))
+
+  /** dd5 over an arbitrary documents DataFrame (`doc_id`, `text`). */
+  def dd5From(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    val tok = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // single custom sketch aggregate (TypedImperativeAggregate) instead of

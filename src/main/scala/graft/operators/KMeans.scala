@@ -26,6 +26,16 @@ object KMeans {
     * iterations actually run (< maxIters means assignments converged). */
   final case class Model(centroids: Seq[Array[Float]], iters: Int, converged: Boolean)
 
+  /** Above this k the literal when-chain argmax overflows Janino's 64 KB
+    * generated-method limit (whole-stage codegen falls back to
+    * interpreted — measured at 64 cells); assignment switches to the
+    * exploded form: per-row fan-out over a LITERAL (cell, centroid,
+    * norm) array (no join, no broadcast variable) + ONE aggregation of
+    * slim (vec_id, cell, score) rows with map-side partial max. Same
+    * argmax, same tie-breaking, same scalar arithmetic — bit-identical
+    * assignments. */
+  val MaxWhenChainCells = 16
+
   /** Cell assignment by maximum cosine against literal centroids — the
     * same argmax shape ss4 plans (broadcast constants, per-row codegen,
     * zero shuffle). Ties break to the lower cell id. Rows with no valid
@@ -55,6 +65,9 @@ object KMeans {
       (VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)) / (nrm * cNorm))
         .as(s"c_$i")
     }
+    if (centroids.size > MaxWhenChainCells)
+      return assignCellsExploded(e, centroids, nrm,
+        centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
     val withScores = e.select((col("vec_id") +: col("embedding") +: scores): _*)
     val best = greatest(centroids.indices.map(i => col(s"c_$i")): _*)
     val cell = centroids.indices.foldRight(lit(-1)) { (i, els) =>
@@ -65,6 +78,32 @@ object KMeans {
     // fall through to -1 anyway — make both explicit
     val guarded = when(isnan(col("c_0")) || col("c_0").isNull, lit(-1)).otherwise(cell)
     withScores.select(col("vec_id"), guarded.as("cell"))
+  }
+
+  /** Large-k assignment (see [[MaxWhenChainCells]]): explode a literal
+    * (cell, centroid, centroidNorm) table per row, score each pair with
+    * the SAME `dot / (rowNorm * centroidNorm)` arithmetic as the
+    * when-chain, and take the per-vector argmax as `max(struct(score,
+    * -cell))` — larger score wins, ties to the LOWER cell id via the
+    * negated cell, exactly the when-chain's first-match rule. NaN
+    * sorts greatest in Spark so a zero-norm row's all-NaN scores still
+    * surface as a NaN winner, mapped to cell -1; all-NULL (wrong dim)
+    * yields a NULL score field, also -1. */
+  private[operators] def assignCellsExploded(e: DataFrame, centroids: Seq[Array[Float]],
+                                             nrm: Column, cnorms: Seq[Double]): DataFrame = {
+    val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
+      case (c, i) => (i, c.toSeq, cnorms(i))
+    }
+    e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
+        explode(typedLit(ctab)).as("cc"))
+      .select(col("vec_id"), col("cc._1").as("cell"),
+        (VectorFunctions.vecDot(col("embedding"), col("cc._2"))
+          / (col("nrm") * col("cc._3"))).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("cell")).as("negcell"))).as("b"))
+      .select(col("vec_id"),
+        when(isnan(col("b.score")) || col("b.score").isNull, lit(-1))
+          .otherwise(-col("b.negcell")).cast("int").as("cell"))
   }
 
   /** Lloyd's iterations until assignments stop changing (or maxIters).

@@ -273,24 +273,41 @@ object Similarity {
     * estimated corpus rows ([[IvfCellTiers]]) so per-cell population —
     * and the within-cell self-join — stays bounded as N grows. No
     * oracle (approximate): rows-only check. */
-  def ss4AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.ensureRegistered(s)
+  def ss4AnnIvf(s: SparkSession, dir: String): DataFrame =
+    ss4From(Tables.embeddings(s, dir))
+
+  /** Seeded-centroid IVF over an arbitrary embedding DataFrame. */
+  def ss4From(e: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(e.sparkSession)
     val dim = 64
-    val e = Tables.embeddings(s, dir)
     val cells = ivfCellsFor(e)
     val rnd = new scala.util.Random(7)
     val centroids: Seq[Seq[Double]] = Seq.fill(cells, dim)(rnd.nextGaussian())
-    // nearest centroid by (normalized) dot product, argmax via when-chain
+    // nearest centroid by raw dot/|e| (seeded centroids deliberately NOT
+    // norm-divided — preserved fixture-scale form)
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      (VectorFunctions.vecDot(col("embedding"), typedLit(c.map(_.toFloat))) / nrm).as(s"c_$i")
-    }
-    val withScores = e.select((col("vec_id") +: col("embedding") +: nrm.as("nrm") +: scores): _*)
-    val best = greatest((0 until cells).map(i => col(s"c_$i")): _*)
-    val cell = (0 until cells).foldRight(lit(-1)) { (i, els) =>
-      when(col(s"c_$i") === best, lit(i)).otherwise(els)
-    }
-    val assigned = withScores.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+    val assigned =
+      if (cells <= KMeans.MaxWhenChainCells) {
+        // literal when-chain argmax: pure per-row codegen, zero shuffle
+        val scores = centroids.zipWithIndex.map { case (c, i) =>
+          (VectorFunctions.vecDot(col("embedding"), typedLit(c.map(_.toFloat))) / nrm).as(s"c_$i")
+        }
+        val withScores = e.select((col("vec_id") +: col("embedding") +: nrm.as("nrm") +: scores): _*)
+        val best = greatest((0 until cells).map(i => col(s"c_$i")): _*)
+        val cell = (0 until cells).foldRight(lit(-1)) { (i, els) =>
+          when(col(s"c_$i") === best, lit(i)).otherwise(els)
+        }
+        withScores.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+      } else {
+        // past the when-chain codegen limit: exploded argmax (see
+        // KMeans.MaxWhenChainCells). Centroid norms forced to 1.0 —
+        // x*1.0 is exact, so scores match the when-chain's dot/|e|
+        // bit for bit.
+        KMeans.assignCellsExploded(e,
+            centroids.map(_.map(_.toFloat).toArray), nrm,
+            centroids.map(_ => 1.0))
+          .join(e.select(col("vec_id"), col("embedding"), nrm.as("nrm")), "vec_id")
+      }
     ivfCellPairs(assigned, 0.4)
   }
 

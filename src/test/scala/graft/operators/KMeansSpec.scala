@@ -62,4 +62,23 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"mean cos to own centroid: fitted $fitted%.4f vs 1-centroid $baseline%.4f")
     assert(fitted > baseline, f"k-means no better than baseline ($fitted%.4f <= $baseline%.4f)")
   }
+
+  test("exploded argmax (large-k path) assigns identically to the when-chain") {
+    // the k > MaxWhenChainCells assignment path must be bit-identical to
+    // the literal when-chain it replaces (same arithmetic, same ties)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val m = KMeans.fit(e, k = 8, maxIters = 10)
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val viaChain = KMeans.assignCells(e, m.centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaExplode = KMeans.assignCellsExploded(e, m.centroids, nrm,
+        m.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaChain == viaExplode, "argmax paths disagree")
+    // and a large-k assignment runs without the 64 KB codegen overflow
+    val m64 = KMeans.fit(e, k = 24, maxIters = 3)
+    val assigned = KMeans.assignCells(e, m64.centroids)
+    assert(assigned.groupBy("cell").count().collect()
+      .forall(r => r.getInt(0) >= 0 && r.getInt(0) < 24))
+  }
 }
