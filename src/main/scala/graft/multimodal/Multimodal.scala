@@ -107,6 +107,33 @@ object Multimodal {
         decodeImage(payload).getOrElse(Array.empty[Float])
       else decodeOpaque(payload)
 
+    /** REAL image resize (pure JDK: ImageIO decode → bilinear Graphics2D
+      * scale → PNG re-encode): scaled to `targetWidth` preserving aspect
+      * ratio; never upscales. Undecodable payload → None (same
+      * corrupt-tolerance contract as [[decodeImage]]). */
+    def resizeImage(payload: Array[Byte], targetWidth: Int): Option[(Array[Byte], Int, Int)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else if (img.getWidth <= targetWidth) Some((payload, img.getWidth, img.getHeight))
+      else {
+        val h = math.max(1,
+          math.round(img.getHeight * targetWidth.toDouble / img.getWidth).toInt)
+        val out = new java.awt.image.BufferedImage(
+          targetWidth, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetWidth, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, targetWidth, h))
+      }
+    }
+
     /** ImageIO is stateless; a real av-codec handle releases here. Wired
       * to TaskContext.addTaskCompletionListener in extractFeatures. */
     def close(): Unit = ()
@@ -132,19 +159,35 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: deterministic payload subsampling to a target "width"
-    * (every ceil(w/targetW)-th byte), metadata updated to match. A real
-    * implementation swaps the byte subsampling for an image scaler; the
-    * schema contract (payload + meta in, payload + meta out, per-row map,
-    * no shuffle) is the part that matters for the pipeline. */
+  /** Resize: REAL for image formats (ImageIO decode → bilinear scale →
+    * PNG re-encode, aspect preserved, no upscale; corrupt → empty
+    * payload with zeroed dims, the same filterable convention as
+    * extractFeatures). Non-image media (audio/video — codecs absent in
+    * this environment) keeps the documented deterministic byte-subsample
+    * STUB. Per-partition decoder lifecycle, no shuffle — the pipeline
+    * contract either way. */
   def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.map { m =>
-      if (m.width <= targetWidth || m.payload.isEmpty) m
-      else {
-        val step = math.ceil(m.width.toDouble / targetWidth).toInt
-        val out = m.payload.grouped(step).map(_.head).toArray
-        m.copy(payload = out, width = out.length)
+    media.mapPartitions { it =>
+      val dec = MediaDecoder.init()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.map { m =>
+        if (MediaDecoder.ImageFormats(m.format.toLowerCase(java.util.Locale.ROOT)))
+          dec.resizeImage(m.payload, targetWidth) match {
+            case Some((bytes, w, h)) =>
+              // re-encoded as PNG whenever scaling happened
+              val fmt = if (bytes eq m.payload) m.format else "png"
+              m.copy(payload = bytes, format = fmt, width = w, height = h)
+            case None => m.copy(payload = Array.empty, width = 0, height = 0)
+          }
+        else if (m.width <= targetWidth || m.payload.isEmpty) m
+        else {
+          // STUB (non-image): every ceil(w/targetW)-th byte
+          val step = math.ceil(m.width.toDouble / targetWidth).toInt
+          val out = m.payload.grouped(step).map(_.head).toArray
+          m.copy(payload = out, width = out.length)
+        }
       }
     }
   }

@@ -97,6 +97,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same.payload.length == 100)
   }
 
+  test("resize REALLY scales an image (decode -> bilinear -> PNG re-encode)") {
+    import spark.implicits._
+    // 16x8 solid mid-gray: bilinear-scaled output stays solid mid-gray,
+    // so we can assert pixels, not just dimensions
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    val ds = Seq(
+      MediaRecord(1L, png, "png", 16, 8),
+      MediaRecord(2L, Array[Byte](9, 9, 9), "png", 1, 1), // corrupt
+      MediaRecord(3L, png, "png", 16, 8)                  // no-upscale case
+    ).toDS()
+    val out = resize(ds, targetWidth = 8).collect().sortBy(_.media_id)
+    // aspect preserved: 16x8 -> 8x4; output is a decodable PNG of those dims
+    assert(out(0).width == 8 && out(0).height == 4 && out(0).format == "png")
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert(decoded.getWidth == 8 && decoded.getHeight == 4)
+    assert((decoded.getRGB(3, 2) & 0xFFFFFF) == 0x808080)
+    // corrupt image -> empty payload, zeroed dims, no exception
+    assert(out(1).payload.isEmpty && out(1).width == 0 && out(1).height == 0)
+    // already-small image passes through untouched
+    val big = resize(ds, targetWidth = 64).collect().sortBy(_.media_id)
+    assert(big(2).payload.sameElements(png) && big(2).width == 16 && big(2).height == 8)
+  }
+
   test("mediaFromDocuments binds the fixture table into the media schema") {
     val ds = mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val first = ds.head()
