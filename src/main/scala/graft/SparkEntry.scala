@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 import graft.multimodal.Multimodal
 
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ EventStreams.queries ++ Multimodal.queries
+      Similarity.queries ++ EventStreams.queries ++ Multimodal.queries ++
+      CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ EventStreams.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ EventStreams.oracle ++ Multimodal.oracle ++
+      CorpusPipeline.oracle
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.Tables
 
 /** The user-facing corpus-cleaning pipeline — the composition a
   * training-data job actually runs, built from the engine's operators in
@@ -71,4 +72,41 @@ object CorpusPipeline {
 
     (cleaned, Stats(input, nExact, nNearDup, nQuality, nLang))
   }
+
+  /** Deterministic split assignment by a content-independent hash of the
+    * stable id: the first 4 hex chars of md5(id) partition the 16-bit
+    * hex space by STRING ranges — "e666" ≈ 90%, "f333" ≈ +5%, rest test.
+    * Pure per-row codegen: no shuffle, no RNG state, no sampling seed to
+    * version. The SAME document lands in the SAME split on any engine,
+    * at any parallelism, forever — the reproducibility property held-out
+    * splits need and `df.sample()`/`randomSplit()` (partition-layout-
+    * dependent) cannot give. Lexicographic hex comparison is
+    * engine-independent, so DuckDB mirrors it exactly. */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                trainUpper: String = "e666", valUpper: String = "f333"): DataFrame = {
+    require(trainUpper < valUpper, "train boundary must precede val boundary")
+    val hx = substring(md5(col(idCol).cast("string")), 1, 4)
+    df.withColumn("split",
+      when(hx < trainUpper, "train").when(hx < valUpper, "val").otherwise("test"))
+  }
+
+  /** cp1_hash_split — the split assignment as a checkable query:
+    * (doc_id, split) for every document, 90/5/5. */
+  def cp1HashSplit(s: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(s, dir))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp1_hash_split" -> (cp1HashSplit _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cp1_hash_split" ->
+      """SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                 ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""",
+  )
 }

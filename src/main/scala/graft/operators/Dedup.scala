@@ -417,6 +417,52 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
       .orderBy(col("vec_id"))
 
+  /** Contamination threshold: a corpus document sharing at least this
+    * many distinct word-3-shingles with the benchmark set is flagged
+    * (3 shingles ≙ a ≥5-token verbatim overlap — one idiom can collide,
+    * a reused sentence can't). */
+  val MinContamShingles = 3
+
+  /** dd8_decontaminate — benchmark DECONTAMINATION: flag corpus
+    * documents that share ≥ [[MinContamShingles]] distinct 3-shingles
+    * with a held-out benchmark/eval set — the "remove test-set
+    * contamination before training" step of an LLM data pipeline
+    * (dedup's cross-corpus twin: dd4 compares the corpus to itself,
+    * dd8 compares it to a reference set). The fixture benchmark is
+    * `doc_id % 50 == 0`; production passes any benchmark DataFrame to
+    * [[decontaminateFrom]]. Exact and oracled — NO df cutoff here,
+    * completeness against the benchmark is the operator's contract. */
+  def dd8Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontaminateFrom(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0))
+  }
+
+  /** Contamination scan of `corpus` against `benchmark` (both `doc_id`,
+    * `text`): (doc_id, n_shared) for every corpus doc meeting
+    * `minShared`.
+    *
+    * Scale design: benchmark suites are tiny next to a training corpus
+    * (thousands of docs vs billions), so the DISTINCT benchmark shingle
+    * set is broadcast and the corpus streams through ONE hash join keyed
+    * on the shingle — the corpus is never shuffled; the per-doc
+    * aggregation keys on doc_id with map-side combine. Shingles are
+    * per-doc distinct (array_distinct in the shingler), so a plain
+    * count of join hits IS the distinct shared-shingle count. */
+  def decontaminateFrom(corpus: DataFrame, benchmark: DataFrame,
+                        minShared: Int = MinContamShingles): DataFrame = {
+    val corpusSh = withShingles(corpus)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val benchSh = broadcast(
+      withShingles(benchmark).select(explode(col("shingles")).as("sh")).distinct())
+    corpusSh.join(benchSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact" -> (dd1Exact _),
     "dd2_hash" -> (dd2Hash _),
@@ -425,6 +471,7 @@ object Dedup {
     "dd5_simhash" -> (dd5Simhash _),
     "dd6_cluster" -> (dd6Cluster _),
     "dd7_semantic_cluster" -> (dd7SemanticCluster _),
+    "dd8_decontaminate" -> (dd8Decontaminate _),
   )
 
   /** Shared oracle CTE: exploded discriminative shingles — the DuckDB
@@ -479,6 +526,21 @@ object Dedup {
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        SELECT u AS doc_id, min(v) AS cluster_rep, min(v) = u AS keep
        FROM reach GROUP BY u ORDER BY doc_id""",
+    // dd8: same shingling as dd4's CTE, WITHOUT the df cutoff (exact
+    // contamination contract); benchmark = doc_id % 50 == 0.
+    "dd8_decontaminate" ->
+      """WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
+        FROM toks),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+       SELECT c.doc_id, count(*) AS n_shared
+       FROM corpus c JOIN bench b USING (sh)
+       GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""",
     // dd7: same recursive closure over the ss3 (embedding cosine) edges.
     "dd7_semantic_cluster" ->
       s"""WITH RECURSIVE prs AS (

@@ -110,6 +110,41 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("posexplode"), "large corpus must route to LSH banding")
   }
 
+  test("decontamination flags near-dups of benchmark docs and never the benchmark itself") {
+    import org.apache.spark.sql.functions._
+    val flagged = Dedup.dd8Decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the benchmark itself (doc_id % 50 == 0) is never in the output
+    assert(flagged.keys.forall(_ % 50 != 0))
+    assert(flagged.values.forall(_ >= Dedup.MinContamShingles))
+    // any corpus doc that is an exact-Jaccard near-dup of a benchmark doc
+    // shares nearly all its shingles — decontamination MUST catch it
+    val nearDupOfBench = pairs(Dedup.dd4NgramJaccard(spark, dir), "doc_a", "doc_b")
+      .flatMap { case (a, b) =>
+        if (a % 50 == 0 && b % 50 != 0) Some(b)
+        else if (b % 50 == 0 && a % 50 != 0) Some(a) else None
+      }
+    nearDupOfBench.foreach { d =>
+      assert(flagged.contains(d), s"near-dup $d of a benchmark doc escaped decontamination")
+    }
+    info(s"flagged ${flagged.size} contaminated docs (${nearDupOfBench.size} via near-dup pairs)")
+  }
+
+  test("hash split is deterministic, total, and ~90/5/5") {
+    val a = CorpusPipeline.cp1HashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val b = CorpusPipeline.cp1HashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.sameElements(b), "split assignment must be bit-deterministic")
+    val n = a.length
+    assert(n == 500)
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    // 16-bit hash space, 500 ids: binomial noise ±3σ ≈ ±0.04
+    assert(math.abs(frac("train") - 0.9) < 0.05, s"train ${frac("train")}")
+    assert(frac("val") < 0.11 && frac("test") < 0.11)
+  }
+
   test("cluster labels are consistent with the pair graph and reps are minimal") {
     val labels = Dedup.dd6Cluster(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
