@@ -79,6 +79,11 @@ object ScaleSmoke {
     timed("ss4_ann_ivf (tiered cells)") {
       graft.operators.Similarity.ss4From(embs).count()
     }
+    timed("dd8_decontaminate (bcast bench)") {
+      graft.operators.Dedup.decontaminateFrom(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0)).count()
+    }
     timed("dd7_cluster (CC over LSH edges)") {
       // the forced-LSH edge source semanticEdges picks above the exact-
       // scan byte cap — exercised explicitly so the smoke demonstrates
