@@ -88,7 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object VectorFunctions {
-  import org.apache.spark.sql.functions.{call_function, sqrt => fsqrt}
+  import org.apache.spark.sql.functions.{call_function, try_divide, sqrt => fsqrt}
 
   private[functions] val vecDotDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -118,7 +118,11 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Cosine similarity via the codegen kernel; norm factors composed from
-    * the same kernel so bits match the zip_with formulation. */
+    * the same kernel so bits match the zip_with formulation. try_divide,
+    * not `/`: under ANSI mode (Spark 4 default) a zero-norm vector —
+    * every real corpus has failed-embedding padding rows — would turn
+    * x/0.0 into a task-killing DIVIDE_BY_ZERO instead of an
+    * unmatchable NULL. */
   def vecCosine(a: Column, b: Column): Column =
-    vecDot(a, b) / (fsqrt(vecDot(a, a)) * fsqrt(vecDot(b, b)))
+    try_divide(vecDot(a, b), fsqrt(vecDot(a, a)) * fsqrt(vecDot(b, b)))
 }

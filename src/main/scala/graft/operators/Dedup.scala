@@ -215,6 +215,13 @@ object Dedup {
   /** dd5 over an arbitrary documents DataFrame (`doc_id`, `text`). */
   def dd5From(docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    dd5FromWithCap(docs, MaxBucketSize)
+  }
+
+  /** dd5 with an explicit bucket cap (tests exercise tiny caps; the
+    * public entry binds [[MaxBucketSize]]). */
+  private[operators] def dd5FromWithCap(docs: DataFrame, maxBucket: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -223,29 +230,46 @@ object Dedup {
     // buffer per doc per partition
     val sig = tok.groupBy(col("doc_id"))
       .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
+    // bucket cap, then each doc's SURVIVING-band mask: the first-collision
+    // rule below may only consult bands that actually joined. Survival at
+    // a COLLIDING band is a property of the shared bucket (equal chunks =
+    // same bucket), so one side's mask bit is authoritative for the pair.
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
-      .where(col("bsz") <= MaxBucketSize)
-      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"))
+      .where(col("bsz") <= maxBucket)
+      .withColumn("bmask",
+        sum(expr("shiftleft(CAST(1 AS BIGINT), band)"))
+          .over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"), col("bmask"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("band"), col("chunk"))
+      col("band"), col("chunk"), col("bmask").as("bmask_a"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("chunk"))
-    // first-colliding-band dedup: OR-fold each 16-bit group of the XOR
-    // down to its low marker bit; a kept pair must have every band below
-    // the joined one DIFFER (marker set). Sign-extension from the
-    // arithmetic shifts (≤ 8 positions) never reaches a marker bit.
+    // first-SURVIVING-collision dedup: OR-fold each 16-bit group of the
+    // XOR down to its low marker bit (marker set = chunks DIFFER at that
+    // band); spread the surviving-band mask to the same marker positions;
+    // a kept pair must have every band below the joined one either
+    // differ or be cap-excluded — i.e. this is the pair's FIRST band
+    // that both collides and survived, so each pair is emitted exactly
+    // once and cap exclusion can never veto a later legitimate join
+    // (the pre-round-4 dropDuplicates semantics, without the candidate
+    // shuffle). Sign-extension from the arithmetic shifts (≤ 8
+    // positions) never reaches a marker bit.
     val xorSig = col("sh_a").bitwiseXOR(col("sh_b"))
     val groupBits = lit(0x0001000100010001L)
     val collapsed = Seq(1, 2, 4, 8)
       .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
       .bitwiseAND(groupBits)
+    val spreadMask = (0 until 4).map(i =>
+        shiftleft(shiftright(col("bmask_a"), i).bitwiseAND(1L), i * 16))
+      .reduce((x, y) => x.bitwiseOR(y))
     val earlierMask = groupBits.bitwiseAND(
       expr("shiftleft(CAST(1 AS BIGINT), band * 16)") - 1)
     a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
-      .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
+      .where(collapsed.bitwiseOR(bitwise_not(spreadMask))
+        .bitwiseAND(earlierMask) === earlierMask)
       .withColumn("hamming", bit_count(xorSig))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -450,8 +474,19 @@ object Dedup {
     * aggregation keys on doc_id with map-side combine. Shingles are
     * per-doc distinct (array_distinct in the shingler), so a plain
     * count of join hits IS the distinct shared-shingle count. */
+  /** Byte cap on the benchmark side of [[decontaminateFrom]]: its
+    * distinct shingle set is broadcast, so the input must actually be
+    * benchmark-suite-sized — 128 MB of estimated text (shingles expand
+    * ~3×, still well inside a driver/executor broadcast) covers any
+    * real eval suite. Corpus-vs-corpus overlap at scale is dd4's
+    * inverted-index join, not a broadcast. */
+  val MaxBenchmarkBytes: Long = 128L << 20
+
   def decontaminateFrom(corpus: DataFrame, benchmark: DataFrame,
                         minShared: Int = MinContamShingles): DataFrame = {
+    Guards.requireEstimatedBytesAtMost(benchmark, MaxBenchmarkBytes,
+      "decontaminateFrom benchmark side (broadcast; for corpus-vs-corpus " +
+        "overlap use the dd4 inverted-index join)")
     val corpusSh = withShingles(corpus)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val benchSh = broadcast(

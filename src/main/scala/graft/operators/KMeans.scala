@@ -55,19 +55,18 @@ object KMeans {
       // same unassignable-row contract as the k>1 path: zero-norm rows
       // (cosine NaN) and wrong-dim rows (vec_dot NULL) get cell -1 so
       // fit(k=1) — the KMeansSpec baseline — excludes them from the mean
-      val c0 = VectorFunctions.vecDot(col("embedding"),
-        typedLit(centroids.head.toSeq)) / nrm
+      val c0 = try_divide(VectorFunctions.vecDot(col("embedding"),
+        typedLit(centroids.head.toSeq)), nrm)
       return e.select(col("vec_id"),
         when(isnan(c0) || c0.isNull, lit(-1)).otherwise(lit(0)).as("cell"))
     }
-    val scores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      (VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)) / (nrm * cNorm))
-        .as(s"c_$i")
-    }
+    val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
     if (centroids.size > MaxWhenChainCells)
-      return assignCellsExploded(e, centroids, nrm,
-        centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)))
+      return assignCellsExploded(e, centroids, nrm, cnorms)
+    val scores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
+      try_divide(VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)),
+        nrm * cnorms(i)).as(s"c_$i")
+    }
     val withScores = e.select((col("vec_id") +: col("embedding") +: scores): _*)
     val best = greatest(centroids.indices.map(i => col(s"c_$i")): _*)
     val cell = centroids.indices.foldRight(lit(-1)) { (i, els) =>
@@ -85,10 +84,11 @@ object KMeans {
     * the SAME `dot / (rowNorm * centroidNorm)` arithmetic as the
     * when-chain, and take the per-vector argmax as `max(struct(score,
     * -cell))` — larger score wins, ties to the LOWER cell id via the
-    * negated cell, exactly the when-chain's first-match rule. NaN
-    * sorts greatest in Spark so a zero-norm row's all-NaN scores still
-    * surface as a NaN winner, mapped to cell -1; all-NULL (wrong dim)
-    * yields a NULL score field, also -1. */
+    * negated cell, exactly the when-chain's first-match rule. A
+    * zero-norm row scores NULL everywhere (try_divide), as does a
+    * wrong-dim row (vec_dot NULL): NULL score fields sort lowest, so
+    * the winner's score is NULL only when ALL are — mapped to cell -1
+    * (the isnan check stays for defense in depth). */
   private[operators] def assignCellsExploded(e: DataFrame, centroids: Seq[Array[Float]],
                                              nrm: Column, cnorms: Seq[Double]): DataFrame = {
     val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
@@ -97,8 +97,8 @@ object KMeans {
     e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
         explode(typedLit(ctab)).as("cc"))
       .select(col("vec_id"), col("cc._1").as("cell"),
-        (VectorFunctions.vecDot(col("embedding"), col("cc._2"))
-          / (col("nrm") * col("cc._3"))).as("score"))
+        try_divide(VectorFunctions.vecDot(col("embedding"), col("cc._2")),
+          col("nrm") * col("cc._3")).as("score"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("cell")).as("negcell"))).as("b"))
       .select(col("vec_id"),
@@ -115,10 +115,17 @@ object KMeans {
     val e = e0.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var centroids: Seq[Array[Float]] = e.orderBy(col("vec_id")).limit(k)
+      // seeds = the k smallest vec_ids among ANCHORABLE vectors: a
+      // zero-norm padding row (which assignCells rejects as a centroid,
+      // and whose data rows merely land in cell -1) must not be able to
+      // crash the fit just by owning a small vec_id
+      var centroids: Seq[Array[Float]] = e
+        .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
+        .orderBy(col("vec_id")).limit(k)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray).toSeq
-      require(centroids.size == k, s"need at least $k vectors to seed $k cells")
+      require(centroids.size == k,
+        s"need at least $k non-zero vectors to seed $k cells")
       require(centroids.map(_.length).distinct.size == 1,
         "seed vectors disagree on dimensionality — mixed-dim input")
       var prev: Option[DataFrame] = None

@@ -42,9 +42,11 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity of two float-array columns. */
+  /** Cosine similarity of two float-array columns. try_divide: a
+    * zero-norm vector yields NULL (unmatchable), not an ANSI
+    * DIVIDE_BY_ZERO task failure. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** ss1_cosine_topk — brute-force top-10 nearest neighbors of vec_id=0 by
     * cosine. The 1-row query side is broadcast; the corpus side never
@@ -130,7 +132,8 @@ object Similarity {
     a.join(blockPairs, "ba").join(b, Seq("bb"))
       .where(col("ba") < col("bb") || col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
-        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
+        try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
+          col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
@@ -166,10 +169,15 @@ object Similarity {
     val e0 = e00.where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"lshNeardupPairs: embedding dimension must be $dim")), lit(true)))
-    val estRows = (e00.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
-      .min(BigInt(Long.MaxValue)).toLong.max(1L)
     val (_, tables, bits) =
-      PairLshTiers.find(estRows < _._1).getOrElse(PairLshTiers.last)
+      PairLshTiers.find(estRowsOf(e00) < _._1).getOrElse(PairLshTiers.last)
+    // each table's bucket packs into its own 64/tables-wide LANE; `bits`
+    // may be narrower than the lane (the 12-bit tier) — the spare high
+    // lane bits stay zero on both sides, which is what keeps the OR-fold
+    // below from ever reading a neighboring table's bits: the fold's
+    // reach is lane-1, and bits [bits, lane) of each lane XOR to zero.
+    val lane = 64 / tables
+    require(bits <= lane, s"tier ($tables x $bits) does not pack into 64 bits")
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val bucketCols = planes.map { tbl =>
@@ -179,32 +187,32 @@ object Similarity {
       }.reduce(_ + _)
     }
     val packedSig = bucketCols.zipWithIndex
-      .map { case (b, t) => shiftleft(b, bits * t) }
+      .map { case (b, t) => shiftleft(b, lane * t) }
       .reduce((x, y) => x.bitwiseOR(y))
-    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
+    val bucketMask = (1L << bits) - 1
     val banded = e0
       .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
         sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
         posexplode(array((0 until tables).map(t =>
-          shiftright(col("sig"), bits * t).bitwiseAND(lit(bucketMask))): _*))
+          shiftright(col("sig"), lane * t).bitwiseAND(lit(bucketMask))): _*))
           .as(Seq("table", "bucket")))
-    // first-collision dedup: OR-fold each bits-wide group of the packed
-    // XOR down to its low marker bit, then demand every group below this
-    // table is set (= every earlier table's buckets DIFFER). Marker bits
-    // only exist at multiples of `bits`, so sign-extension from the
-    // arithmetic shifts (≤ bits/2 positions) never reaches one.
+    // first-collision dedup: OR-fold each lane of the packed XOR down to
+    // its low marker bit, then demand every lane below this table is set
+    // (= every earlier table's buckets DIFFER). Marker bits only exist
+    // at multiples of `lane`, so sign-extension from the arithmetic
+    // shifts (≤ lane/2 positions) never reaches one.
     val groupBits = lit {
       var m = 0L; var i = 0
-      while (i < 64) { m |= 1L << i; i += bits }
+      while (i < 64) { m |= 1L << i; i += lane }
       m
     }
     val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
-    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < bits)
+    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < lane)
       .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
       .bitwiseAND(groupBits)
     val earlierMask = groupBits.bitwiseAND(
-      expr(s"shiftleft(CAST(1 AS BIGINT), table * $bits)") - 1)
+      expr(s"shiftleft(CAST(1 AS BIGINT), table * $lane)") - 1)
     val explodedBytes =
       e00.queryExecution.optimizedPlan.stats.sizeInBytes * tables
     val probeSide =
@@ -214,8 +222,8 @@ object Similarity {
       .where(col("a.vec_id") < col("b.vec_id"))
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 3).as("cos"))
+        round(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm") * col("b.nrm")), 3).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -241,11 +249,8 @@ object Similarity {
   val IvfCellTiers: Seq[(Long, Int)] = Seq(
     (16000L, 8), (1000000L, 64), (Long.MaxValue, 256))
 
-  private def ivfCellsFor(e: DataFrame): Int = {
-    val estRows = (e.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
-      .min(BigInt(Long.MaxValue)).toLong.max(1L)
-    IvfCellTiers.find(estRows < _._1).getOrElse(IvfCellTiers.last)._2
-  }
+  private def ivfCellsFor(e: DataFrame): Int =
+    IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
 
   /** Within-cell verified pair join shared by the seeded and fitted IVF
     * variants: self-join on `cell`, exact cosine ≥ threshold, slim
@@ -257,7 +262,8 @@ object Similarity {
       col("nrm").as("nrm_b"), col("cell"))
     a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
-        VectorFunctions.vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 3))
+        try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
+          col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -290,7 +296,8 @@ object Similarity {
       if (cells <= KMeans.MaxWhenChainCells) {
         // literal when-chain argmax: pure per-row codegen, zero shuffle
         val scores = centroids.zipWithIndex.map { case (c, i) =>
-          (VectorFunctions.vecDot(col("embedding"), typedLit(c.map(_.toFloat))) / nrm).as(s"c_$i")
+          try_divide(VectorFunctions.vecDot(col("embedding"),
+            typedLit(c.map(_.toFloat))), nrm).as(s"c_$i")
         }
         val withScores = e.select((col("vec_id") +: col("embedding") +: nrm.as("nrm") +: scores): _*)
         val best = greatest((0 until cells).map(i => col(s"c_$i")): _*)
@@ -347,10 +354,16 @@ object Similarity {
     * contract as dd6's memo: `dir` is immutable for the session's life. */
   private def cachedModel(s: SparkSession, dir: String, e: DataFrame): KMeans.Model = {
     fittedModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    fittedModels.computeIfAbsent((s, dir), { _ =>
-      KMeans.fit(e.select(col("vec_id"), col("embedding")),
+    // the multi-job fit runs OUTSIDE computeIfAbsent — holding a CHM bin
+    // lock for seconds of Spark jobs would serialize unrelated sessions
+    // (the same discipline as dd6's pair-graph cache); a rare concurrent
+    // duplicate fit is harmless, the fit is deterministic
+    val key = (s, dir)
+    Option(fittedModels.get(key)).getOrElse {
+      val m = KMeans.fit(e.select(col("vec_id"), col("embedding")),
         k = ivfCellsFor(e), maxIters = 5)
-    })
+      Option(fittedModels.putIfAbsent(key, m)).getOrElse(m)
+    }
   }
 
   /** Drop all memoized IVF models (tests / after rewriting a dir). */
@@ -385,6 +398,15 @@ object Similarity {
     (2000000L, 8, 8),   // < 2M rows: 256 buckets/table
     (Long.MaxValue, 4, 16)) // beyond: 65k buckets/table
 
+  /** Estimated embedding-corpus rows from optimizer byte statistics at
+    * ~300 parquet bytes per 64-float row — the ONE row estimator behind
+    * every tier table (KnnLshTiers, PairLshTiers, IvfCellTiers), so a
+    * recalibration can never desynchronize them. Coarse on purpose;
+    * launches no job. */
+  private def estRowsOf(df: DataFrame): Long =
+    (df.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+
   /** Batch kNN join over an arbitrary embedding DataFrame (`vec_id`,
     * `embedding`, whose arrays must all be `dim`-long — enforced with a
     * per-row assert_true so a mismatched corpus fails loudly instead of
@@ -401,10 +423,8 @@ object Similarity {
     // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
     // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At
     // corpus scale bits grows (tier table above) to bound buckets.
-    val estRows = (e00.queryExecution.optimizedPlan.stats.sizeInBytes / 300)
-      .min(BigInt(Long.MaxValue)).toLong.max(1L)
     val (_, tables, bits) =
-      KnnLshTiers.find(estRows < _._1).getOrElse(KnnLshTiers.last)
+      KnnLshTiers.find(estRowsOf(e00) < _._1).getOrElse(KnnLshTiers.last)
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val bucketCols = planes.map { tbl =>
@@ -479,8 +499,8 @@ object Similarity {
       .where(col("a.vec_id") =!= col("b.vec_id"))
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        round(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 3).as("cos"))
+        round(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm") * col("b.nrm")), 3).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))
@@ -518,8 +538,8 @@ object Similarity {
     a.join(blockPairs, "ba").join(b, Seq("bb"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
-        round(VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
-          / (col("nrm_a") * col("nrm_b")), 3).as("cos"))
+        round(try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
+          col("nrm_a") * col("nrm_b")), 3).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .orderBy(col("vec_id"), col("rk"))

@@ -63,6 +63,21 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fitted > baseline, f"k-means no better than baseline ($fitted%.4f <= $baseline%.4f)")
   }
 
+  test("fit survives a zero-norm padding row among the smallest vec_ids") {
+    import spark.implicits._
+    // a failed-embedding padding row with the SMALLEST id must not crash
+    // the fit by being picked as a seed; its data row just lands in -1
+    val zero = Seq((-1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val e = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").union(zero)
+    val m = KMeans.fit(e, k = 4, maxIters = 30)
+    assert(m.converged)
+    assert(m.centroids.forall(c => c.exists(_ != 0f)), "a zero seed slipped through")
+    val cells = KMeans.assignCells(e, m.centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(-1L) == -1, "zero-norm row must be unassignable (cell -1)")
+  }
+
   test("exploded argmax (large-k path) assigns identically to the when-chain") {
     // the k > MaxWhenChainCells assignment path must be bit-identical to
     // the literal when-chain it replaces (same arithmetic, same ties)

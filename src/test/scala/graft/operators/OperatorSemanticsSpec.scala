@@ -94,6 +94,73 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"lshNeardupPairs recall vs exact: ${lshMap.size}/${exactMap.size}")
   }
 
+  test("lshNeardupPairs emits no duplicate pairs at the 12-bit tier (lane packing)") {
+    import org.apache.spark.sql.functions._
+    // 20k vectors written to parquet so plan statistics select the
+    // middle PairLshTiers entry (4 tables x 12 bits): ids 10000+ are
+    // tiny perturbations of ids 0+, i.e. near-identical pairs that
+    // collide in EVERY table — exactly where a first-collision rule
+    // with a fold that overreads its 12-bit group would emit twice.
+    val tmp = java.nio.file.Files.createTempDirectory("lsh12").toString
+    try {
+      val base = spark.range(10000).select(col("id").as("vec_id"),
+        expr("transform(sequence(0,63), j -> CAST(sin(CAST(id*64+j AS DOUBLE)) AS FLOAT))")
+          .as("embedding"))
+      val near = spark.range(10000).select((col("id") + 10000).as("vec_id"),
+        expr("transform(sequence(0,63), j -> CAST(sin(CAST(id*64+j AS DOUBLE)) + 0.001 AS FLOAT))")
+          .as("embedding"))
+      base.union(near).write.mode("overwrite").parquet(tmp)
+      val e = spark.read.parquet(tmp)
+      // the test must actually sit in the 12-bit tier — recompute the
+      // estimator's inputs so fixture-size drift fails loudly
+      val estRows = (e.queryExecution.optimizedPlan.stats.sizeInBytes / 300).toLong
+      assert(estRows >= 16000 && estRows < 2000000,
+        s"estimated $estRows rows misses the 12-bit tier; resize the fixture")
+      val out = Similarity.lshNeardupPairs(e, 0.9)
+      val n = out.count()
+      val distinctN = out.select("vec_a", "vec_b").distinct().count()
+      assert(n == distinctN, s"join-time dedup emitted ${n - distinctN} duplicate pairs")
+      assert(n >= 9000, s"only $n of ~10000 planted near-identical pairs found")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("dd5 with an ACTIVE bucket cap still equals the capped naive distinct form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // cap=2 forcibly excludes every band bucket of size > 2 on the real
+    // fixture, so pairs whose FIRST colliding band is cap-excluded must
+    // still surface via a later surviving band (the naive reference:
+    // cap filter + join + dropDuplicates)
+    val cap = 2
+    val sig = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+      .where(col("bsz") <= cap)
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("chunk"))
+    val naive = a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 3)
+    val expected = pairs(naive, "doc_a", "doc_b")
+    val capped = Dedup.dd5FromWithCap(graft.tables.Tables.documents(spark, dir), cap)
+    val got = pairs(capped, "doc_a", "doc_b")
+    assert(got == expected,
+      s"capped dd5 diverged from naive: missing ${expected -- got}, extra ${got -- expected}")
+    assert(capped.count() == got.size, "duplicate pairs escaped the join-time dedup")
+  }
+
   test("semanticEdges: exact below the byte cap, LSH plan above it") {
     import org.apache.spark.sql.functions._
     val e = graft.tables.Tables.embeddings(spark, dir)
