@@ -341,6 +341,15 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
                        owner: Option[String] = None,
                        group: Option[String] = None): Map[String, String] = {
     import org.apache.hadoop.fs.permission.{AclEntry, AclEntryScope, AclEntryType, FsAction, FsPermission}
+    // REST contract (client.py:617-619 headers): x-ms-acl and
+    // x-ms-permissions are mutually exclusive on Azure, and a PATCH with
+    // neither acl, permission, owner nor group is an error — mirror both
+    // instead of silently no-op'ing / letting the ACL override the bits
+    require(acl.isEmpty || permission.isEmpty,
+      "setAccessControl: acl and permission are mutually exclusive " +
+        "(ADLS rejects x-ms-acl combined with x-ms-permissions)")
+    require(acl.isDefined || permission.isDefined || owner.isDefined || group.isDefined,
+      "setAccessControl: at least one of acl/permission/owner/group is required")
     val p = resolve(filesystem, path)
     require(fs.exists(p), s"setAccessControl: no such path: $path")
     permission.foreach { s =>

@@ -120,8 +120,12 @@ object Multimodal {
       else {
         val h = math.max(1,
           math.round(img.getHeight * targetWidth.toDouble / img.getWidth).toInt)
-        val out = new java.awt.image.BufferedImage(
-          targetWidth, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // preserve transparency: INT_RGB would composite PNG/GIF alpha
+        // onto black in the re-encode (PNG supports alpha either way)
+        val imgType =
+          if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val out = new java.awt.image.BufferedImage(targetWidth, h, imgType)
         val g = out.createGraphics()
         try {
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -482,11 +482,36 @@ object Dedup {
     * inverted-index join, not a broadcast. */
   val MaxBenchmarkBytes: Long = 128L << 20
 
+  /** Row cap for the benchmark fallback probe: without CBO a Filter
+    * inherits its CHILD's byte estimate, so a benchmark carved out of a
+    * large corpus (the fixture's `doc_id % 50 == 0`) is estimated at
+    * full-corpus size and the byte guard alone would spuriously fail
+    * once the corpus tops ~128 MB. When bytes over-estimate, a BOUNDED
+    * `limit(cap+1).count()` probe settles it — the scan short-circuits
+    * at cap+1 rows, so the probe is benchmark-sized even on a 100 TB
+    * corpus. 200k docs × ~2 KB ≈ 400 MB of text upper-bounds any real
+    * eval suite and still broadcasts as a distinct shingle set. */
+  val MaxBenchmarkRows: Long = 200000L
+
   def decontaminateFrom(corpus: DataFrame, benchmark: DataFrame,
-                        minShared: Int = MinContamShingles): DataFrame = {
-    Guards.requireEstimatedBytesAtMost(benchmark, MaxBenchmarkBytes,
-      "decontaminateFrom benchmark side (broadcast; for corpus-vs-corpus " +
-        "overlap use the dd4 inverted-index join)")
+                        minShared: Int = MinContamShingles): DataFrame =
+    decontaminateFromWithCaps(corpus, benchmark, minShared,
+      MaxBenchmarkBytes, MaxBenchmarkRows)
+
+  private[operators] def decontaminateFromWithCaps(
+      corpus: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxBytes: Long, maxRows: Long): DataFrame = {
+    // cheap no-job byte check first; only an over-estimate pays the
+    // bounded counting probe (construction stays job-free in the common
+    // benchmark-read-from-its-own-small-source case)
+    val est = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > maxBytes) {
+      val probed = benchmark.limit((maxRows + 1).toInt).count()
+      require(probed <= maxRows,
+        s"decontaminateFrom benchmark side: > $maxRows rows — too " +
+          "large to broadcast as a shingle set; for corpus-vs-corpus " +
+          "overlap use the dd4 inverted-index join")
+    }
     val corpusSh = withShingles(corpus)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val benchSh = broadcast(

@@ -153,6 +153,15 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       client.setAccessControl("acl", "nope.txt", permission = Some("644"))
     }
+    // REST contract: acl + permission are mutually exclusive on Azure,
+    // and an all-None PATCH is an error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      client.setAccessControl("acl", "guarded.txt",
+        acl = Some("user::rwx,group::r--,other::---"), permission = Some("750"))
+    }
+    intercept[IllegalArgumentException] {
+      client.setAccessControl("acl", "guarded.txt")
+    }
     client.deleteFilesystem("acl")
   }
 

@@ -197,6 +197,26 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"flagged ${flagged.size} contaminated docs (${nearDupOfBench.size} via near-dup pairs)")
   }
 
+  test("decontamination guard: byte over-estimate falls back to a bounded row probe") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    // a 1-byte cap forces the byte estimate over; the bounded row probe
+    // must accept a genuinely small benchmark (the fixture bench is 10
+    // docs carved from the corpus — exactly the CBO-less Filter case
+    // whose inherited full-corpus estimate used to spuriously fail)
+    val viaProbe = Dedup.decontaminateFromWithCaps(corpus, bench, 3, 1L, 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val normal = Dedup.dd8Decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaProbe == normal)
+    // and a benchmark over the row cap still fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateFromWithCaps(corpus, bench, 3, 1L, 3L)
+    }
+  }
+
   test("hash split is deterministic, total, and ~90/5/5") {
     val a = CorpusPipeline.cp1HashSplit(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1))
