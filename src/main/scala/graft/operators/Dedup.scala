@@ -132,29 +132,90 @@ object Dedup {
     * (df-cutoff) shingle sets — the same sets dd4 scores, so dd3 ⊆ dd4
     * by construction. Plan shape: per-row signature (codegen) ->
     * posexplode 16 bands -> shuffle on (band, bucket) -> cap bucket size
-    * -> self-join within buckets -> distinct candidate pairs -> verify.
+    * -> self-join within buckets, candidate pairs deduplicated AT the
+    * join by the first-surviving-collision rule (dd5's shape — no
+    * distinct shuffle of the candidate explosion) -> verify.
     * No oracle: LSH recall is ~.9998, not 1, so the exact-SQL answer can
     * differ — rows-only check; dd4 carries the exact-Jaccard oracle. */
-  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    dd3From(Tables.documents(s, dir))
+  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val shingled = withShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), col("shingles"))
+    dd3FromParts(shingled, cachedKeptShingles(s, dir))
+  }
 
   /** dd3 over an arbitrary documents DataFrame (`doc_id`, `text`). */
-  def dd3From(docs: DataFrame): DataFrame = {
+  def dd3From(docs: DataFrame): DataFrame = dd3FromWithCap(docs, MaxBucketSize)
+
+  /** dd3 with an explicit bucket cap (tests exercise tiny caps to force
+    * the cap/first-collision interaction; the public entries bind
+    * [[MaxBucketSize]]). */
+  private[operators] def dd3FromWithCap(docs: DataFrame, maxBucket: Int): DataFrame = {
     val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
-    // slim candidate generation: only (doc_id, band, bucket) flows through
-    // the self-join; shingle sets rejoin AFTER the distinct pair set is
-    // known (candidates << corpus, so the two hash joins are cheap)
-    val bands = minhashSigs(shingled)
+    dd3FromParts(shingled, keptShingles(shingled), maxBucket)
+  }
+
+  private def dd3FromParts(shingled: DataFrame, kept: DataFrame,
+                           maxBucket: Int = MaxBucketSize): DataFrame = {
+    // slim candidate generation: only (doc_id, band, bucket) plus five
+    // dedup longs flow through the self-join; shingle sets rejoin AFTER
+    // the pair set is known (candidates << corpus, so the two hash joins
+    // are cheap).
+    //
+    // Join-time candidate dedup (replacing the round-1..4 `.distinct()`
+    // shuffle): the join key stays the FULL 64-bit band hash (bucket =
+    // signature-group identity — truncating it would merge distinct
+    // sig-groups and melt the cap at corpus scale), while the
+    // first-collision rule consults 16-bit truncations of all 16 band
+    // hashes packed into four longs (long i holds bands 4i..4i+3, dd5's
+    // lane shape x4). A pair is kept only at its first band that both
+    // collides and survived the bucket cap — survival at a COLLIDING
+    // band is a property of the shared bucket, so side a's mask bit is
+    // authoritative (the dd5 argument). A 16-bit lane can alias (equal
+    // lanes, different buckets) and wrongly veto a keep: probability
+    // 2^-16 per earlier band, deterministic (xxhash64), and dd3 is
+    // already an approximate operator with ~.9998 banding recall — the
+    // alias term is noise against it, and NO duplicates are ever
+    // emitted.
+    val packs = (0 until 4).map { i =>
+      (0 until 4).map { g =>
+        shiftleft(element_at(col("bands"), i * 4 + g + 1).bitwiseAND(0xFFFFL), 16 * g)
+      }.reduce((x, y) => x.bitwiseOR(y)).as(s"p_$i")
+    }
+    val banded = minhashSigs(shingled)
       .withColumn("bands", bandCol)
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .select((col("doc_id") +: packs) :+
+        posexplode(col("bands")).as(Seq("band", "bucket")): _*)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bsz") <= MaxBucketSize)
-      .select(col("doc_id"), col("band"), col("bucket"))
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val keptSets = keptShingles(shingled)
+      .where(col("bsz") <= maxBucket)
+      .withColumn("bmask",
+        sum(expr("shiftleft(CAST(1 AS BIGINT), band)"))
+          .over(Window.partitionBy(col("doc_id"))))
+    val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
+      col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
+    val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
+      (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
+    // per packed long: OR-fold each 16-bit group of the XOR down to its
+    // low marker bit (set = lanes DIFFER at that band ⟹ buckets differ ⟹
+    // no earlier join), then gather the four markers of each long into a
+    // 16-bit differs-mask indexed by band. Sign-extension from the
+    // arithmetic shifts (≤ 8 positions) never reaches a marker bit.
+    val groupBits = lit(0x0001000100010001L)
+    val differs16 = (0 until 4).map { i =>
+      val xor = col(s"pa_$i").bitwiseXOR(col(s"pb_$i"))
+      val collapsed = Seq(1, 2, 4, 8)
+        .foldLeft(xor)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
+        .bitwiseAND(groupBits)
+      (0 until 4).map(g =>
+        shiftleft(shiftright(collapsed, 16 * g).bitwiseAND(1L), 4 * i + g))
+        .reduce((x, y) => x.bitwiseOR(y))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - 1
+    val cand = a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(differs16.bitwiseOR(bitwise_not(col("bmask_a")))
+        .bitwiseAND(earlierMask) === earlierMask)
+      .select(col("doc_a"), col("doc_b"))
+    val keptSets = kept
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
     cand
       .join(keptSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -174,11 +235,13 @@ object Dedup {
     * per-doc kept-set sizes. This is the exact ground truth dd3
     * approximates; the DuckDB oracle mirrors it including the cutoff. */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    dd4From(Tables.documents(s, dir))
+    dd4FromKept(cachedKeptShingles(s, dir))
 
   /** dd4 over an arbitrary documents DataFrame (`doc_id`, `text`). */
-  def dd4From(docs: DataFrame): DataFrame = {
-    val kept = keptShingles(withShingles(docs))
+  def dd4From(docs: DataFrame): DataFrame =
+    dd4FromKept(keptShingles(withShingles(docs)))
+
+  private def dd4FromKept(kept: DataFrame): DataFrame = {
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -296,11 +359,42 @@ object Dedup {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Persisted discriminative-shingle frame per (session, dir): dd3's
+    * verification sets, dd4's inverted index and (through dd4) dd6's
+    * pair graph all start from the SAME exploded df-cutoff shingles —
+    * the window count over `sh` is the single most expensive shared
+    * stage, and a pipeline running dd3 -> dd4 -> dd6 was paying it
+    * three times through lineage. Same staleness/eviction contract as
+    * [[cachedPairGraph]]. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Sessions that already carry the shutdown-eviction listener: ONE
     * listener per SparkSession however many dirs it clusters (a listener
     * per cache entry accumulated on the bus of a long-lived session). */
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def sweepAndHook(s: SparkSession): Unit = {
+    pairGraphCache.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    shingleCache.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    evictionHooked.removeIf(_.sparkContext.isStopped)
+    // evict on session shutdown too — the access-time sweep above only
+    // runs if the memo is consulted again, which a teardown never does.
+    // Hooked OUTSIDE computeIfAbsent (no bus registration under the CHM
+    // bin lock) and at most once per session.
+    if (evictionHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          pairGraphCache.keySet().removeIf { case (sess, _) => sess eq s }
+          shingleCache.keySet().removeIf { case (sess, _) => sess eq s }
+          evictionHooked.remove(s)
+          ()
+        }
+      })
+    }
+  }
 
   /** Persisted dd4 pair graph, one per (session, scale dir). Bounded: one
     * slim (doc_a, doc_b) frame per fixture dir actually queried. Entries
@@ -310,45 +404,46 @@ object Dedup {
     * for the fixture dirs); after rewriting data in place, call
     * [[invalidate]] (or [[clearCaches]]) before re-clustering. */
   private def cachedPairGraph(s: SparkSession, dir: String): DataFrame = {
-    pairGraphCache.keySet().removeIf { case (sess, _) =>
-      sess.sparkContext.isStopped
-    }
-    evictionHooked.removeIf(_.sparkContext.isStopped)
-    // evict on session shutdown too — the access-time sweep above only
-    // runs if dd6 is called again, which a teardown never does. Hooked
-    // OUTSIDE computeIfAbsent (no bus registration under the CHM bin
-    // lock) and at most once per session.
-    if (evictionHooked.add(s)) {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          pairGraphCache.keySet().removeIf { case (sess, _) => sess eq s }
-          evictionHooked.remove(s)
-          ()
-        }
-      })
-    }
+    sweepAndHook(s)
     pairGraphCache.computeIfAbsent((s, dir), { _ =>
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
 
-  /** Drop the memoized pair graph for one data dir (call after rewriting
-    * the documents under it). */
-  def invalidate(s: SparkSession, dir: String): Unit =
+  /** Memoized [[keptShingles]] over the fixture documents of `dir` —
+    * persisted so the shingle explosion + df-cutoff window (a full-text
+    * tokenize + one shuffle on `sh`) is computed once per (session,
+    * dir) however many of dd3/dd4/dd6 run. */
+  private def cachedKeptShingles(s: SparkSession, dir: String): DataFrame = {
+    sweepAndHook(s)
+    shingleCache.computeIfAbsent((s, dir), { _ =>
+      keptShingles(withShingles(Tables.documents(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** Drop the memoized pair graph + shingle frame for one data dir (call
+    * after rewriting the documents under it). */
+  def invalidate(s: SparkSession, dir: String): Unit = {
     Option(pairGraphCache.remove((s, dir)))
       .foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () })
+    Option(shingleCache.remove((s, dir)))
+      .foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () })
+  }
 
-  /** Drop all memoized pair graphs (tests / session teardown). */
+  /** Drop all memoized pair graphs and shingle frames (tests / session
+    * teardown). */
   def clearCaches(): Unit = {
-    pairGraphCache.forEach { (k, df) =>
-      if (!k._1.sparkContext.isStopped) {
-        try { df.unpersist(false); () }
-        catch { case scala.util.control.NonFatal(_) => }
+    Seq(pairGraphCache, shingleCache).foreach { cache =>
+      cache.forEach { (k, df) =>
+        if (!k._1.sparkContext.isStopped) {
+          try { df.unpersist(false); () }
+          catch { case scala.util.control.NonFatal(_) => }
+        }
       }
+      cache.clear()
     }
-    pairGraphCache.clear()
   }
 
   /** Connected components over an arbitrary precomputed pair graph —

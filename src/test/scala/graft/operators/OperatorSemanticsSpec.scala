@@ -42,6 +42,70 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recall too low: ${approx.size}/${exact.size}")
   }
 
+  /** The pre-round-5 dd3 shape — banded join + candidate `.distinct()` +
+    * exact-Jaccard verification — rebuilt inline as the naive reference
+    * for the join-time first-collision dedup, with an explicit cap. */
+  private def dd3Naive(cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val shingled = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), col("shingles"))
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"sig_$i"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandsArr = array((0 until 16).map { bnd =>
+      xxhash64((lit(bnd) +: (0 until 4).map(r => col(s"sig_${bnd * 4 + r}"))): _*)
+    }: _*)
+    val banded = sigs.withColumn("bands", bandsArr)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bsz") <= cap)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val kept = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("df") <= Dedup.MaxShingleDf)
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+    cand
+      .join(kept.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  test("dd3 join-time first-collision dedup reproduces the naive distinct pair set") {
+    val expected = pairs(dd3Naive(Dedup.MaxBucketSize), "doc_a", "doc_b")
+    val got = Dedup.dd3MinhashLsh(spark, dir)
+    val gotPairs = pairs(got, "doc_a", "doc_b")
+    assert(gotPairs == expected,
+      s"first-collision dedup changed the dd3 pair set: " +
+        s"missing ${expected -- gotPairs}, extra ${gotPairs -- expected}")
+    assert(got.count() == gotPairs.size, "duplicate pairs escaped the join-time dedup")
+  }
+
+  test("dd3 with an ACTIVE bucket cap still equals the capped naive distinct form") {
+    // cap=2 forcibly excludes band buckets on the real fixture: pairs
+    // whose FIRST colliding band is cap-excluded must still surface via
+    // a later surviving band (the bmask veto-lift)
+    val cap = 2
+    val expected = pairs(dd3Naive(cap), "doc_a", "doc_b")
+    val capped = Dedup.dd3FromWithCap(graft.tables.Tables.documents(spark, dir), cap)
+    val got = pairs(capped, "doc_a", "doc_b")
+    assert(got == expected,
+      s"capped dd3 diverged from naive: missing ${expected -- got}, extra ${got -- expected}")
+    assert(capped.count() == got.size, "duplicate pairs escaped the join-time dedup")
+  }
+
   test("ANN candidates (ss2 LSH, ss4 IVF) are subsets of the exact pair set (ss3)") {
     val exact = pairs(Similarity.ss3EmbeddingNeardup(spark, dir)
       .where("cos >= 0.45"), "vec_a", "vec_b")
