@@ -84,6 +84,50 @@ object ScaleSmoke {
         docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0)).count()
     }
+    // approximation QUALITY at the scaled tiers, not just bounded work:
+    // ground truth restricted to pairs within a ~1/7 sample (exact
+    // all-pairs on the sample is ~33M dots — cheap), compared against
+    // the FULL-corpus approximate run's pairs inside the sample. Bucket
+    // population and tier geometry are those of the full corpus, so the
+    // measured recall is the tier's, not a small-corpus proxy.
+    def sampleRecall(name: String, approx: => DataFrame, threshold: Double,
+                     bar: Double): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val sample = embs.where(col("vec_id") % 7 === 0)
+        val exact = graft.operators.Similarity.exactNeardupPairs(sample, threshold)
+          .select(col("vec_a"), col("vec_b"))
+        val inSample = approx
+          .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
+          .select(col("vec_a"), col("vec_b"))
+        val truth = exact.count()
+        val hit = inSample.join(exact, Seq("vec_a", "vec_b"), "left_semi").count()
+        val recall = if (truth == 0) 1.0 else hit.toDouble / truth
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"recall $recall%.3f ($hit/$truth sampled pairs)")
+        if (recall < bar) {
+          failed = true
+          println(f"$name recall $recall%.3f below the $bar%.2f bar — bump the tier table")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+    sampleRecall("recall: lshNeardupPairs@.45",
+      graft.operators.Similarity.lshNeardupPairs(embs, 0.45), 0.45, bar = 0.8)
+    // seeded = the oracle-free stand-in (random centroids; measured .70
+    // at the 64-cell tier); fitted = the production path, held to the
+    // .75 bar (measured .833 at this tier — Lloyd-balanced cells)
+    sampleRecall("recall: ss4 IVF (seeded)@.4",
+      graft.operators.Similarity.ss4From(embs), 0.4, bar = 0.5)
+    sampleRecall("recall: ss4 IVF (fitted)@.4", {
+      val m = graft.operators.KMeans.fit(embs, k = 64, maxIters = 5)
+      graft.operators.Similarity.ivfCellPairs(
+        graft.operators.KMeans.assignTopCells(embs, m.centroids, 3), 0.4)
+    }, 0.4, bar = 0.75)
+
     timed("dd7_cluster (CC over LSH edges)") {
       // the forced-LSH edge source semanticEdges picks above the exact-
       // scan byte cap — exercised explicitly so the smoke demonstrates

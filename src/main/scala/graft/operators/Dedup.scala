@@ -194,20 +194,21 @@ object Dedup {
       col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
     val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
       (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
-    // per packed long: OR-fold each 16-bit group of the XOR down to its
-    // low marker bit (set = lanes DIFFER at that band ⟹ buckets differ ⟹
-    // no earlier join), then gather the four markers of each long into a
-    // 16-bit differs-mask indexed by band. Sign-extension from the
-    // arithmetic shifts (≤ 8 positions) never reaches a marker bit.
-    val groupBits = lit(0x0001000100010001L)
+    // per packed long: test each 16-bit lane of the XOR directly (lane
+    // nonzero = lanes DIFFER at that band ⟹ buckets differ ⟹ no earlier
+    // join) and set that band's bit in a 16-bit differs-mask. FLAT
+    // per-lane tests, not dd5's log-shift OR-fold: folding at the Column
+    // level duplicates the whole accumulator subtree per step, and at 4
+    // longs × 4 gather terms the generated predicate blew past the
+    // codegen limits and fell back to interpreted eval inside the join
+    // condition — measured 54 s vs 16.5 s for this flat form on the
+    // same 13.5M joined rows at 20× (NOTES round-5).
     val differs16 = (0 until 4).map { i =>
       val xor = col(s"pa_$i").bitwiseXOR(col(s"pb_$i"))
-      val collapsed = Seq(1, 2, 4, 8)
-        .foldLeft(xor)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
-        .bitwiseAND(groupBits)
-      (0 until 4).map(g =>
-        shiftleft(shiftright(collapsed, 16 * g).bitwiseAND(1L), 4 * i + g))
-        .reduce((x, y) => x.bitwiseOR(y))
+      (0 until 4).map { g =>
+        when(shiftright(xor, 16 * g).bitwiseAND(0xFFFFL) =!= 0,
+          lit(1L << (4 * i + g))).otherwise(0L)
+      }.reduce((x, y) => x.bitwiseOR(y))
     }.reduce((x, y) => x.bitwiseOR(y))
     val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - 1
     val cand = a.join(b, Seq("band", "bucket"))
@@ -471,7 +472,15 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(pairs.columns(1), pairs.columns(0)))
         .toDF("u", "v")
-      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      // propagate over EDGE-TOUCHED nodes only: an untouched document is
+      // a singleton whose label never changes, so carrying the whole
+      // corpus through every iteration's groupBy re-shuffles billions of
+      // static rows at 100 TB for nothing — the loop's working set is
+      // the (far smaller) node set of the pair graph; untouched docs
+      // union back in as singletons at the end.
+      val touched = edges.select(col("u").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = touched.select(col("doc_id"), col("doc_id").as("label"))
       var converged = false
       var iters = 0
       while (!converged && iters < DdMaxIterations) {
@@ -486,10 +495,15 @@ object Dedup {
         converged = changed == 0
         iters += 1
       }
+      touched.unpersist(false)
       if (!converged) throw new IllegalStateException(
         s"connected components did not converge in $DdMaxIterations rounds — " +
           "component diameter exceeds the iteration cap; raise DdMaxIterations")
-      labels
+      // untouched docs are their own singleton components
+      val singletons = docs.select(col("doc_id"))
+        .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      labels.union(singletons)
         .select(col("doc_id"), col("label").as("cluster_rep"),
           (col("label") === col("doc_id")).as("keep"))
         .orderBy(col("doc_id"))

@@ -79,6 +79,82 @@ object KMeans {
     withScores.select(col("vec_id"), guarded.as("cell"))
   }
 
+  /** Multi-probe cell assignment: each vector's `nProbe` BEST cells by
+    * cosine — the production IVF probe set ([[Similarity]] ss4: pairs
+    * straddling a cell boundary are unfindable under single-probe no
+    * matter how good the centroids are; probing the few nearest cells
+    * recovers them). Returns (vec_id, embedding, nrm, cells) with
+    * `cells` best-first, ties to the LOWER cell id (the [[assignCells]]
+    * rule — `cells[0]` is bit-identical to its `cell`); unassignable
+    * rows (zero-norm, wrong-dim) get an empty array / drop out.
+    *
+    * Plan shape mirrors the argmax split: k ≤ [[MaxWhenChainCells]]
+    * scores all cells per row and top-n's them INSIDE the row (literal
+    * array sort — pure per-row codegen, zero shuffle, embedding carried
+    * on the same row); larger k explodes slim (vec_id, cell, score)
+    * rows, aggregates a per-vector sorted top-n (one tiny-key shuffle),
+    * and joins the embeddings back. */
+  def assignTopCells(e: DataFrame, centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    assignTopCellsWith(e, centroids, nProbe, cnorms)
+  }
+
+  /** [[assignTopCells]] with explicit centroid norms (the seeded ss4
+    * variant scores raw dot/|e|, i.e. norms forced to 1.0). */
+  private[graft] def assignTopCellsWith(e: DataFrame, centroids: Seq[Array[Float]],
+                                        nProbe: Int, cnorms: Seq[Double]): DataFrame = {
+    require(nProbe >= 1, "assignTopCells: nProbe must be >= 1")
+    VectorFunctions.ensureRegistered(e.sparkSession)
+    require(centroids.forall(c => c.exists(_ != 0f)),
+      "assignTopCells: centroids must be non-zero")
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    if (centroids.size > MaxWhenChainCells) {
+      val top = assignTopCellsExploded(e, centroids, nrm, cnorms, nProbe)
+      top.join(e.select(col("vec_id"), col("embedding"), nrm.as("nrm")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cells"))
+    } else {
+      // literal scored array sorted per row: struct(score, -cell) sorted
+      // descending = best score first, ties to the lower cell id; NULL
+      // (zero-norm / wrong-dim) and NaN scores filtered before the sort
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          try_divide(VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)),
+            nrm * cnorms(i)).as("score"),
+          lit(-i).as("negcell"))
+      }: _*)
+      val valid = filter(scored, x =>
+        x.getField("score").isNotNull && !isnan(x.getField("score")))
+      val top = slice(sort_array(valid, asc = false), 1, nProbe)
+      e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
+        transform(top, x => (-x.getField("negcell")).cast("int")).as("cells"))
+    }
+  }
+
+  /** Slim large-k top-n assignment: explode the literal centroid table,
+    * score with the SAME arithmetic as the when-chain, keep each
+    * vector's sorted top-n as an array — collect_list is bounded at k
+    * structs per vector and the shuffle rows are (vec_id, cell, score)
+    * only. */
+  private[operators] def assignTopCellsExploded(
+      e: DataFrame, centroids: Seq[Array[Float]], nrm: Column,
+      cnorms: Seq[Double], nProbe: Int): DataFrame = {
+    val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
+      case (c, i) => (i, c.toSeq, cnorms(i))
+    }
+    e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
+        explode(typedLit(ctab)).as("cc"))
+      .select(col("vec_id"), col("cc._1").as("cell"),
+        try_divide(VectorFunctions.vecDot(col("embedding"), col("cc._2")),
+          col("nrm") * col("cc._3")).as("score"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+      .groupBy(col("vec_id"))
+      .agg(slice(
+        sort_array(collect_list(struct(col("score"), (-col("cell")).as("negcell"))),
+          asc = false), 1, nProbe).as("top"))
+      .select(col("vec_id"),
+        transform(col("top"), x => (-x.getField("negcell")).cast("int")).as("cells"))
+  }
+
   /** Large-k assignment (see [[MaxWhenChainCells]]): explode a literal
     * (cell, centroid, centroidNorm) table per row, score each pair with
     * the SAME `dot / (rowNorm * centroidNorm)` arithmetic as the

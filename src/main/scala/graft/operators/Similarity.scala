@@ -103,7 +103,7 @@ object Similarity {
   /** The exact block-pair scan behind ss3, over an arbitrary embedding
     * DataFrame — UNGUARDED (callers size-check; [[semanticEdges]] routes
     * large corpora to LSH instead). */
-  private[operators] def exactNeardupPairs(e00: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def exactNeardupPairs(e00: DataFrame, threshold: Double): DataFrame = {
     val s = e00.sparkSession
     VectorFunctions.ensureRegistered(s)
     // Exact all-pairs, but NOT via a nested-loop theta join: vectors get a
@@ -241,26 +241,69 @@ object Similarity {
 
   /** IVF coarse-cell count by estimated corpus rows: per-cell population
     * ≈ N/cells is what the within-cell self-join squares, so cells must
-    * grow with N (production rule of thumb: cells ≈ √N, recall recovered
-    * by probing several nearest cells). Capped at 256 — the argmax
-    * when-chain is per-row codegen over `cells` branches; beyond that
-    * the assignment should become a broadcast-centroid join + max_by
-    * aggregation (same plan [[KMeans.assignCells]] would move to). */
+    * grow with N (production rule of thumb: cells ≈ √N; recall across
+    * cell boundaries comes from [[IvfNProbe]]-way multi-probe). Capped
+    * at 256 — the argmax when-chain is per-row codegen over `cells`
+    * branches; beyond that the assignment should become a
+    * broadcast-centroid join + max_by aggregation (same plan
+    * [[KMeans.assignCells]] would move to). */
   val IvfCellTiers: Seq[(Long, Int)] = Seq(
     (16000L, 8), (1000000L, 64), (Long.MaxValue, 256))
+
+  /** Cells probed per vector (ss4/ss4_fitted): single-probe IVF loses
+    * every pair straddling a cell boundary — measured recall .317
+    * seeded / .500 fitted at sf0.01 — while probing the 3 nearest cells
+    * recovers the standard production recall/work trade. Candidate
+    * volume scales ~nProbe² per cell pair but stays bucket-bounded:
+    * per-cell population is still ≈ nProbe·N/cells. */
+  val IvfNProbe = 3
 
   private def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
 
-  /** Within-cell verified pair join shared by the seeded and fitted IVF
-    * variants: self-join on `cell`, exact cosine ≥ threshold, slim
-    * output. `assigned` = (vec_id, embedding, nrm, cell). */
-  private def ivfCellPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"), col("cell"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"), col("cell"))
+  /** Floor for the IVF cell-population cap: caps below this never
+    * engage (fixture scales must stay cap-free so the sf0.01 recall
+    * measurements and subset proofs see the pure algorithm). */
+  val MinIvfCellCap = 200
+
+  /** Population cap for one IVF cell: 4× the fair share
+    * `nProbe·N/cells`. A cell catching far more than its share marks
+    * degenerate geometry (random centroids on clustered data, or a
+    * near-duplicate flood all assigning to one cell) whose within-cell
+    * self-join goes quadratic; like the dd3/dd5/ss2 bucket caps the
+    * guard trades those cells' pairs away to bound the join — the
+    * verified-subset contract is unaffected. DORMANT at the measured
+    * fixture/smoke scales (20× smoke: zero pairs lost); it exists for
+    * the adversarial tail, exactly like its siblings. */
+  private def ivfMaxCellPop(e: DataFrame, cells: Int, nProbe: Int): Long =
+    math.max(MinIvfCellCap.toLong, 4L * nProbe * (estRowsOf(e) / cells))
+
+  /** Multi-probe within-cell verified pair join shared by the seeded and
+    * fitted IVF variants: explode each vector into its probe cells, drop
+    * cells over `maxPop` and REBUILD each vector's surviving probe set
+    * (so the dedup rule below sees only cells that can actually join —
+    * the dd5 cap-survival argument), self-join on `cell`, keep each pair
+    * only at its MINIMUM shared surviving cell (the first-shared-cell
+    * rule — probe sets are ≤ [[IvfNProbe]] ints carried through the
+    * join, so the intersect/min dedup is a few codegen'd array ops per
+    * joined row, no distinct shuffle), verify with exact cosine ≥
+    * threshold, slim output. `assigned` = (vec_id, embedding, nrm,
+    * cells). */
+  private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
+                                  maxPop: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex0 = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("cells")).as("cell"))
+      .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .where(col("pop") <= maxPop)
+    val ex = ex0.withColumn("cells",
+      collect_list(col("cell")).over(Window.partitionBy(col("vec_id"))))
+    val a = ex.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cells").as("cells_a"), col("cell"))
+    val b = ex.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cells").as("cells_b"), col("cell"))
     a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .where(col("cell") === array_min(array_intersect(col("cells_a"), col("cells_b"))))
       .withColumn("cos", round(
         try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
           col("nrm_a") * col("nrm_b")), 3))
@@ -270,12 +313,12 @@ object Similarity {
   }
 
   /** ss4_ann_ivf — approximate all-pairs similarity, IVF-style: assign
-    * each vector to its nearest coarse centroid (deterministic seeded
-    * centroids here for oracle-free reproducibility —
-    * [[ss4AnnIvfFitted]] is the learned-centroid variant), then search
-    * only within cells. Same bucket-join shape as ss2 with a
-    * learned-partition flavor; probing the single nearest cell trades
-    * recall for a smaller candidate set. Cell count is TIERED by
+    * each vector to its [[IvfNProbe]] nearest coarse centroids
+    * (deterministic seeded centroids here for oracle-free
+    * reproducibility — [[ss4AnnIvfFitted]] is the learned-centroid
+    * variant), then search only within shared cells. Same bucket-join
+    * shape as ss2 with a learned-partition flavor; multi-probe recovers
+    * the pairs that straddle a cell boundary. Cell count is TIERED by
     * estimated corpus rows ([[IvfCellTiers]]) so per-cell population —
     * and the within-cell self-join — stays bounded as N grows. No
     * oracle (approximate): rows-only check. */
@@ -283,63 +326,46 @@ object Similarity {
     ss4From(Tables.embeddings(s, dir))
 
   /** Seeded-centroid IVF over an arbitrary embedding DataFrame. */
-  def ss4From(e: DataFrame): DataFrame = {
+  def ss4From(e: DataFrame): DataFrame =
+    ss4Seeded(e, ivfCellsFor(e), IvfNProbe)
+
+  /** Seeded IVF with explicit geometry (ScaleSmoke sweeps it; the public
+    * entry binds the tier table + [[IvfNProbe]]). */
+  private[graft] def ss4Seeded(e: DataFrame, cells: Int, nProbe: Int): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
     val dim = 64
-    val cells = ivfCellsFor(e)
     val rnd = new scala.util.Random(7)
     val centroids: Seq[Seq[Double]] = Seq.fill(cells, dim)(rnd.nextGaussian())
-    // nearest centroid by raw dot/|e| (seeded centroids deliberately NOT
-    // norm-divided — preserved fixture-scale form)
-    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
-    val assigned =
-      if (cells <= KMeans.MaxWhenChainCells) {
-        // literal when-chain argmax: pure per-row codegen, zero shuffle
-        val scores = centroids.zipWithIndex.map { case (c, i) =>
-          try_divide(VectorFunctions.vecDot(col("embedding"),
-            typedLit(c.map(_.toFloat))), nrm).as(s"c_$i")
-        }
-        val withScores = e.select((col("vec_id") +: col("embedding") +: nrm.as("nrm") +: scores): _*)
-        val best = greatest((0 until cells).map(i => col(s"c_$i")): _*)
-        val cell = (0 until cells).foldRight(lit(-1)) { (i, els) =>
-          when(col(s"c_$i") === best, lit(i)).otherwise(els)
-        }
-        withScores.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
-      } else {
-        // past the when-chain codegen limit: exploded argmax (see
-        // KMeans.MaxWhenChainCells). Centroid norms forced to 1.0 —
-        // x*1.0 is exact, so scores match the when-chain's dot/|e|
-        // bit for bit.
-        KMeans.assignCellsExploded(e,
-            centroids.map(_.map(_.toFloat).toArray), nrm,
-            centroids.map(_ => 1.0))
-          .join(e.select(col("vec_id"), col("embedding"), nrm.as("nrm")), "vec_id")
-      }
-    ivfCellPairs(assigned, 0.4)
+    // nearest centroids by raw dot/|e| (seeded centroids deliberately NOT
+    // norm-divided — norms forced to 1.0, x*1.0 exact, preserved
+    // fixture-scale form). Probe-set assignment keeps the argmax plan
+    // split: per-row sorted literal array under the when-chain cap, slim
+    // exploded top-n + embedding re-join past it (KMeans.assignTopCells).
+    val assigned = KMeans.assignTopCellsWith(e,
+      centroids.map(_.map(_.toFloat).toArray), nProbe,
+      centroids.map(_ => 1.0))
+    ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe))
   }
 
   /** ss4_ann_ivf_fitted — the production IVF path end-to-end:
     * [[KMeans.fit]] learns the coarse centroids (data-dependent cells
-    * beat random hyperplane-ish seeds on recall), [[KMeans.assignCells]]
-    * assigns (the same broadcast-literal argmax plan), and the
-    * within-cell verified join is shared with the seeded variant.
-    * Unlike every other query constructor, building this one RUNS the
-    * fit's Spark jobs (a few assignment+mean passes) — inherent to
-    * iterative ML, and the k×dim centroid collect is model state, not
-    * data. Unassignable rows (cell -1: zero-norm or wrong-dim) are
-    * excluded from pairing. No oracle (approximate + iterative fit):
-    * rows-only check; SimilaritySpec measures recall vs the exact ss3
-    * pairs. */
+    * beat random hyperplane-ish seeds on recall),
+    * [[KMeans.assignTopCells]] assigns each vector its [[IvfNProbe]]
+    * nearest cells (the same broadcast-literal scoring plan), and the
+    * multi-probe within-cell verified join is shared with the seeded
+    * variant. Unlike every other query constructor, building this one
+    * RUNS the fit's Spark jobs (a few assignment+mean passes) —
+    * inherent to iterative ML, and the k×dim centroid collect is model
+    * state, not data. Unassignable rows (zero-norm or wrong-dim: empty
+    * probe set) are excluded from pairing. No oracle (approximate +
+    * iterative fit): rows-only check; SimilaritySpec measures recall vs
+    * the exact ss3 pairs. */
   def ss4AnnIvfFitted(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
     val model = cachedModel(s, dir, e)
-    val assigned = KMeans.assignCells(e, model.centroids)
-      .where(col("cell") >= 0)
-      .join(e.select(col("vec_id"), col("embedding"),
-        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm")),
-        "vec_id")
-    ivfCellPairs(assigned, 0.4)
+    ivfCellPairs(KMeans.assignTopCells(e, model.centroids, IvfNProbe), 0.4,
+      ivfMaxCellPop(e, model.centroids.size, IvfNProbe))
   }
 
   private val fittedModels =

@@ -96,4 +96,34 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(assigned.groupBy("cell").count().collect()
       .forall(r => r.getInt(0) >= 0 && r.getInt(0) < 24))
   }
+
+  test("assignTopCells: best cell matches assignCells on both plan paths; probe sets sane") {
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    for (k <- Seq(8, 24)) { // when-chain path and exploded path
+      val m = KMeans.fit(e, k = k, maxIters = 5)
+      val single = KMeans.assignCells(e, m.centroids).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val multi = KMeans.assignTopCells(e, m.centroids, 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+      multi.foreach { case (id, cells) =>
+        assert(cells.nonEmpty && cells.length <= 3, s"vec $id probe set $cells")
+        assert(cells.head == single(id),
+          s"vec $id: top probe ${cells.head} != argmax cell ${single(id)} (k=$k)")
+        assert(cells.distinct == cells, s"vec $id duplicate probes $cells")
+      }
+      // every assignable vector keeps a probe set
+      assert(multi.keySet == single.filter(_._2 >= 0).keySet)
+    }
+  }
+
+  test("assignTopCells drops zero-norm rows (empty probe set)") {
+    import spark.implicits._
+    val zero = Seq((-1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val e = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").union(zero)
+    val m = KMeans.fit(e, k = 4, maxIters = 10)
+    val multi = KMeans.assignTopCells(e, m.centroids, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(multi.get(-1L).forall(_.isEmpty), "zero-norm row must carry no probes")
+  }
 }

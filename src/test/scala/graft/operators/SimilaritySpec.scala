@@ -109,5 +109,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"IVF recall vs exact@0.4: seeded $rSeeded%.3f, fitted $rFitted%.3f")
     assert(rFitted >= rSeeded,
       f"learned centroids should not lose recall: fitted $rFitted%.3f < seeded $rSeeded%.3f")
+    // 3-way multi-probe: measured 0.950 seeded / 1.000 fitted at sf0.01
+    // (single-probe was .317/.500); slack for fixture regeneration
+    assert(rFitted >= 0.8, f"multi-probe fitted recall $rFitted%.3f below the .8 bar")
+    assert(rSeeded >= 0.6, f"multi-probe seeded recall $rSeeded%.3f collapsed")
   }
 }
