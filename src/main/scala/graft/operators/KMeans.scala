@@ -16,10 +16,10 @@ import graft.functions.VectorFunctions
   * iteration, the legitimate model-parameter collect of iterative ML; no
   * data row ever reaches the driver.
   *
-  * Determinism at any parallelism: init = the k smallest vec_ids;
-  * component sums are 1e-6 floor-quantized exact longs (the ss7
-  * convention), so every iteration — and therefore the fit — is
-  * bit-reproducible. */
+  * Determinism at any parallelism: init = farthest-point (Gonzalez)
+  * seeds over a hash-ordered sample, ties by vec_id; component sums are
+  * 1e-6 floor-quantized exact longs (the ss7 convention), so every
+  * iteration — and therefore the fit — is bit-reproducible. */
 object KMeans {
 
   /** Fitted model: centroids (unnormalized component means) and the
@@ -191,19 +191,56 @@ object KMeans {
     val e = e0.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // seeds = the k smallest vec_ids among ANCHORABLE vectors: a
-      // zero-norm padding row (which assignCells rejects as a centroid,
-      // and whose data rows merely land in cell -1) must not be able to
-      // crash the fit just by owning a small vec_id
-      var centroids: Seq[Array[Float]] = e
+      // k-means++-style seeding, deterministic: ONE job collects a
+      // hash-ordered sample of anchorable vectors (xxhash64(vec_id) —
+      // engine/parallelism/day-independent, and a zero-norm padding row
+      // cannot crash the fit just by owning a small vec_id), then a
+      // driver-side farthest-point traversal (Gonzalez) picks k spread
+      // seeds by cosine distance, ties to the smaller vec_id. Spread
+      // seeds beat the former k-smallest-vec_id rule on IVF recall
+      // (adjacent fixture ids are near-random, so the old seeds often
+      // started collapsed); the sample is ≤ max(8k, 1024) rows of
+      // driver state — the same order as the k rows the old seeding
+      // collected.
+      val sampleN = math.max(8 * k, 1024)
+      val sample: Array[(Long, Array[Float])] = e
         .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
-        .orderBy(col("vec_id")).limit(k)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray).toSeq
-      require(centroids.size == k,
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      require(sample.length >= k,
         s"need at least $k non-zero vectors to seed $k cells")
-      require(centroids.map(_.length).distinct.size == 1,
+      require(sample.map(_._2.length).distinct.length == 1,
         "seed vectors disagree on dimensionality — mixed-dim input")
+      def cosDist(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        1.0 - dot / math.sqrt(na * nb)
+      }
+      val seedIdx = scala.collection.mutable.ArrayBuffer(
+        sample.indices.minBy(i => sample(i)._1)) // start: smallest vec_id
+      val isSeed = Array.fill(sample.length)(false)
+      isSeed(seedIdx.head) = true
+      val minDist = Array.fill(sample.length)(Double.MaxValue)
+      while (seedIdx.length < k) {
+        val last = sample(seedIdx.last)._2
+        var best = -1
+        var i = 0
+        while (i < sample.length) {
+          val d = math.min(minDist(i), cosDist(sample(i)._2, last))
+          minDist(i) = d
+          if (!isSeed(i) &&
+            (best < 0 || d > minDist(best) ||
+              (d == minDist(best) && sample(i)._1 < sample(best)._1))) best = i
+          i += 1
+        }
+        isSeed(best) = true
+        seedIdx += best
+      }
+      var centroids: Seq[Array[Float]] = seedIdx.map(i => sample(i)._2).toSeq
       var prev: Option[DataFrame] = None
       var iter = 0
       var converged = false
