@@ -97,8 +97,73 @@ object CorpusPipeline {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling: keep a row iff the first 4 hex
+    * chars of md5(salt:id) fall below the stratum's rate threshold
+    * (rate x 16^4, zero-padded hex — lexicographic compare is
+    * engine-independent, same trick as [[hashSplit]]). The canonical
+    * source-rebalancing pass of a training-data mix: downweight
+    * overrepresented strata at an EXACT per-stratum rate, reproducibly —
+    * same kept set on any engine, at any parallelism, no RNG seed to
+    * version, unlike `df.sample()`. Pure per-row codegen, no shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       idCol: String = "doc_id", salt: String = "cp2"): DataFrame = {
+    def hex(rate: Double): String = {
+      require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+      f"${math.min((rate * 65536).toLong, 65535L)}%04x"
+    }
+    val hx = substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 4)
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hex(defaultRate))) {
+      case ((stratum, rate), els) => when(col(strataCol) === stratum, hex(rate)).otherwise(els)
+    }
+    df.where(hx < threshold)
+  }
+
+  /** cp2_stratified_sample — keep 50% of the even-numbered sources and
+    * 12.5% of the rest; (doc_id, source) of the kept set. */
+  def cp2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val heavy = (0 until 20 by 2).map(i => s"src$i" -> 0.5).toMap
+    stratifiedSample(Tables.documents(s, dir), "source", heavy, defaultRate = 0.125)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-style sequence packing: concatenate documents in deterministic
+    * order and cut every `capacity` tokens, so no training batch pads.
+    * Emits, per document, the pack it starts in and its token offset
+    * there (a doc crossing a boundary spills into the next pack —
+    * standard pretraining chunking, not bin packing).
+    *
+    * The running token count is a window cumsum PARTITIONED BY a hash
+    * shard of the id — a global ordering would serialize 100 TB through
+    * one partition; sharding bounds each window at corpus/16^shardChars
+    * and keeps packs reproducible (shard and order are content-hash
+    * derived, engine- and parallelism-independent). At production scale
+    * raise `shardChars` to 3-4 (4096-65536 windows). */
+  def packSequences(df: DataFrame, capacity: Int = 256, shardChars: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(capacity > 0 && shardChars >= 1 && shardChars <= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.withColumn("shard", substring(md5(col(idCol).cast("string")), 1, shardChars))
+      .withColumn("n_tok", size(split(col(textCol), " ")))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_no", floor(col("cum_before") / capacity).cast("long"))
+      .withColumn("pack_offset", (col("cum_before") % capacity).cast("long"))
+  }
+
+  /** cp3_pack_sequences — the packing assignment as a checkable query:
+    * every document's shard, token count, pack number, and offset. */
+  def cp3PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_no"), col("pack_offset"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_hash_split" -> (cp1HashSplit _),
+    "cp2_stratified_sample" -> (cp2StratifiedSample _),
+    "cp3_pack_sequences" -> (cp3PackSequences _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,5 +173,26 @@ object CorpusPipeline {
                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
                  ELSE 'test' END AS split
        FROM documents ORDER BY doc_id""",
+    "cp2_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+       WHERE substr(md5('cp2:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             CASE WHEN source IN ('src0','src2','src4','src6','src8','src10',
+                                  'src12','src14','src16','src18')
+                  THEN '8000' ELSE '2000' END
+       ORDER BY doc_id""",
+    "cp3_pack_sequences" ->
+      """WITH t AS (
+        SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM t)
+       SELECT doc_id, shard, n_tok,
+            CAST(floor(cum_before * 1.0 / 256) AS BIGINT) AS pack_no,
+            CAST(cum_before % 256 AS BIGINT) AS pack_offset
+       FROM c ORDER BY doc_id""",
   )
 }

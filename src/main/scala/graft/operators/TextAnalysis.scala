@@ -166,6 +166,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** ta7_repetition — Gopher-style repetition quality filters (Rae et al.
+    * 2021 §A1.1, arXiv:2112.11446): documents dominated by repeated
+    * n-grams are boilerplate/spam and get filtered before training. Per
+    * document:
+    *   - `top2_count`: occurrence count of the most frequent word bigram;
+    *   - `top2_frac`: fraction of text characters covered by occurrences
+    *     of that bigram (count x bigram length / doc length);
+    *   - `dup5_frac`: fraction of characters in word 5-grams that occur
+    *     more than once (overlapping occurrences counted, as in Gopher).
+    * Pure per-row array lambdas — no shuffle, linear scan shape; the
+    * within-doc distinct-x-count is O(grams^2) on docs of bounded length
+    * (a production variant map-groups per doc, identical plumbing). */
+  def ta7Repetition(s: SparkSession, dir: String): DataFrame =
+    ta7RepetitionFrom(Tables.documents(s, dir))
+
+  /** ta7 over an arbitrary documents DataFrame (`doc_id`, `text`). */
+  def ta7RepetitionFrom(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("t", toks(col("text")))
+      .withColumn("bg", expr(
+        "transform(sequence(1, greatest(size(t) - 1, 1)), i -> concat_ws(' ', slice(t, i, 2)))"))
+      .withColumn("fg", expr(
+        "transform(sequence(1, greatest(size(t) - 4, 1)), i -> concat_ws(' ', slice(t, i, 5)))"))
+      .withColumn("top2_count", expr(
+        "array_max(transform(array_distinct(bg), x -> size(filter(bg, b -> b = x))))"))
+      .withColumn("top2_chars", expr(
+        "array_max(transform(array_distinct(bg), x -> size(filter(bg, b -> b = x)) * length(x)))"))
+      .withColumn("dup5_chars", expr(
+        "aggregate(transform(array_distinct(fg), x -> IF(size(filter(fg, b -> b = x)) >= 2, " +
+          "size(filter(fg, b -> b = x)) * length(x), 0)), 0, (a, v) -> a + v)"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tok"),
+        col("top2_count"),
+        round(col("top2_chars") / length(col("text")), 4).as("top2_frac"),
+        round(col("dup5_chars") / length(col("text")), 4).as("dup5_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Email / phone / IPv4 patterns shared by the scrubber and its tests.
+    * Plain ASCII classes + `\b` word boundaries — the syntax subset Java
+    * regex and RE2 (DuckDB) interpret identically, so the oracle mirrors
+    * the scrub exactly. */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private[operators] val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction over an arbitrary text column: counts then replaces
+    * emails, phone numbers, and IPv4 addresses with typed placeholders.
+    * Emails scrub first so their digit-bearing domains can't be half-eaten
+    * by the IP pattern. Per-row regex maps inside codegen — zero shuffle. */
+  def piiScrub(text: Column): (Column, Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp    = regexp_replace(noEmail, IpRe, "<IP>")
+    val clean   = regexp_replace(noIp, PhoneRe, "<PHONE>")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+     size(regexp_extract_all(noEmail, lit(IpRe), lit(0))),
+     size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))),
+     clean)
+  }
+
+  /** ta8_pii_scrub — the scrubber as a checkable query. The synthetic
+    * corpus carries no PII, so the query first SEEDS each document with
+    * deterministic fake contact lines derived from `doc_id` (an email, a
+    * phone, an IPv4), then proves the scrubber finds and redacts all of
+    * them. Counts + redacted text per document. */
+  def ta8PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val seeded = concat(
+      col("text"), lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    val (nEmail, nIp, nPhone, clean) = piiScrub(seeded)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nEmail.as("n_emails"),
+        nPhone.as("n_phones"),
+        nIp.as("n_ips"),
+        clean.as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
@@ -173,6 +256,8 @@ object TextAnalysis {
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_top_ngrams" -> (ta5TopNgrams _),
     "ta6_winnow" -> (ta6Winnow _),
+    "ta7_repetition" -> (ta7Repetition _),
+    "ta8_pii_scrub" -> (ta8PiiScrub _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -255,5 +340,59 @@ object TextAnalysis {
        SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
             list_min(fps) AS min_fp
        FROM fp ORDER BY doc_id""",
+    // ta7: same gram positions as Spark's sequence(1, greatest(n-k+1, 1));
+    // range() is end-exclusive, hence the +1-shifted greatest() bounds.
+    "ta7_repetition" ->
+      """WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, text, CAST(len(t) AS INTEGER) AS n_tok,
+               [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t), 2))] AS bg,
+               [array_to_string(t[i:i+4], ' ') FOR i IN range(1, greatest(len(t) - 3, 2))] AS fg
+        FROM t),
+      c AS (
+        SELECT doc_id, text, n_tok,
+               list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, b -> b = x)))) AS top2_count,
+               list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, b -> b = x)) * length(x))) AS top2_chars,
+               list_sum(list_transform(list_distinct(fg),
+                 x -> CASE WHEN len(list_filter(fg, b -> b = x)) >= 2
+                           THEN len(list_filter(fg, b -> b = x)) * length(x)
+                           ELSE 0 END)) AS dup5_chars
+        FROM g)
+       SELECT doc_id, n_tok, CAST(top2_count AS INTEGER) AS top2_count,
+            round(top2_chars * 1.0 / length(text), 4) AS top2_frac,
+            round(dup5_chars * 1.0 / length(text), 4) AS dup5_frac
+       FROM c ORDER BY doc_id""",
+    // ta8: scrub order mirrors piiScrub — emails, then IPs, then phones;
+    // counts are taken against the same intermediate the replace ran on.
+    "ta8_pii_scrub" ->
+      """WITH s AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+               CAST((doc_id * 7) % 256 AS VARCHAR) AS seeded
+        FROM documents),
+      r AS (
+        SELECT doc_id, seeded,
+               regexp_replace(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS no_email
+        FROM s),
+      r2 AS (
+        SELECT doc_id, seeded, no_email,
+               regexp_replace(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                              '<IP>', 'g') AS no_ip
+        FROM r)
+       SELECT doc_id,
+            CAST(len(regexp_extract_all(seeded,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+            CAST(len(regexp_extract_all(no_ip, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+            CAST(len(regexp_extract_all(no_email,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+            regexp_replace(no_ip, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+       FROM r2 ORDER BY doc_id""",
   )
 }
