@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -160,10 +160,49 @@ object CorpusPipeline {
       .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_no"), col("pack_offset"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic epoch mixing: materialize a training mix where stratum
+    * s is repeated `weights(s)` epochs (fractional allowed — "2.5 epochs
+    * of wiki, 0.25 of crawl"). Each doc emits copies 1..ceil(w); integer
+    * copies always survive, the one fractional copy survives iff a
+    * per-(copy, id) hash falls under frac(w) — so the realized rate is
+    * EXACTLY w in expectation, reproducible on any engine, and nested the
+    * same way as [[stratifiedSample]] (which this generalizes to w > 1).
+    * Explode factor is ceil(w) — bounded, per-row codegen, no shuffle. */
+  def epochMix(df: DataFrame, strataCol: String,
+               weights: Map[String, Double], defaultWeight: Double,
+               idCol: String = "doc_id", salt: String = "cp4"): DataFrame = {
+    def hexFrac(w: Double): String = {
+      require(w >= 0, s"negative epoch weight: $w")
+      f"${math.min(((w - math.floor(w)) * 65536).toLong, 65535L)}%04x"
+    }
+    def pick[T](f: Double => T, toCol: T => Column, default: Double): Column =
+      weights.toSeq.sortBy(_._1).foldRight(toCol(f(default))) { case ((stratum, w), els) =>
+        when(col(strataCol) === stratum, toCol(f(w))).otherwise(els)
+      }
+    val nCopies  = pick[Int](w => math.ceil(w).toInt, lit(_: Int), defaultWeight)
+    val intPart  = pick[Int](w => math.floor(w).toInt, lit(_: Int), defaultWeight)
+    val fracHex  = pick[String](hexFrac, lit(_: String), defaultWeight)
+    val hx = substring(md5(concat(
+      lit(s"$salt:"), col("copy").cast("string"), lit(":"), col(idCol).cast("string"))), 1, 4)
+    // greatest(..,1): sequence(1,0) would DESCEND [1,0]; a weight-0
+    // stratum instead emits copy 1 and the where-clause drops it.
+    df.withColumn("copy", explode(sequence(lit(1), greatest(nCopies, lit(1)))))
+      .where(col("copy") <= intPart || hx < fracHex)
+  }
+
+  /** cp4_epoch_mix — the mix as a checkable query: 2.5 epochs of src0,
+    * 0.25 of src1, 1.75 of src2, 1.0 of everything else. */
+  def cp4EpochMix(s: SparkSession, dir: String): DataFrame =
+    epochMix(Tables.documents(s, dir), "source",
+             Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.75), defaultWeight = 1.0)
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_hash_split" -> (cp1HashSplit _),
     "cp2_stratified_sample" -> (cp2StratifiedSample _),
     "cp3_pack_sequences" -> (cp3PackSequences _),
+    "cp4_epoch_mix" -> (cp4EpochMix _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,5 +233,24 @@ object CorpusPipeline {
             CAST(floor(cum_before * 1.0 / 256) AS BIGINT) AS pack_no,
             CAST(cum_before % 256 AS BIGINT) AS pack_offset
        FROM c ORDER BY doc_id""",
+    "cp4_epoch_mix" ->
+      """WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                           WHEN 'src2' THEN 2 ELSE 1 END AS n_copies,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                           WHEN 'src2' THEN 1 ELSE 1 END AS int_part,
+               CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+                           WHEN 'src2' THEN 'c000' ELSE '0000' END AS frac_hex
+        FROM documents),
+      e AS (
+        SELECT doc_id, source, int_part, frac_hex,
+               CAST(unnest(range(1, greatest(n_copies, 1) + 1)) AS INTEGER) AS copy
+        FROM w)
+       SELECT doc_id, source, copy FROM e
+       WHERE copy <= int_part
+          OR substr(md5('cp4:' || CAST(copy AS VARCHAR) || ':' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4) < frac_hex
+       ORDER BY doc_id, copy""",
   )
 }

@@ -291,13 +291,22 @@ object Similarity {
     * cells). */
   private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
                                   maxPop: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex0 = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+    // Population cap WITHOUT wide shuffles: per-cell counts are a tiny
+    // map-side-combined aggregate (≤ IvfCellTiers.last cells), the
+    // over-cap cells collapse to ONE broadcast row whose array every
+    // vector consults per-row (array_except) — replacing two full
+    // windows over the exploded 64-float rows (cell-pop count +
+    // per-vector probe-set rebuild) that together dominated the
+    // pre-round-5 ss4 profile. The 1-row cross join is the documented
+    // q16/ss1 broadcast pattern (PlanAudit whitelists it).
+    val over = assigned.select(explode(col("cells")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .where(col("pop") > maxPop)
+      .agg(collect_list(col("cell")).as("overcap")) // global agg: exactly one row
+    val ex = assigned.crossJoin(broadcast(over))
+      .withColumn("cells", array_except(col("cells"), col("overcap")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cells"),
         explode(col("cells")).as("cell"))
-      .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("cell"))))
-      .where(col("pop") <= maxPop)
-    val ex = ex0.withColumn("cells",
-      collect_list(col("cell")).over(Window.partitionBy(col("vec_id"))))
     val a = ex.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("cells").as("cells_a"), col("cell"))
     val b = ex.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),

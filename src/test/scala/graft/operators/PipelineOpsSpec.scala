@@ -76,6 +76,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.where(col("source") =!= "src0").count() == docs.where(col("source") =!= "src0").count())
   }
 
+  test("cp4: integer epochs exact, fractional epochs thin deterministically, weight 0 vanishes") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val n = docs.count()
+    def mix(w: Map[String, Double], default: Double) =
+      CorpusPipeline.epochMix(docs, "source", w, default)
+    // integer weight: every doc exactly w times
+    assert(mix(Map.empty, 2.0).count() == 2 * n)
+    // weight 0: stratum vanishes entirely (sequence guard path)
+    val zeroed = mix(Map("src0" -> 0.0), 1.0)
+    assert(zeroed.where(col("source") === "src0").count() == 0)
+    assert(zeroed.count() == docs.where(col("source") =!= "src0").count())
+    // fractional: count strictly between floor and ceil epochs, deterministic
+    val half = mix(Map.empty, 1.5)
+    val c = half.count()
+    assert(c > n && c < 2 * n, s"1.5 epochs must land strictly between n and 2n: $c vs $n")
+    assert(c == mix(Map.empty, 1.5).count(), "same weights must produce the identical mix")
+    // copy 1 of an integer-surviving stratum is the corpus itself
+    assert(half.where(col("copy") === 1).count() == n)
+  }
+
   test("cp3: packing replays as a per-shard greedy cumsum; offsets stay under capacity") {
     val cap = 256
     val out = CorpusPipeline.packSequences(
