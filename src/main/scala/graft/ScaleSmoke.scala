@@ -128,6 +128,16 @@ object ScaleSmoke {
         graft.operators.KMeans.assignTopCells(embs, m.centroids, 3), 0.4)
     }, 0.4, bar = 0.75)
 
+    timed("cp3_pack (sharded cumsum)") {
+      // replicated corpus: proves the hash-sharded packing window scales
+      // by sharding, not by a single global sort
+      graft.operators.CorpusPipeline.packSequences(docs).count()
+    }
+    timed("cp4_epoch_mix (fractional)") {
+      graft.operators.CorpusPipeline.epochMix(
+        docs.withColumn("source", (col("doc_id") % 20).cast("string")),
+        "source", Map("0" -> 2.5, "1" -> 0.25), defaultWeight = 1.0).count()
+    }
     timed("dd7_cluster (CC over LSH edges)") {
       // the forced-LSH edge source semanticEdges picks above the exact-
       // scan byte cap — exercised explicitly so the smoke demonstrates
