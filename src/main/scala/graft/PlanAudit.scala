@@ -13,7 +13,8 @@ object PlanAudit {
   private val expectedNestedLoop = Set(
     "q13_theta_join",                          // exact all-pairs by design
     "q16_scalar_subquery", "ss1_cosine_topk",  // 1-row broadcast build
-    "ss4_ann_ivf", "ss4_ann_ivf_fitted")       // 1-row over-cap cell array broadcast
+    "ss4_ann_ivf", "ss4_ann_ivf_fitted",       // 1-row over-cap cell array broadcast
+    "ta9_lm_score")                            // 1-row total-token-count broadcast
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -249,6 +249,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** ta9_lm_score — corpus-LM quality scoring, the CCNet-style filter
+    * shape (Wenzek et al. 2019: score each doc under an LM trained on a
+    * trusted corpus; outliers are noise/spam): pass 1 trains the unigram
+    * LM (token → corpus frequency — vocab-sized, tiny vs corpus), pass 2
+    * joins it back to every token occurrence and aggregates per doc:
+    * total/mean corpus frequency and the fraction of "rare" tokens
+    * (corpus probability < 1/1000). A production deployment swaps the
+    * unigram table for KenLM n-gram bits-per-token; the Spark shape — a
+    * vocab-sized LM the planner broadcasts against the exploded corpus,
+    * then a doc-key agg — is identical. All-integer internals until the
+    * final single division, so the DuckDB oracle matches bit-for-bit
+    * (transcendental log scores would drift cross-engine). The 1-row
+    * total-token cross join is the documented q16/ss1 broadcast pattern. */
+  def ta9LmScore(s: SparkSession, dir: String): DataFrame =
+    ta9LmScoreFrom(Tables.documents(s, dir))
+
+  /** ta9 over an arbitrary documents DataFrame (`doc_id`, `text`). */
+  def ta9LmScoreFrom(documents: DataFrame): DataFrame = {
+    val toksEx = documents.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val lm = toksEx.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val total = lm.agg(sum(col("cf")).as("t_total")) // exactly one row
+    val lmFlagged = lm.crossJoin(broadcast(total))
+      .withColumn("is_rare", when(col("cf") * 1000 < col("t_total"), 1L).otherwise(0L))
+      .select(col("token"), col("cf"), col("is_rare"))
+    toksEx.join(lmFlagged, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("cf")).as("cf_sum"),
+        sum(col("is_rare")).as("n_rare"))
+      .select(
+        col("doc_id"), col("n_tok"), col("cf_sum"),
+        round(col("cf_sum") / col("n_tok"), 4).as("mean_cf"),
+        round(col("n_rare") / col("n_tok"), 4).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
@@ -258,6 +295,7 @@ object TextAnalysis {
     "ta6_winnow" -> (ta6Winnow _),
     "ta7_repetition" -> (ta7Repetition _),
     "ta8_pii_scrub" -> (ta8PiiScrub _),
+    "ta9_lm_score" -> (ta9LmScore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -394,5 +432,22 @@ object TextAnalysis {
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
             regexp_replace(no_ip, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
        FROM r2 ORDER BY doc_id""",
+    "ta9_lm_score" ->
+      """WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      lm AS (
+        SELECT token, count(*) AS cf FROM tok GROUP BY token),
+      t AS (
+        SELECT CAST(sum(cf) AS BIGINT) AS t_total FROM lm),
+      sc AS (
+        SELECT doc_id, count(*) AS n_tok,
+               CAST(sum(cf) AS BIGINT) AS cf_sum,
+               CAST(sum(CASE WHEN cf * 1000 < t_total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM tok JOIN lm USING (token) CROSS JOIN t
+        GROUP BY doc_id)
+       SELECT doc_id, n_tok, cf_sum,
+            round(cf_sum * 1.0 / n_tok, 4) AS mean_cf,
+            round(n_rare * 1.0 / n_tok, 4) AS rare_frac
+       FROM sc ORDER BY doc_id""",
   )
 }

@@ -59,6 +59,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("ta9: rare tokens score high rare_frac, common tokens zero; counts exact") {
+    import spark.implicits._
+    // "the" dominates the corpus; qq/zz/xx appear once each (< 1/1000 of
+    // 3000+ total tokens), so doc 2 is pure rare and doc 1 pure common
+    val filler = (1 to 300).map(i => (100L + i, Seq.fill(10)("the").mkString(" ")))
+    val docs = (Seq((1L, "the the the the"), (2L, "qq zz xx")) ++ filler)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ta9LmScoreFrom(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getDouble(4) == 0.0)
+    assert(out(2L).getLong(1) == 3 && out(2L).getDouble(4) == 1.0)
+    assert(out(2L).getLong(2) == 3, "each rare token contributes corpus frequency 1")
+    assert(out(1L).getDouble(3) > 1000, "common doc's mean corpus frequency is the filler count")
+  }
+
   test("cp2: deterministic across runs and nested across rates") {
     val docs = graft.tables.Tables.documents(spark, dir)
     def keep(rate: Double): Set[Long] =
