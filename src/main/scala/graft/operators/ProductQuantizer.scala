@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-scaling path for ANN that
+  * IVF (ss4) alone does not give: split each `dim`-vector into `m`
+  * subvectors, learn a k-codeword L2 codebook per subspace, and store
+  * each vector as `m` small codes (+ its norm) — 64 floats (256 B)
+  * become 8 codes + 1 float (~12 B), a ~20-30× scan-size reduction. At
+  * 100 TB of embeddings the encoded table is what a query actually
+  * scans; candidates found by approximate (ADC) score are re-ranked
+  * exactly against only their own full vectors.
+  *
+  * Scale/determinism discipline is [[KMeans]]'s: fit iterations are ONE
+  * slim exploded scoring pass (vec_id, s, code rows — map-side-combined
+  * argmin, no fat rows through the shuffle) plus ONE tiny-key quantized
+  * mean aggregation (m·k·subDim cells of driver state); seeding is a
+  * deterministic farthest-point (Gonzalez) walk per subspace over one
+  * shared hash-ordered sample; every step ties to the smaller id, so
+  * fit, encode, and query are bit-reproducible at any parallelism. */
+object ProductQuantizer {
+
+  /** Fitted model: `codebooks(s)(code)` = subDim floats. */
+  final case class Model(codebooks: Seq[Seq[Array[Float]]], subDim: Int) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.head.size
+  }
+
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The m per-row subvector slices as one generator: (s, sub). */
+  private def slices(m: Int, subDim: Int): Column =
+    posexplode(array((0 until m).map(s =>
+      slice(col("embedding"), s * subDim + 1, subDim)): _*))
+
+  /** Literal codebook table: per subspace an array of (code, codeword,
+    * |codeword|²) structs — broadcast into the expression like KMeans'
+    * ctab, no join, no driver-side broadcast variable. */
+  private def codebookLit(codebooks: Seq[Seq[Array[Float]]]): Column =
+    typedLit(codebooks.map(_.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x.toDouble * x).sum)
+    }))
+
+  /** Slim per-subspace code assignment: (vec_id, s, code). L2 argmin =
+    * argmax(2·dot − |c|²) (row term constant), ties to the LOWER code
+    * (negated code in the max-struct — the KMeans rule). A wrong-dim row
+    * scores NULL everywhere (vec_dot NULL) → code -1; zero subvectors
+    * are fine (L2 needs no norm division). */
+  private[operators] def assignCodes(e: DataFrame, model: Model): DataFrame = {
+    VectorFunctions.ensureRegistered(e.sparkSession)
+    e.select(col("vec_id"), slices(model.m, model.subDim).as(Seq("s", "sub")))
+      .select(col("vec_id"), col("s"), col("sub"),
+        explode(element_at(codebookLit(model.codebooks), col("s") + 1)).as("cw"))
+      .select(col("vec_id"), col("s"),
+        (VectorFunctions.vecDot(col("sub"), col("cw._2")) * 2 - col("cw._3")).as("score"),
+        (-col("cw._1")).as("negcode"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("score"), col("negcode"))).as("b"))
+      .select(col("vec_id"), col("s"),
+        when(col("b.score").isNull || isnan(col("b.score")), lit(-1))
+          .otherwise(-col("b.negcode")).cast("int").as("code"))
+  }
+
+  /** Per-subspace L2 Lloyd's until codes stop changing (or maxIters).
+    * Empty codes keep their previous codeword. Like [[KMeans.fit]] this
+    * RUNS jobs — the inherent iterative-ML exception. */
+  def fit(e0: DataFrame, m: Int = 8, k: Int = 32, maxIters: Int = 5): Model = {
+    require(m > 0 && k > 1 && maxIters > 0)
+    val e = e0.select(col("vec_id"), col("embedding")).persist(Disk)
+    try {
+      // one shared deterministic sample seeds every subspace
+      val sampleN = math.max(8 * k, 1024)
+      val sample: Array[(Long, Array[Float])] = e
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      require(sample.length >= k, s"need at least $k vectors to seed $k codes")
+      val dims = sample.map(_._2.length).distinct
+      require(dims.length == 1, "sample disagrees on dimensionality — mixed-dim input")
+      val dim = dims.head
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+
+      def l2(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+        d
+      }
+      // Gonzalez farthest-point per subspace, start at the smallest
+      // vec_id's subvector, ties to the smaller vec_id
+      var codebooks: Seq[Seq[Array[Float]]] = (0 until m).map { s =>
+        val subs = sample.map { case (id, v) => (id, v.slice(s * subDim, (s + 1) * subDim)) }
+        val seedIdx = scala.collection.mutable.ArrayBuffer(
+          subs.indices.minBy(i => subs(i)._1))
+        val isSeed = Array.fill(subs.length)(false)
+        isSeed(seedIdx.head) = true
+        val minDist = Array.fill(subs.length)(Double.MaxValue)
+        while (seedIdx.length < k) {
+          val last = subs(seedIdx.last)._2
+          var best = -1
+          var i = 0
+          while (i < subs.length) {
+            val d = math.min(minDist(i), l2(subs(i)._2, last))
+            minDist(i) = d
+            if (!isSeed(i) &&
+              (best < 0 || d > minDist(best) ||
+                (d == minDist(best) && subs(i)._1 < subs(best)._1))) best = i
+            i += 1
+          }
+          isSeed(best) = true
+          seedIdx += best
+        }
+        seedIdx.map(i => subs(i)._2).toSeq
+      }
+
+      var prev: Option[DataFrame] = None
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val assigned = assignCodes(e, Model(codebooks, subDim)).persist(Disk)
+        val changed = prev match {
+          case None => Long.MaxValue
+          case Some(p) =>
+            assigned.join(p.withColumnRenamed("code", "prev_code"), Seq("vec_id", "s"))
+              .where(col("code") =!= col("prev_code")).count()
+        }
+        if (changed == 0) converged = true
+        else {
+          // quantized exact component means per (s, code) — ss7/KMeans
+          // convention; code -1 (wrong-dim) excluded
+          val means = e
+            .select(col("vec_id"), slices(m, subDim).as(Seq("s", "sub")))
+            .join(assigned.where(col("code") >= 0), Seq("vec_id", "s"))
+            .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
+            .withColumn("q", floor(col("v").cast("double") * 1000000L))
+            .groupBy(col("s"), col("code"), col("dim"))
+            .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+            .select(col("s"), col("code"), col("dim"),
+              (col("qs") / (col("n") * 1000000.0)).as("mn"))
+            .collect()
+          val next = codebooks.map(_.map(_.clone()).toArray).toArray
+          means.foreach { r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+          }
+          codebooks = next.map(_.toSeq).toSeq
+        }
+        prev.foreach(_.unpersist(false))
+        prev = Some(assigned)
+        iter += 1
+      }
+      prev.foreach(_.unpersist(false))
+      Model(codebooks, subDim)
+    } finally { e.unpersist(false); () }
+  }
+
+  /** Encode the corpus: (vec_id, codes[m], nrm). Rows any subspace of
+    * which is unencodable (wrong dimension) drop out. This is the table
+    * a production deployment PERSISTS — ~20-30× smaller than the raw
+    * embeddings, which is the entire point at 100 TB. */
+  def encode(e: DataFrame, model: Model): DataFrame = {
+    val codes = assignCodes(e, model)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x.getField("code")).as("codes"))
+      .where(!array_contains(col("codes"), -1))
+    e.select(col("vec_id"),
+        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("nrm"))
+  }
+
+  /** ADC scores for one query against the encoded table: the per-
+    * (subspace, code) dot products form a driver-computed m×k lookup
+    * table, so scoring a row is m array lookups + adds — no float
+    * vector is touched. Returns (vec_id, approx_cos). */
+  def adcScores(encoded: DataFrame, model: Model, query: Array[Float]): DataFrame = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != ${model.m}×${model.subDim}")
+    val qnorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
+      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map(c =>
+        qs.zip(c).map { case (a, b) => a.toDouble * b }.sum).toSeq
+    }
+    val lutLit = typedLit(lut)
+    val approxDot = aggregate(
+      sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(lutLit, s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    encoded.select(col("vec_id"),
+      try_divide(approxDot, col("nrm") * qnorm).as("approx_cos"))
+  }
+
+  /** Two-stage PQ top-k: ADC over the encoded table keeps `rerank`
+    * candidates (TakeOrderedAndProject — per-partition heap), then ONLY
+    * those join back to their full vectors for exact cosine re-ranking.
+    * The full-vector table is touched for `rerank` rows, not N. */
+  def pqTopK(e: DataFrame, encoded: DataFrame, model: Model,
+             query: Array[Float], topK: Int, rerank: Int): DataFrame = {
+    val qLit = typedLit(query.toSeq)
+    val cand = adcScores(encoded, model, query)
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+    e.join(cand, "vec_id")
+      .select(col("vec_id"),
+        round(VectorFunctions.vecCosine(col("embedding"), qLit), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

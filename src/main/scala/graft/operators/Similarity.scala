@@ -402,7 +402,42 @@ object Similarity {
   }
 
   /** Drop all memoized IVF models (tests / after rewriting a dir). */
-  def clearModelCache(): Unit = fittedModels.clear()
+  def clearModelCache(): Unit = { fittedModels.clear(); pqModels.clear() }
+
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), ProductQuantizer.Model]()
+
+  /** PQ model memo — same contract as [[cachedModel]] (deterministic
+    * fit, k·dim driver floats, stopped-session sweep, fit outside the
+    * CHM bin lock). */
+  private def cachedPqModel(s: SparkSession, dir: String,
+                            e: DataFrame): ProductQuantizer.Model = {
+    pqModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    val key = (s, dir)
+    Option(pqModels.get(key)).getOrElse {
+      val m = ProductQuantizer.fit(e.select(col("vec_id"), col("embedding")))
+      Option(pqModels.putIfAbsent(key, m)).getOrElse(m)
+    }
+  }
+
+  /** ss8_pq_topk — product-quantized top-k: [[ProductQuantizer]] fit +
+    * encode (the ~20-30× smaller table a production deployment scans),
+    * ADC candidate generation for the ss1 query vector, exact re-rank of
+    * the 40-candidate shortlist, top-10 in ss1's schema. Construction
+    * runs the fit's jobs plus one 1-row lookup for the query vector —
+    * the documented iterative-ML exception (ss4_fitted). Approximate →
+    * rows-only check; SimilaritySpec measures recall vs exact ss1. */
+  def ss8PqTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val model = cachedPqModel(s, dir, e)
+    val query: Array[Float] = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = e.where(col("vec_id") =!= 0)
+    ProductQuantizer.pqTopK(
+      corpus, ProductQuantizer.encode(corpus, model), model, query,
+      topK = 10, rerank = 100)
+  }
 
   /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
     * approximate neighbors (the all-queries form of similarity search a
@@ -620,6 +655,7 @@ object Similarity {
     "ss5_knn_join" -> ((s: SparkSession, dir: String) => ss5KnnJoin(s, dir)),
     "ss6_knn_exact" -> ((s: SparkSession, dir: String) => ss6KnnExact(s, dir)),
     "ss7_label_centroids" -> (ss7LabelCentroids _),
+    "ss8_pq_topk" -> (ss8PqTopk _),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same

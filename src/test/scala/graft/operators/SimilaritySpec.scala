@@ -26,6 +26,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark0.stop()
 
+  test("ss8 PQ: deterministic m-code encoding, in-range codes, useful re-ranked recall vs ss1") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val model = ProductQuantizer.fit(e, m = 8, k = 32, maxIters = 5)
+    assert(model.m == 8 && model.k == 32 && model.subDim == 8)
+    val enc = ProductQuantizer.encode(e, model).cache()
+    assert(enc.count() == e.count(), "every well-formed vector must encode")
+    val codes = enc.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 32)))
+    val again = ProductQuantizer.encode(e, model).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again, "encoding must be bit-deterministic")
+    // re-ranked top-10 for the ss1 query vs exact brute force
+    val exact = Similarity.ss1CosineTopk(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = Similarity.ss8PqTopk(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    val recall = (pq & exact).size / 10.0
+    info(f"PQ re-ranked recall@10 vs exact: $recall%.2f")
+    assert(recall >= 0.6, f"PQ recall@10 $recall%.2f below the .6 bar")
+    enc.unpersist()
+  }
+
   test("ss5 kNN join: at most k ranked neighbors per vector; useful recall vs brute force") {
     VectorFunctions.ensureRegistered(spark)
     val k = 5
