@@ -128,6 +128,14 @@ object ScaleSmoke {
         graft.operators.KMeans.assignTopCells(embs, m.centroids, 3), 0.4)
     }, 0.4, bar = 0.75)
 
+    timed("ss8_pq (fit+encode+topk)") {
+      val m = graft.operators.ProductQuantizer.fit(embs)
+      val enc = graft.operators.ProductQuantizer.encode(embs, m)
+      val q = embs.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.ProductQuantizer.pqTopK(
+        embs.where(col("vec_id") =!= 0), enc, m, q, topK = 10, rerank = 100).count()
+    }
     timed("cp3_pack (sharded cumsum)") {
       // replicated corpus: proves the hash-sharded packing window scales
       // by sharding, not by a single global sort
