@@ -117,17 +117,28 @@ object ScaleSmoke {
     }
     sampleRecall("recall: lshNeardupPairs@.45",
       graft.operators.Similarity.lshNeardupPairs(embs, 0.45), 0.45, bar = 0.8)
-    // seeded = the oracle-free stand-in (random centroids; measured .70
-    // at the 64-cell tier); fitted = the production path, held to the
-    // .75 bar (measured .833 at this tier — Lloyd-balanced cells)
+    // seeded = the oracle-free stand-in (random centroids); fitted =
+    // the production path, held to the .75 bar. Asymmetric nProbe=6
+    // probing measured at this tier: fitted .843 in 10 s (the round-5
+    // head-to-head vs symmetric nProbe=3: .788 in 91 s)
     sampleRecall("recall: ss4 IVF (seeded)@.4",
       graft.operators.Similarity.ss4From(embs), 0.4, bar = 0.5)
     sampleRecall("recall: ss4 IVF (fitted)@.4", {
       val m = graft.operators.KMeans.fit(embs, k = 64, maxIters = 5)
       graft.operators.Similarity.ivfCellPairs(
-        graft.operators.KMeans.assignTopCells(embs, m.centroids, 3), 0.4)
+        graft.operators.KMeans.assignTopCells(embs, m.centroids,
+          graft.operators.Similarity.IvfNProbe), 0.4)
     }, 0.4, bar = 0.75)
-
+    timed("ss9_ivfpq (fit+encode+topk)") {
+      val m = graft.operators.IvfPq.fit(embs, cells = 64)
+      val enc = graft.operators.IvfPq.encode(embs, m)
+      val q = embs.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.IvfPq.topK(
+        embs.where(col("vec_id") =!= 0), enc, m, q,
+        nProbe = graft.operators.Similarity.IvfNProbe,
+        topK = 10, rerank = 100).count()
+    }
     timed("ss8_pq (fit+encode+topk)") {
       val m = graft.operators.ProductQuantizer.fit(embs)
       val enc = graft.operators.ProductQuantizer.encode(embs, m)

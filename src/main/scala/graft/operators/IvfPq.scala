@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — the "IVFADC" composition of §V) — the
+  * production big-corpus ANN layout: a coarse [[KMeans]] quantizer
+  * routes each vector to a cell, and a [[ProductQuantizer]] encodes the
+  * RESIDUAL (vector minus its cell centroid) — residuals concentrate
+  * near the origin, so the same m×k codebook budget quantizes them with
+  * far less error than raw vectors. A query probes only its `nProbe`
+  * nearest cells and ADC-scores just those cells' coded rows: at 100 TB
+  * the scan is (nProbe/cells) of a ~20-30× compressed table — the IVF
+  * scan cut and the PQ memory cut, composed.
+  *
+  * Codebooks are SHARED across cells (the standard default): one PQ fit
+  * on pooled residuals, so driver model state stays cells·dim +
+  * m·k·subDim floats. Scoring decomposes q·x ≈ q·c_cell + q·r̂: the
+  * first term is a cells-long driver-computed literal consulted per row
+  * by `cell`, the second the classic ADC lookup-table sum
+  * ([[ProductQuantizer.adcDot]]). Both fits are bit-deterministic at
+  * any parallelism (their own contracts), so fit → encode → query is
+  * reproducible end-to-end. */
+object IvfPq {
+
+  /** Coarse centroids + shared residual codebooks. */
+  final case class Model(centroids: Seq[Array[Float]], pq: ProductQuantizer.Model)
+
+  private def centroidLit(centroids: Seq[Array[Float]]): Column =
+    typedLit(centroids.map(_.toSeq))
+
+  /** (vec_id, cell, nrm, res): primary-cell assignment (bit-identical
+    * to [[KMeans.assignCells]] — `assignTopCells(_, _, 1)` shares its
+    * argmax) plus the float residual against that cell's centroid.
+    * `nrm` is the ORIGINAL vector's norm — the cosine denominator; the
+    * residual is what gets coded. Unassignable rows (zero-norm,
+    * wrong-dim: empty probe set) drop out. */
+  private def withResidual(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame =
+    KMeans.assignTopCells(e, centroids, 1)
+      .where(size(col("cells")) > 0)
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
+        col("nrm"),
+        zip_with(col("embedding"),
+          element_at(centroidLit(centroids), element_at(col("cells"), 1) + 1),
+          (x, c) => x - c).as("res"))
+
+  /** Fit the coarse cells on the corpus, then ONE shared PQ on the
+    * pooled residuals. RUNS Spark jobs (both fits are iterative ML —
+    * the documented exception to the no-eager-jobs rule). */
+  def fit(e: DataFrame, cells: Int, m: Int = 8, k: Int = 32): Model = {
+    val km = KMeans.fit(e.select(col("vec_id"), col("embedding")),
+      k = cells, maxIters = 5)
+    val res = withResidual(e, km.centroids)
+      .select(col("vec_id"), col("res").as("embedding"))
+    Model(km.centroids, ProductQuantizer.fit(res, m, k))
+  }
+
+  /** Encoded corpus: (vec_id, cell, codes[m], nrm) — the table a
+    * production deployment PERSISTS, partitioned/clustered by `cell` so
+    * a probe's cell filter prunes to its cells' files before any byte
+    * is read. Rows any subspace of which is unencodable drop out
+    * (the [[ProductQuantizer.encode]] contract). */
+  def encode(e: DataFrame, model: Model): DataFrame = {
+    val wr = withResidual(e, model.centroids)
+    val codes = ProductQuantizer.assignCodes(
+        wr.select(col("vec_id"), col("res").as("embedding")), model.pq)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x.getField("code")).as("codes"))
+      .where(!array_contains(col("codes"), -1))
+    wr.select(col("vec_id"), col("cell"), col("nrm")).join(codes, "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"), col("nrm"))
+  }
+
+  /** Two-stage IVF-ADC top-k: pick the query's `nProbe` nearest cells
+    * by pure driver arithmetic over the k centroids (same cosine +
+    * lower-id tie rule as [[KMeans.assignCells]]), ADC-score ONLY those
+    * cells' coded rows (the `cell` filter is an ordinary pushable
+    * predicate on the encoded table), keep `rerank` candidates
+    * (TakeOrderedAndProject — per-partition heap), and re-rank exactly
+    * against only their full vectors. The full-vector table is touched
+    * for `rerank` rows, not N; the coded table for ~nProbe/cells of N. */
+  def topK(e: DataFrame, encoded: DataFrame, model: Model, query: Array[Float],
+           nProbe: Int, topK: Int, rerank: Int): DataFrame = {
+    require(nProbe >= 1, "IvfPq.topK: nProbe must be >= 1")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val qnorm = math.sqrt(dot(query, query))
+    val probed: Seq[Int] = model.centroids.zipWithIndex
+      .map { case (c, i) => (dot(query, c) / (qnorm * math.sqrt(dot(c, c))), i) }
+      .sortBy { case (score, i) => (-score, i) }
+      .take(math.min(nProbe, model.centroids.size)).map(_._2)
+    val cellDot: Seq[Double] = model.centroids.map(c => dot(query, c))
+    val approxDot = element_at(typedLit(cellDot), col("cell") + 1) +
+      ProductQuantizer.adcDot(model.pq, query)
+    val cand = encoded.where(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        try_divide(approxDot, col("nrm") * qnorm).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+    val qLit = typedLit(query.toSeq)
+    e.join(cand, "vec_id")
+      .select(col("vec_id"),
+        round(VectorFunctions.vecCosine(col("embedding"), qLit), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

@@ -172,26 +172,32 @@ object ProductQuantizer {
       .select(col("vec_id"), col("codes"), col("nrm"))
   }
 
-  /** ADC scores for one query against the encoded table: the per-
-    * (subspace, code) dot products form a driver-computed m×k lookup
-    * table, so scoring a row is m array lookups + adds — no float
-    * vector is touched. Returns (vec_id, approx_cos). */
-  def adcScores(encoded: DataFrame, model: Model, query: Array[Float]): DataFrame = {
+  /** ADC approximate dot-product EXPRESSION over a `codes` column: the
+    * per-(subspace, code) dot products form a driver-computed m×k
+    * lookup table broadcast as a literal, so scoring a row is m array
+    * lookups + adds — no float vector is touched. Shared by [[adcScores]]
+    * and [[IvfPq.topK]] (which adds the per-cell centroid term). */
+  private[operators] def adcDot(model: Model, query: Array[Float]): Column = {
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != ${model.m}×${model.subDim}")
-    val qnorm = math.sqrt(query.map(x => x.toDouble * x).sum)
     val lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
       val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
       model.codebooks(s).map(c =>
         qs.zip(c).map { case (a, b) => a.toDouble * b }.sum).toSeq
     }
     val lutLit = typedLit(lut)
-    val approxDot = aggregate(
+    aggregate(
       sequence(lit(0), lit(model.m - 1)), lit(0.0),
       (acc, s) => acc + element_at(element_at(lutLit, s + 1),
         element_at(col("codes"), s + 1) + 1))
+  }
+
+  /** ADC scores for one query against the encoded table. Returns
+    * (vec_id, approx_cos). */
+  def adcScores(encoded: DataFrame, model: Model, query: Array[Float]): DataFrame = {
+    val qnorm = math.sqrt(query.map(x => x.toDouble * x).sum)
     encoded.select(col("vec_id"),
-      try_divide(approxDot, col("nrm") * qnorm).as("approx_cos"))
+      try_divide(adcDot(model, query), col("nrm") * qnorm).as("approx_cos"))
   }
 
   /** Two-stage PQ top-k: ADC over the encoded table keeps `rerank`

@@ -252,11 +252,14 @@ object Similarity {
 
   /** Cells probed per vector (ss4/ss4_fitted): single-probe IVF loses
     * every pair straddling a cell boundary — measured recall .317
-    * seeded / .500 fitted at sf0.01 — while probing the 3 nearest cells
-    * recovers the standard production recall/work trade. Candidate
-    * volume scales ~nProbe² per cell pair but stays bucket-bounded:
-    * per-cell population is still ≈ nProbe·N/cells. */
-  val IvfNProbe = 3
+    * seeded / .500 fitted at sf0.01. With the ASYMMETRIC join in
+    * [[ivfCellPairs]] (index side anchored at its primary cell only)
+    * candidate volume is ~nProbe·pop per cell rather than the
+    * symmetric join's (nProbe·pop)², so a deeper probe is cheap:
+    * measured at the 20× smoke's 64-cell tier, nProbe=6 asymmetric is
+    * ~9× FASTER than nProbe=3 symmetric (10 s vs 91 s) at HIGHER
+    * fitted recall (.843 vs .788). */
+  val IvfNProbe = 6
 
   private def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
@@ -278,46 +281,57 @@ object Similarity {
   private def ivfMaxCellPop(e: DataFrame, cells: Int, nProbe: Int): Long =
     math.max(MinIvfCellCap.toLong, 4L * nProbe * (estRowsOf(e) / cells))
 
-  /** Multi-probe within-cell verified pair join shared by the seeded and
-    * fitted IVF variants: explode each vector into its probe cells, drop
-    * cells over `maxPop` and REBUILD each vector's surviving probe set
-    * (so the dedup rule below sees only cells that can actually join —
-    * the dd5 cap-survival argument), self-join on `cell`, keep each pair
-    * only at its MINIMUM shared surviving cell (the first-shared-cell
-    * rule — probe sets are ≤ [[IvfNProbe]] ints carried through the
-    * join, so the intersect/min dedup is a few codegen'd array ops per
-    * joined row, no distinct shuffle), verify with exact cosine ≥
-    * threshold, slim output. `assigned` = (vec_id, embedding, nrm,
-    * cells). */
+  /** Multi-probe within-cell verified pair join shared by the seeded
+    * and fitted IVF variants — ASYMMETRIC, FAISS-style (adopted round 5
+    * after a measured head-to-head; see [[IvfNProbe]]): the INDEX side
+    * holds each vector in its primary (nearest surviving) cell only;
+    * the PROBE side explodes all [[IvfNProbe]] cells. A pair is a
+    * candidate iff either vector's probe set contains the other's
+    * primary, so per direction at most ONE joined row exists (the
+    * primary match) and the dedup rule is a single reverse-existence
+    * array check — no distinct shuffle, candidate volume ~nProbe·pop
+    * per cell instead of the symmetric self-join's (nProbe·pop)².
+    * Pairs verify with exact cosine ≥ threshold, so the output is
+    * always a subset of the exact pair set; the asymmetry only loses
+    * pairs whose probe sets overlap at non-primary cells of BOTH —
+    * bought back (and more) by the deeper probe it affords.
+    * `assigned` = (vec_id, embedding, nrm, cells) with `cells` sorted
+    * nearest-first ([[KMeans.assignTopCells]]). */
   private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
                                   maxPop: Long = Long.MaxValue): DataFrame = {
     // Population cap WITHOUT wide shuffles: per-cell counts are a tiny
     // map-side-combined aggregate (≤ IvfCellTiers.last cells), the
     // over-cap cells collapse to ONE broadcast row whose array every
-    // vector consults per-row (array_except) — replacing two full
-    // windows over the exploded 64-float rows (cell-pop count +
-    // per-vector probe-set rebuild) that together dominated the
-    // pre-round-5 ss4 profile. The 1-row cross join is the documented
-    // q16/ss1 broadcast pattern (PlanAudit whitelists it).
+    // vector consults per-row (array_except — which preserves element
+    // order, so `cells` stays nearest-first and element_at(cells, 1)
+    // is the nearest SURVIVING cell: capped cells' members re-anchor
+    // consistently on both join sides). The 1-row cross join is the
+    // documented q16/ss1 broadcast pattern (PlanAudit whitelists it).
     val over = assigned.select(explode(col("cells")).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       .where(col("pop") > maxPop)
       .agg(collect_list(col("cell")).as("overcap")) // global agg: exactly one row
-    val ex = assigned.crossJoin(broadcast(over))
+    val surv = assigned.crossJoin(broadcast(over))
       .withColumn("cells", array_except(col("cells"), col("overcap")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cells"),
-        explode(col("cells")).as("cell"))
-    val a = ex.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"), col("cells").as("cells_a"), col("cell"))
-    val b = ex.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"), col("cells").as("cells_b"), col("cell"))
-    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
-      .where(col("cell") === array_min(array_intersect(col("cells_a"), col("cells_b"))))
+      .where(size(col("cells")) > 0)
+    val probe = surv.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cells").as("cells_a"),
+      explode(col("cells")).as("cell"))
+    val index = surv.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cells").as("cells_b"),
+      element_at(col("cells"), 1).as("cell"))
+    probe.join(index, Seq("cell"))
+      .where(col("vec_a") =!= col("vec_b"))
+      // both directions can exist (each at its own primary); keep the
+      // a<b one when the reverse row also exists, else keep regardless
+      .where(col("vec_a") < col("vec_b") ||
+        !array_contains(col("cells_b"), element_at(col("cells_a"), 1)))
       .withColumn("cos", round(
         try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
           col("nrm_a") * col("nrm_b")), 3))
       .where(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -402,7 +416,9 @@ object Similarity {
   }
 
   /** Drop all memoized IVF models (tests / after rewriting a dir). */
-  def clearModelCache(): Unit = { fittedModels.clear(); pqModels.clear() }
+  def clearModelCache(): Unit = {
+    fittedModels.clear(); pqModels.clear(); ivfPqModels.clear()
+  }
 
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), ProductQuantizer.Model]()
@@ -418,6 +434,46 @@ object Similarity {
       val m = ProductQuantizer.fit(e.select(col("vec_id"), col("embedding")))
       Option(pqModels.putIfAbsent(key, m)).getOrElse(m)
     }
+  }
+
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IvfPq.Model]()
+
+  /** IVF-PQ model memo — same contract as [[cachedModel]] (deterministic
+    * fits, driver-float model state, stopped-session sweep, fit outside
+    * the CHM bin lock). Coarse cell count comes from the same
+    * [[IvfCellTiers]] geometry as ss4. */
+  private def cachedIvfPqModel(s: SparkSession, dir: String,
+                               e: DataFrame): IvfPq.Model = {
+    ivfPqModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    val key = (s, dir)
+    Option(ivfPqModels.get(key)).getOrElse {
+      val m = IvfPq.fit(e.select(col("vec_id"), col("embedding")),
+        cells = ivfCellsFor(e))
+      Option(ivfPqModels.putIfAbsent(key, m)).getOrElse(m)
+    }
+  }
+
+  /** ss9_ivfpq_topk — the full production ANN composition ([[IvfPq]],
+    * FAISS's IVFADC): coarse cells route the query to [[IvfNProbe]]
+    * probed cells, a shared residual product quantizer gives the
+    * ~20-30× compressed coded table the probe actually scans, ADC
+    * scores the probed cells' codes, and the 100-candidate shortlist
+    * re-ranks exactly — ss1's schema, at a 100 TB-shaped cost:
+    * (nProbe/cells) of a PQ-compressed scan instead of N full vectors.
+    * Construction runs the two fits' jobs plus one 1-row query lookup
+    * (the documented iterative-ML exception; model memoized per
+    * (session, dir)). Approximate → rows-only check; SimilaritySpec
+    * measures recall@10 vs exact ss1. */
+  def ss9IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val model = cachedIvfPqModel(s, dir, e)
+    val query: Array[Float] = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = e.where(col("vec_id") =!= 0)
+    IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, query,
+      nProbe = IvfNProbe, topK = 10, rerank = 100)
   }
 
   /** ss8_pq_topk — product-quantized top-k: [[ProductQuantizer]] fit +
@@ -656,6 +712,7 @@ object Similarity {
     "ss6_knn_exact" -> ((s: SparkSession, dir: String) => ss6KnnExact(s, dir)),
     "ss7_label_centroids" -> (ss7LabelCentroids _),
     "ss8_pq_topk" -> (ss8PqTopk _),
+    "ss9_ivfpq_topk" -> (ss9IvfPqTopk _),
   )
 
   // DuckDB mirror of the cosine kernel: same double casts, same

