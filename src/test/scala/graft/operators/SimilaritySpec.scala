@@ -88,6 +88,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     enc.unpersist()
   }
 
+  test("ss9 IVF-PQ: a persisted cell-partitioned encoded table prunes to the probed cells") {
+    // the production deployment the IvfPq scaladoc describes: encode
+    // once, persist partitioned by cell, and a probe's cell filter must
+    // become PartitionFilters on the scan — files of unprobed cells are
+    // never read, which is the IVF scan cut at 100 TB
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val model = IvfPq.fit(e, cells = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_enc").toString
+    try {
+      IvfPq.encode(e, model).write.mode("overwrite")
+        .partitionBy("cell").parquet(tmp)
+      val enc = spark.read.parquet(tmp)
+      val pruned = enc.where(col("cell").isin(0, 3))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+        s"expected cell partition filters in:\n$plan")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // the probe path over the persisted table still fills top-k
+      assert(IvfPq.topK(e.where(col("vec_id") =!= 0), enc, model, q,
+        nProbe = 6, topK = 10, rerank = 100).count() == 10)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("ss5 kNN join: at most k ranked neighbors per vector; useful recall vs brute force") {
     VectorFunctions.ensureRegistered(spark)
     val k = 5
