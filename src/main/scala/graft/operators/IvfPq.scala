@@ -91,6 +91,10 @@ object IvfPq {
       d
     }
     val qnorm = math.sqrt(dot(query, query))
+    // a zero-norm query scores NaN against every centroid and the
+    // driver-side sort would pick arbitrary cells — fail fast (row-side
+    // scoring below is NULL-safe via try_divide regardless)
+    require(qnorm > 0, "IvfPq.topK: query vector has zero norm")
     val probed: Seq[Int] = model.centroids.zipWithIndex
       .map { case (c, i) => (dot(query, c) / (qnorm * math.sqrt(dot(c, c))), i) }
       .sortBy { case (score, i) => (-score, i) }

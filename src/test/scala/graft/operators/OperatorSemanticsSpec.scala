@@ -110,8 +110,15 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = pairs(Similarity.ss3EmbeddingNeardup(spark, dir)
       .where("cos >= 0.45"), "vec_a", "vec_b")
     val lsh = pairs(Similarity.ss2AnnLsh(spark, dir).where("cos >= 0.45"), "vec_a", "vec_b")
-    val ivf = pairs(Similarity.ss4AnnIvf(spark, dir).where("cos >= 0.45"), "vec_a", "vec_b")
+    val ivfDf = Similarity.ss4AnnIvf(spark, dir)
+    val ivfRows = ivfDf.count()
+    val ivf = pairs(ivfDf.where("cos >= 0.45"), "vec_a", "vec_b")
     assert(lsh.subsetOf(exact) && ivf.subsetOf(exact))
+    // the asymmetric join's reverse-existence rule must keep exactly one
+    // row per unordered pair — both directions existing is the common
+    // case (shared primary cell) and must not double-emit
+    assert(ivfRows == pairs(ivfDf, "vec_a", "vec_b").size,
+      "duplicate pairs escaped the asymmetric IVF join-time dedup")
   }
 
   test("dd5 join-time first-collision dedup reproduces the naive distinct pair set") {
