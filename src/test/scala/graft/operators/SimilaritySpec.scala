@@ -88,6 +88,27 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     enc.unpersist()
   }
 
+  test("ss9 IVF-PQ degrades to exact brute force when fully opened (all cells, rerank=N)") {
+    // probing every cell and re-ranking every candidate leaves only the
+    // exact-cosine re-rank — the result must be bit-identical to ss1
+    // (same rounding, same tie order). This pins the two-stage plumbing:
+    // any row lost or duplicated by encode/probe/dedup would break it.
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val model = IvfPq.fit(e, cells = 8)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = e.where(col("vec_id") =!= 0)
+    val n = corpus.count().toInt
+    val opened = IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, q,
+      nProbe = 8, topK = 10, rerank = n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.ss1CosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(opened.toSeq == exact.toSeq,
+      "fully-opened IVF-PQ must equal brute-force top-k exactly")
+  }
+
   test("ss9 IVF-PQ: a persisted cell-partitioned encoded table prunes to the probed cells") {
     // the production deployment the IvfPq scaladoc describes: encode
     // once, persist partitioned by cell, and a probe's cell filter must
