@@ -42,14 +42,21 @@ object Multimodal {
   object MediaDecoder {
     /** Formats decoded by the REAL `javax.imageio` path. */
     val ImageFormats: Set[String] = Set("png", "bmp", "gif", "jpg", "jpeg")
+
+    /** Formats decoded by the REAL `javax.sound.sampled` path — the
+      * PCM containers the JDK ships readers for. Compressed audio
+      * (mp3/aac/ogg) still needs external codecs → stub. */
+    val AudioFormats: Set[String] = Set("wav", "wave", "aiff", "aif", "au")
+
     def init(): MediaDecoder = new MediaDecoder
   }
 
-  /** Per-partition media decoder. Images go through `javax.imageio` (in
-    * the JDK — no new dependency); everything else (audio/video, and the
-    * fixture's text-as-media rows) takes the deterministic byte-histogram
-    * STUB below, clearly marked, because av codec libs are absent in this
-    * environment. */
+  /** Per-partition media decoder. Images go through `javax.imageio`,
+    * PCM audio (WAV/AIFF/AU) through `javax.sound.sampled` — both in
+    * the JDK, no new dependency; everything else (video, compressed
+    * audio, and the fixture's text-as-media rows) takes the
+    * deterministic byte-histogram STUB below, clearly marked, because
+    * av codec libs are absent in this environment. */
   final class MediaDecoder {
 
     /** REAL image decode: 8-bin normalized Rec.601-luma histogram — the
@@ -88,10 +95,105 @@ object Multimodal {
       }
     }
 
-    /** STUB for non-image media (audio/video codecs absent here): an
-      * 8-bin byte histogram — deterministic and schema-identical to the
-      * image feature, so swapping in a real codec changes only this
-      * function. */
+    /** Decode a PCM payload to mono 16-bit samples (channel-averaged).
+      * Undecodable → None — the shared corrupt-tolerance contract. */
+    private def readPcmMono(payload: Array[Byte]): Option[Array[Short]] =
+      try {
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val base = in0.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, base.getChannels,
+            2 * base.getChannels, base.getSampleRate, false)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0)
+          val bytes = in.readAllBytes()
+          val ch = math.max(1, target.getChannels)
+          val frames = bytes.length / (2 * ch)
+          val mono = new Array[Short](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2 // little-endian per `target`
+              acc += ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+              c += 1
+            }
+            mono(f) = (acc / ch).toShort
+            f += 1
+          }
+          Some(mono)
+        } finally in0.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** REAL audio decode (pure-JDK `javax.sound.sampled`, WAV/AIFF/AU
+      * PCM): 8-window RMS envelope normalized to full scale (32768) —
+      * schema-identical to the image histogram, so downstream feature
+      * columns stay format-agnostic. Undecodable/empty payload → None
+      * (same corrupt-tolerance contract as [[decodeImage]]). */
+    def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+      readPcmMono(payload).filter(_.nonEmpty).map { s =>
+        val out = new Array[Float](8)
+        val n = s.length
+        var w = 0
+        while (w < 8) {
+          val lo = (w.toLong * n / 8).toInt
+          val hi = ((w + 1).toLong * n / 8).toInt
+          if (hi > lo) {
+            var acc = 0.0
+            var i = lo
+            while (i < hi) { val v = s(i).toDouble; acc += v * v; i += 1 }
+            out(w) = (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat
+          }
+          w += 1
+        }
+        out
+      }
+
+    /** REAL audio downsample for PCM payloads: keep every step-th frame
+      * (step = ceil(frames/targetFrames)) and re-encode as 16-bit mono
+      * WAV at sampleRate/step — duration-preserving plain decimation
+      * (no anti-alias filter; honest about being the cheap form).
+      * Payloads already at or under `targetFrames` pass through
+      * unchanged; undecodable → None. */
+    def resampleAudio(payload: Array[Byte], targetFrames: Int): Option[(Array[Byte], Int)] =
+      try {
+        val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val rate = probe.getFormat.getSampleRate
+        probe.close()
+        readPcmMono(payload).filter(_.nonEmpty).map { mono =>
+          if (mono.length <= targetFrames) (payload, mono.length)
+          else {
+            val step = math.ceil(mono.length.toDouble / targetFrames).toInt
+            val dec = Array.tabulate((mono.length + step - 1) / step)(i => mono(i * step))
+            val outRate = math.max(1f, rate / step)
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              outRate, 16, 1, 2, outRate, false)
+            val pcm = new Array[Byte](dec.length * 2)
+            var i = 0
+            while (i < dec.length) {
+              pcm(2 * i) = (dec(i) & 0xFF).toByte
+              pcm(2 * i + 1) = ((dec(i) >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, dec.length.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (bos.toByteArray, dec.length)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** STUB for remaining non-image/non-PCM media (video + compressed
+      * audio — codecs absent here): an 8-bin byte histogram —
+      * deterministic and schema-identical to the real features, so
+      * swapping in a codec changes only this function. */
     def decodeOpaque(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](8)
       var i = 0
@@ -101,11 +203,15 @@ object Multimodal {
     }
 
     /** Dispatch on the typed metadata's format tag. */
-    def decode(payload: Array[Byte], format: String): Array[Float] =
+    def decode(payload: Array[Byte], format: String): Array[Float] = {
       // Locale.ROOT: default-locale lowercasing misroutes "GIF" on tr JVMs
-      if (MediaDecoder.ImageFormats(format.toLowerCase(java.util.Locale.ROOT)))
+      val fmt = format.toLowerCase(java.util.Locale.ROOT)
+      if (MediaDecoder.ImageFormats(fmt))
         decodeImage(payload).getOrElse(Array.empty[Float])
+      else if (MediaDecoder.AudioFormats(fmt))
+        decodeAudio(payload).getOrElse(Array.empty[Float])
       else decodeOpaque(payload)
+    }
 
     /** REAL image resize (pure JDK: ImageIO decode → bilinear Graphics2D
       * scale → PNG re-encode): scaled to `targetWidth` preserving aspect
@@ -164,12 +270,13 @@ object Multimodal {
   }
 
   /** Resize: REAL for image formats (ImageIO decode → bilinear scale →
-    * PNG re-encode, aspect preserved, no upscale; corrupt → empty
-    * payload with zeroed dims, the same filterable convention as
-    * extractFeatures). Non-image media (audio/video — codecs absent in
-    * this environment) keeps the documented deterministic byte-subsample
-    * STUB. Per-partition decoder lifecycle, no shuffle — the pipeline
-    * contract either way. */
+    * PNG re-encode, aspect preserved, no upscale) and for PCM audio
+    * (frame-aware decimation → WAV re-encode, width = frames); corrupt
+    * → empty payload with zeroed dims, the same filterable convention
+    * as extractFeatures. Remaining media (video, compressed audio —
+    * codecs absent in this environment) keeps the documented
+    * deterministic byte-subsample STUB. Per-partition decoder
+    * lifecycle, no shuffle — the pipeline contract either way. */
   def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -177,7 +284,8 @@ object Multimodal {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
       it.map { m =>
-        if (MediaDecoder.ImageFormats(m.format.toLowerCase(java.util.Locale.ROOT)))
+        val fmt0 = m.format.toLowerCase(java.util.Locale.ROOT)
+        if (MediaDecoder.ImageFormats(fmt0))
           dec.resizeImage(m.payload, targetWidth) match {
             case Some((bytes, w, h)) =>
               // re-encoded as PNG whenever scaling happened
@@ -185,9 +293,17 @@ object Multimodal {
               m.copy(payload = bytes, format = fmt, width = w, height = h)
             case None => m.copy(payload = Array.empty, width = 0, height = 0)
           }
+        else if (MediaDecoder.AudioFormats(fmt0))
+          dec.resampleAudio(m.payload, targetWidth) match {
+            case Some((bytes, frames)) =>
+              // re-encoded as WAV whenever decimation happened
+              val fmt = if (bytes eq m.payload) m.format else "wav"
+              m.copy(payload = bytes, format = fmt, width = frames, height = 1)
+            case None => m.copy(payload = Array.empty, width = 0, height = 0)
+          }
         else if (m.width <= targetWidth || m.payload.isEmpty) m
         else {
-          // STUB (non-image): every ceil(w/targetW)-th byte
+          // STUB (video / compressed audio): every ceil(w/targetW)-th byte
           val step = math.ceil(m.width.toDouble / targetWidth).toInt
           val out = m.payload.grouped(step).map(_.head).toArray
           m.copy(payload = out, width = out.length)

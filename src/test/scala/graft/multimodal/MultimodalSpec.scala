@@ -77,6 +77,78 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(2).feature.sum > 0f && !feats(2).feature.sameElements(feats(0).feature))
   }
 
+  /** Synthesized PCM WAV: `frames` samples of a loud square-ish wave in
+    * the FIRST half and silence in the second — the envelope shape the
+    * real decoder must see (a byte histogram over WAV container bytes
+    * never could). */
+  private def sineWav(frames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v: Short =
+        if (i >= frames / 2) 0
+        else if ((i / 4) % 2 == 0) 16000 else -16000
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("extractFeatures decodes REAL PCM audio via javax.sound.sampled (not the stub)") {
+    import spark.implicits._
+    val wav = sineWav(800)
+    val ds = Seq(
+      MediaRecord(1L, wav, "wav", 800, 1),
+      MediaRecord(2L, Array[Byte](4, 4, 4), "wav", 1, 1), // corrupt audio
+      MediaRecord(3L, wav, "bin", wav.length, 1)          // non-audio -> stub
+    ).toDS()
+    val feats = extractFeatures(ds).collect().sortBy(_.media_id)
+    // real decode: RMS envelope loud in windows 0-3, silent in 4-7 —
+    // unreachable from a byte histogram of the compressed container
+    assert(feats(0).feature.length == 8)
+    assert((0 to 3).forall(feats(0).feature(_) > 0.3f),
+      s"loud half lost: ${feats(0).feature.mkString(",")}")
+    assert((4 to 7).forall(feats(0).feature(_) == 0f),
+      s"silent half not silent: ${feats(0).feature.mkString(",")}")
+    // corrupt audio -> empty feature, not an exception
+    assert(feats(1).feature.isEmpty)
+    // same bytes under a non-audio format take the documented stub path
+    assert(feats(2).feature.sum > 0f && !feats(2).feature.sameElements(feats(0).feature))
+    // determinism
+    val again = extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(again(0).feature.sameElements(feats(0).feature))
+  }
+
+  test("resize REALLY downsamples PCM audio (decimate -> WAV re-encode)") {
+    import spark.implicits._
+    val wav = sineWav(800)
+    val ds = Seq(
+      MediaRecord(1L, wav, "wav", 800, 1),
+      MediaRecord(2L, Array[Byte](7), "wav", 1, 1), // corrupt
+      MediaRecord(3L, wav, "wav", 800, 1)           // no-op case
+    ).toDS()
+    val out = resize(ds, targetWidth = 200).collect().sortBy(_.media_id)
+    assert(out(0).width == 200 && out(0).height == 1 && out(0).format == "wav")
+    // output is a REAL decodable WAV with exactly the decimated frames
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert(back.getFrameLength == 200)
+    assert(back.getFormat.getSampleRate == 2000f, "rate divides by the decimation step")
+    back.close()
+    // corrupt audio -> empty payload, zeroed dims
+    assert(out(1).payload.isEmpty && out(1).width == 0 && out(1).height == 0)
+    // already-small audio passes through untouched
+    val same = resize(ds, targetWidth = 4000).collect().sortBy(_.media_id)
+    assert(same(2).payload.sameElements(wav) && same(2).width == 800)
+  }
+
   test("sampleFrames: chunking + every-k selection") {
     import spark.implicits._
     val ds = Seq(media(7, Array.tabulate[Byte](100)(_.toByte))).toDS()
