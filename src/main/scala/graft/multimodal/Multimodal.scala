@@ -312,14 +312,49 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-like payloads: every k-th fixed-size chunk
-    * as a "frame" (stub chunking; the real op is the same explode shape). */
+  /** REAL frame extraction for animated GIF — the one multi-frame
+    * (video-ish) container the JDK decodes: every k-th stored frame,
+    * re-encoded as PNG. Frames are returned as stored (no GIF disposal
+    * compositing — fine for feature pipelines, documented). Undecodable
+    * or single-reader-less payload → None, same corrupt-tolerance
+    * contract as the other decoders. */
+  private[multimodal] def gifFrames(payload: Array[Byte],
+                                    everyK: Int): Option[Seq[(Int, Array[Byte])]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          Some((0 until n by everyK).map { i =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(i), "png", bos)
+            (i, bos.toByteArray)
+          })
+        } finally { r.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling for video-like payloads: REAL for animated GIF
+    * (per-frame ImageIO decode → PNG, every k-th frame); other formats
+    * keep the byte-chunk STUB (every k-th fixed-size chunk as a
+    * "frame") because true video codecs are absent here — the explode
+    * shape, schema, and per-row cost model are the real op's either
+    * way. */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % everyK == 0)
-        .map { case (chunk, idx) => (m.media_id, idx, chunk) }
+      if (m.format.toLowerCase(java.util.Locale.ROOT) == "gif")
+        gifFrames(m.payload, everyK).getOrElse(Seq.empty)
+          .map { case (idx, png) => (m.media_id, idx, png) }
+      else
+        m.payload.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyK == 0)
+          .map { case (chunk, idx) => (m.media_id, idx, chunk) }
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
 

@@ -149,6 +149,55 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same(2).payload.sameElements(wav) && same(2).width == 800)
   }
 
+  /** Synthesized animated GIF: `frames` 8×8 solid frames at distinct
+    * gray levels — palette-exact, so real per-frame decode is provable
+    * pixel-by-pixel. */
+  private def animatedGif(frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = (i * 32) & 0xFF
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("sampleFrames REALLY extracts animated-GIF frames (per-frame decode -> PNG)") {
+    import spark.implicits._
+    val gif = animatedGif(6)
+    val ds = Seq(
+      MediaRecord(1L, gif, "gif", 8, 8),
+      MediaRecord(2L, Array[Byte](3, 1, 4), "gif", 1, 1) // corrupt -> no frames
+    ).toDS()
+    val frames = sampleFrames(ds, frameBytes = 10, everyK = 2).collect()
+      .filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    // 6 stored frames, every 2nd -> stored indices 0, 2, 4
+    assert(frames.map(_.getInt(1)).sameElements(Array(0, 2, 4)))
+    // each sampled frame is a REAL decodable 8x8 PNG of its frame's
+    // solid gray — unreachable from byte-chunking the compressed GIF
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_payload")))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      val v = (r.getInt(1) * 32) & 0xFF
+      assert((img.getRGB(4, 4) & 0xFFFFFF) == ((v << 16) | (v << 8) | v),
+        s"frame ${r.getInt(1)} pixel mismatch")
+    }
+    // corrupt gif contributes zero frames, no exception
+    assert(sampleFrames(ds, 10, 2).where("media_id = 2").count() == 0)
+  }
+
   test("sampleFrames: chunking + every-k selection") {
     import spark.implicits._
     val ds = Seq(media(7, Array.tabulate[Byte](100)(_.toByte))).toDS()
