@@ -126,6 +126,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(0).feature.sameElements(feats(0).feature))
   }
 
+  test("decodeAudio handles big-endian AIFF via the JDK's endianness conversion") {
+    import spark.implicits._
+    // same loud-then-silent signal, but packed big-endian into an AIFF
+    // container — the decoder's little-endian target format must convert
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames / 2) {
+      val v: Short = if ((i / 4) % 2 == 0) 16000 else -16000
+      pcm(2 * i) = ((v >> 8) & 0xFF).toByte
+      pcm(2 * i + 1) = (v & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true) // bigEndian = true
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val ds = Seq(MediaRecord(1L, bos.toByteArray, "aiff", frames, 1)).toDS()
+    val f = extractFeatures(ds).collect()(0).feature
+    assert(f.length == 8)
+    assert((0 to 3).forall(f(_) > 0.3f), s"loud half lost: ${f.mkString(",")}")
+    assert((4 to 7).forall(f(_) == 0f), s"silent half not silent: ${f.mkString(",")}")
+  }
+
   test("resize REALLY downsamples PCM audio (decimate -> WAV re-encode)") {
     import spark.implicits._
     val wav = sineWav(800)
