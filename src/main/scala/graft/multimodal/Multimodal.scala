@@ -10,8 +10,11 @@ import graft.tables.Tables
   *
   * IMAGE decode is REAL — JDK `javax.imageio` (PNG/BMP/GIF/JPEG, zero
   * external dependencies) to a normalized luminance histogram feature.
-  * Audio/video codecs are NOT in this container, so non-image formats
-  * take a clearly-marked deterministic byte-histogram stub
+  * PCM AUDIO decode is REAL — JDK `javax.sound.sampled` (WAV/AIFF/AU)
+  * to an RMS-envelope feature, with frame-decimation resample. GIF
+  * frame sampling is REAL per-frame decode. Only true video codecs and
+  * compressed audio (mp3/aac/ogg) are NOT in this container; those
+  * formats take a clearly-marked deterministic byte-histogram stub
   * ([[MediaDecoder.decodeOpaque]]); the Spark-side plumbing — schema,
   * per-partition decoder lifecycle with task-completion cleanup, feature
   * schema — is identical once a real av codec is swapped in.
@@ -47,6 +50,11 @@ object Multimodal {
       * PCM containers the JDK ships readers for. Compressed audio
       * (mp3/aac/ogg) still needs external codecs → stub. */
     val AudioFormats: Set[String] = Set("wav", "wave", "aiff", "aif", "au")
+
+    /** Multi-frame containers [[Multimodal.sampleFrames]] decodes for
+      * REAL (per-frame `javax.imageio` read). Only GIF in the stock
+      * JDK; animated PNG/WebP would join via plugin readers. */
+    val MultiFrameFormats: Set[String] = Set("gif")
 
     def init(): MediaDecoder = new MediaDecoder
   }
@@ -95,9 +103,11 @@ object Multimodal {
       }
     }
 
-    /** Decode a PCM payload to mono 16-bit samples (channel-averaged).
-      * Undecodable → None — the shared corrupt-tolerance contract. */
-    private def readPcmMono(payload: Array[Byte]): Option[Array[Short]] =
+    /** Decode a PCM payload to mono 16-bit samples (channel-averaged)
+      * plus the source sample rate — returned together so callers never
+      * parse the container twice. Undecodable → None — the shared
+      * corrupt-tolerance contract. */
+    private def readPcmMono(payload: Array[Byte]): Option[(Array[Short], Float)] =
       try {
         val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -124,7 +134,7 @@ object Multimodal {
             mono(f) = (acc / ch).toShort
             f += 1
           }
-          Some(mono)
+          Some((mono, base.getSampleRate))
         } finally in0.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -134,7 +144,7 @@ object Multimodal {
       * columns stay format-agnostic. Undecodable/empty payload → None
       * (same corrupt-tolerance contract as [[decodeImage]]). */
     def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
-      readPcmMono(payload).filter(_.nonEmpty).map { s =>
+      readPcmMono(payload).filter(_._1.nonEmpty).map { case (s, _) =>
         val out = new Array[Float](8)
         val n = s.length
         var w = 0
@@ -160,11 +170,7 @@ object Multimodal {
       * unchanged; undecodable → None. */
     def resampleAudio(payload: Array[Byte], targetFrames: Int): Option[(Array[Byte], Int)] =
       try {
-        val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val rate = probe.getFormat.getSampleRate
-        probe.close()
-        readPcmMono(payload).filter(_.nonEmpty).map { mono =>
+        readPcmMono(payload).filter(_._1.nonEmpty).map { case (mono, rate) =>
           if (mono.length <= targetFrames) (payload, mono.length)
           else {
             val step = math.ceil(mono.length.toDouble / targetFrames).toInt
@@ -321,22 +327,27 @@ object Multimodal {
   private[multimodal] def gifFrames(payload: Array[Byte],
                                     everyK: Int): Option[Seq[(Int, Array[Byte])]] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-backed stream: the payload is already fully in memory, and
+      // the default createImageInputStream would spill it to an executor
+      // temp file per row (ImageIO.getUseCache defaults to true)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); None }
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          Some((0 until n by everyK).map { i =>
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(r.read(i), "png", bos)
-            (i, bos.toByteArray)
-          })
-        } finally { r.dispose(); iis.close() }
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            Some((0 until n by everyK).map { i =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(r.read(i), "png", bos)
+              (i, bos.toByteArray)
+            })
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling for video-like payloads: REAL for animated GIF
@@ -346,9 +357,14 @@ object Multimodal {
     * shape, schema, and per-row cost model are the real op's either
     * way. */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyK: Int): DataFrame = {
+    // fail fast on the driver: a bad everyK would otherwise surface as
+    // silently-empty GIF output (the corrupt-tolerance catch) and an
+    // ArithmeticException in stub-path tasks
+    require(frameBytes >= 1 && everyK >= 1,
+      s"sampleFrames: frameBytes ($frameBytes) and everyK ($everyK) must be >= 1")
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      if (m.format.toLowerCase(java.util.Locale.ROOT) == "gif")
+      if (MediaDecoder.MultiFrameFormats(m.format.toLowerCase(java.util.Locale.ROOT)))
         gifFrames(m.payload, everyK).getOrElse(Seq.empty)
           .map { case (idx, png) => (m.media_id, idx, png) }
       else
