@@ -582,6 +582,86 @@ object Relational {
       .orderBy(col("c_nationkey"))
 
   // ---------------------------------------------------------------------
+  // Event analytics family (time-series over `events`)
+  // ---------------------------------------------------------------------
+
+  /** q37_resample — per-user daily time-series resampling with gap fill:
+    * aggregate events to a (user, day) grain, generate each user's full
+    * [first, last] day spine (`sequence` + `explode` — the date-spine
+    * idiom), left-join actuals, and forward-fill gaps with a running
+    * `last(ignoreNulls)` window. The gap-filling every downstream
+    * ML/metrics join needs before daily features make sense.
+    *
+    * Scale: the spine explode is per-user rows × days (bounded by the
+    * observation window, not the corpus); the fill is one window over
+    * the user-day partition — the same single shuffle the daily agg
+    * already needs. Day DATEs (not raw ns ts) keep the oracle exact. */
+  def q37Resample(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("active", col("day_value").isNotNull)
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("active"), col("filled_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** q38_funnel — ordered conversion funnel signup → click → purchase:
+    * each stage's timestamp is the user's FIRST qualifying event strictly
+    * after the previous stage (a true ordered funnel, not independent
+    * min-per-type). Output is one row per stage with the surviving user
+    * count — the monotone drop-off a product-analytics funnel reports.
+    *
+    * Scale: three conditional-min aggregates over one events scan per
+    * stage, each shuffling slim (user, ts) rows on user_id; stage joins
+    * are tiny (≤ distinct users). Strict ts comparisons are safe
+    * cross-engine: fixture ns components are zero (verified), and within
+    * one engine truncation is consistent anyway. */
+  def q38Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(
+      ("1_signup", s1), ("2_click_after_signup", s2), ("3_purchase_after_click", s3))
+    counts.map { case (stage, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(stage).as("stage"), col("users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage"))
+  }
+
+  /** q39_cohort_retention — weekly cohort retention: users are cohorted
+    * by the Monday week of their first event; each later active week
+    * increments that cohort's week-N cell (the classic retention
+    * triangle, flattened to rows). `weeks_since` is exact integer day
+    * arithmetic on DATE — no float, no ts output.
+    *
+    * Scale: first-touch is one min-aggregate; activity is a distinct on
+    * (user, week) — both shuffle slim rows on user_id, then a tiny-key
+    * count by (cohort_week, weeks_since). */
+  def q39CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.distinct().join(cohort, "user_id")
+      .withColumn("weeks_since", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
 
@@ -623,6 +703,9 @@ object Relational {
     "q34_array_fns" -> (q34ArrayFns _),
     "q35_full_outer" -> (q35FullOuter _),
     "q36_collect" -> (q36Collect _),
+    "q37_resample" -> (q37Resample _),
+    "q38_funnel" -> (q38Funnel _),
+    "q39_cohort_retention" -> (q39CohortRetention _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -862,5 +945,42 @@ object Relational {
       """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names,
               count(*) AS n
        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q37_resample" ->
+      """WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id)
+      SELECT s.user_id, s.day, d.day_value IS NOT NULL AS active,
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+      ORDER BY user_id, day""",
+    "q38_funnel" ->
+      """WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      SELECT '1_signup' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT '2_click_after_signup', count(*) FROM s2
+      UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
+      ORDER BY stage""",
+    "q39_cohort_retention" ->
+      """WITH wk AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+      SELECT c.cohort_week, CAST((w.week - c.cohort_week) / 7 AS INTEGER) AS weeks_since,
+             count(DISTINCT w.user_id) AS users
+      FROM wk w JOIN cohort c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""",
   )
 }
