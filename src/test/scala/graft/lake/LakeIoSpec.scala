@@ -33,6 +33,39 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(rootDir.toFile)
   }
 
+  test("writeParquetClustered: disjoint per-file key ranges + pushed filter = skip-scan layout") {
+    import org.apache.spark.sql.functions._
+    client.createFilesystem("clu")
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    client.writeParquetClustered(li, "clu", "li_clustered",
+      clusterBy = Seq("l_orderkey"), files = 4)
+
+    val back = client.readParquet(spark, "clu", "li_clustered")
+    assert(back.count() == li.count(), "clustering must not lose rows")
+
+    // the layout property that makes parquet row-group min/max stats
+    // selective: every output file owns a DISJOINT l_orderkey range
+    // (RangePartitioner keeps equal keys together, so ranges can't
+    // interleave) — a range predicate then skips all but one file's
+    // row-groups at scan time
+    val ranges = back.inputFiles.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple clustered files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: $ranges")
+    }
+    // and the predicate reaches the scan (row-group skipping needs both)
+    val key = li.agg(min("l_orderkey")).head().getLong(0)
+    val plan = back.where(col("l_orderkey") === key)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey"),
+      s"expected pushed l_orderkey filter in:\n$plan")
+  }
+
   test("write partitioned parquet to the lake; read back with partition pruning") {
     client.createFilesystem("warehouse")
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
