@@ -198,14 +198,51 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("copy"))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** Deterministic per-stratum quota cap: keep at most `cap` rows per
+    * stratum, chosen by salted-md5 rank (content hash, not arrival
+    * order) with the id as tiebreaker — the per-domain cap every
+    * web-corpus pipeline applies so no single domain dominates the mix.
+    * Unlike rate-based [[stratifiedSample]] the bound is an absolute
+    * COUNT, so a 10-billion-page domain and a 10-page domain both land
+    * at ≤ cap. One row_number window partitioned by the stratum — the
+    * same shuffle any per-domain op pays; for a pathologically hot
+    * domain, pre-cap per (stratum, hash-shard) with this same function
+    * first, then cap the survivors (composition preserves determinism). */
+  def sourceCap(df: DataFrame, strataCol: String, cap: Int,
+                idCol: String = "doc_id", salt: String = "cp5"): DataFrame = {
+    require(cap >= 1, s"sourceCap: cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("cp5_hx"), col(idCol))
+    df.withColumn("cp5_hx", md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+      .withColumn("cp5_rank", row_number().over(w))
+      .where(col("cp5_rank") <= cap)
+      .drop("cp5_hx", "cp5_rank")
+  }
+
+  /** cp5_source_cap — at most 15 documents per source (fixture sources
+    * hold 25 each, so the cap genuinely bites); (doc_id, source) of the
+    * kept set. */
+  def cp5SourceCap(s: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(s, dir), "source", cap = 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_hash_split" -> (cp1HashSplit _),
     "cp2_stratified_sample" -> (cp2StratifiedSample _),
     "cp3_pack_sequences" -> (cp3PackSequences _),
     "cp4_epoch_mix" -> (cp4EpochMix _),
+    "cp5_source_cap" -> (cp5SourceCap _),
   )
 
   val oracle: Map[String, String] = Map(
+    "cp5_source_cap" ->
+      """SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('cp5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+       WHERE rk <= 15 ORDER BY doc_id""",
     "cp1_hash_split" ->
       """SELECT doc_id,
             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
