@@ -466,6 +466,35 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
       .parquet(resolve(filesystem, path).toString)
   }
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(totalBytes / targetFileBytes) files, then swap it into place
+    * with the lake's own primitives (write to a sibling temp dir →
+    * delete original → rename — the reference's #8/#7 composed). The
+    * operational fix for the small-files problem every incremental
+    * 100 TB lake accumulates: listings, task scheduling, and parquet
+    * footer reads all scale with file COUNT, so a million drip-fed
+    * 100 KB files cost more to plan than to scan. Returns the new file
+    * count. NOT concurrency-safe against a simultaneous writer — run
+    * it like any maintenance job, fenced from writers (the same
+    * contract as Hive/Iceberg compaction without a lock service). */
+  def compactParquet(spark: SparkSession, filesystem: String, path: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "compactParquet: targetFileBytes must be > 0")
+    val dir = resolve(filesystem, path)
+    val totalBytes = fs.listStatus(dir).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = s"$path-__compacting__"
+    // repartition (round-robin) spreads rows evenly across the target
+    // file count; read completes into the temp write before the source
+    // is touched, so a crash mid-compaction leaves the original intact
+    spark.read.parquet(dir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(resolve(filesystem, tmp).toString)
+    deletePath(filesystem, path, recursive = true)
+    renamePath(filesystem, tmp, path)
+    nFiles
+  }
+
   /** Partition-level upsert: overwrite ONLY the partitions present in
     * `updates`, leaving all other partitions untouched (dynamic partition
     * overwrite — the parquet-lake stand-in for MERGE; at 100 TB this is

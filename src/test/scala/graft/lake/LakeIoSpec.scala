@@ -66,6 +66,32 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pushed l_orderkey filter in:\n$plan")
   }
 
+  test("compactParquet rewrites a fragmented table into few files with identical content") {
+    import org.apache.spark.sql.functions._
+    client.createFilesystem("frag")
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // fragment: 16 small files
+    li.repartition(16).write.parquet(
+      rootDir.resolve("frag/li").toString)
+    val before = client.readParquet(spark, "frag", "li")
+    assert(before.inputFiles.length == 16)
+    def checksumOf(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum(xxhash64(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    val checksum = checksumOf(before)
+
+    val nFiles = client.compactParquet(spark, "frag", "li")
+    val after = client.readParquet(spark, "frag", "li")
+    assert(after.inputFiles.length == nFiles && nFiles < 16,
+      s"expected few files, got ${after.inputFiles.length} (target $nFiles)")
+    assert(after.count() == li.count(), "compaction must not lose rows")
+    assert(checksumOf(after) == checksum, "compaction must not change content")
+    // no temp debris left behind
+    assert(client.listPaths("frag", "", recursive = false)
+      .forall(!_.name.contains("__compacting__")))
+  }
+
   test("write partitioned parquet to the lake; read back with partition pruning") {
     client.createFilesystem("warehouse")
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
