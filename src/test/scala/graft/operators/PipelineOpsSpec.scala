@@ -91,6 +91,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.where(col("source") =!= "src0").count() == docs.where(col("source") =!= "src0").count())
   }
 
+  test("cp5: quota respected per stratum, kept set monotone in the cap") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    def keep(cap: Int): Set[Long] =
+      CorpusPipeline.sourceCap(docs, "source", cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cap respected for every stratum, at several caps
+    for (cap <- Seq(1, 7, 15)) {
+      val sizes = CorpusPipeline.sourceCap(docs, "source", cap)
+        .groupBy("source").count().collect().map(_.getLong(1))
+      assert(sizes.forall(_ <= cap), s"cap $cap violated: ${sizes.max}")
+    }
+    // the salted-md5 rank is cap-independent, so raising a quota only
+    // ADDS documents — the reproducible-corpus-growth property (cp2's
+    // nesting, in count form)
+    assert(keep(1).subsetOf(keep(7)) && keep(7).subsetOf(keep(15)),
+      "kept sets must nest as the cap grows")
+    assert(keep(7) == keep(7), "same cap must keep the identical set")
+    // fixture strata hold 25 docs each: cap 15 genuinely bites
+    assert(keep(15).size == 20 * 15)
+  }
+
   test("cp4: integer epochs exact, fractional epochs thin deterministically, weight 0 vanishes") {
     val docs = graft.tables.Tables.documents(spark, dir)
     val n = docs.count()
