@@ -481,7 +481,14 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
                      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "compactParquet: targetFileBytes must be > 0")
     val dir = resolve(filesystem, path)
-    val totalBytes = fs.listStatus(dir).filter(_.isFile)
+    val entries = fs.listStatus(dir)
+    // a partitioned table is nested key=value directories — rewriting it
+    // flat would silently DESTROY the partition layout; compact each
+    // partition directory (a plain parquet dir) individually instead
+    require(!entries.exists(_.isDirectory),
+      s"compactParquet: $path contains subdirectories (partitioned table?) — " +
+        "compact each partition directory individually")
+    val totalBytes = entries.filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = s"$path-__compacting__"

@@ -90,6 +90,14 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no temp debris left behind
     assert(client.listPaths("frag", "", recursive = false)
       .forall(!_.name.contains("__compacting__")))
+    // a PARTITIONED table must be refused, not silently flattened
+    client.writeParquet(li.withColumn("flag", col("l_orderkey") % 2),
+      "frag", "li_part", partitionBy = Seq("flag"))
+    intercept[IllegalArgumentException] {
+      client.compactParquet(spark, "frag", "li_part")
+    }
+    // ...but compacting ONE partition directory works
+    assert(client.compactParquet(spark, "frag", "li_part/flag=0") >= 1)
   }
 
   test("write partitioned parquet to the lake; read back with partition pruning") {
