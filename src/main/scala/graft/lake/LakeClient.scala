@@ -450,15 +450,20 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * data-layout lever for 100 TB fact tables (the linear cousin of
     * Z-ordering; for one-column predicates it is optimal): partition
     * directories prune coarse dimensions, clustering prunes within
-    * them. `files` bounds output file count (range partitioner =
-    * one file per range). LakeIoSpec proves the skip: the same filter
-    * reads fewer rows out of the scan on a clustered table than on an
-    * unclustered one. */
+    * them. With no `partitionBy`, `files` IS the output file count
+    * (range partitioner = one file per range); with `partitionBy`, the
+    * partition columns LEAD the range key so each task holds a
+    * contiguous run of partition values and the writer emits at most
+    * `files + nPartitionValues − 1` files (each task straddles at most
+    * one partition boundary) — NOT the `files × nPartitionValues`
+    * blow-up a naive cluster-key-only range would produce. LakeIoSpec
+    * proves the skip layout: disjoint per-file cluster ranges + the
+    * predicate pushed to the scan. */
   def writeParquetClustered(df: DataFrame, filesystem: String, path: String,
                             clusterBy: Seq[String], files: Int = 8,
                             partitionBy: Seq[String] = Nil): Unit = {
     require(clusterBy.nonEmpty, "writeParquetClustered: clusterBy must be non-empty")
-    val cols = clusterBy.map(df.col)
+    val cols = (partitionBy ++ clusterBy).map(df.col)
     val clustered = df.repartitionByRange(files, cols: _*)
       .sortWithinPartitions(cols: _*)
     val w = clustered.write.mode("overwrite")
@@ -468,37 +473,58 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
 
   /** Small-file compaction: rewrite a parquet table into
     * ceil(totalBytes / targetFileBytes) files, then swap it into place
-    * with the lake's own primitives (write to a sibling temp dir →
-    * delete original → rename — the reference's #8/#7 composed). The
-    * operational fix for the small-files problem every incremental
+    * with the lake's own primitives (the reference's #7/#8 composed).
+    * The operational fix for the small-files problem every incremental
     * 100 TB lake accumulates: listings, task scheduling, and parquet
     * footer reads all scale with file COUNT, so a million drip-fed
     * 100 KB files cost more to plan than to scan. Returns the new file
-    * count. NOT concurrency-safe against a simultaneous writer — run
-    * it like any maintenance job, fenced from writers (the same
-    * contract as Hive/Iceberg compaction without a lock service). */
+    * count. Path properties (the sidecar) survive the rewrite.
+    *
+    * Crash contract: the compacted copy is fully written to
+    * `<path>-__compacting__` BEFORE the original is touched; the swap
+    * is rename-original-aside → rename-copy-in → delete-aside, each
+    * step checked. A crash before the swap leaves the table untouched
+    * (rerun cleans the temp); a crash mid-swap leaves the full data in
+    * `<path>-__old__` and/or `<path>-__compacting__` — never deleted
+    * until the new copy is serving the path. NOT concurrency-safe
+    * against a simultaneous writer — fence it like any maintenance job
+    * (the Hive/Iceberg-compaction contract without a lock service). */
   def compactParquet(spark: SparkSession, filesystem: String, path: String,
                      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "compactParquet: targetFileBytes must be > 0")
-    val dir = resolve(filesystem, path)
+    // normalize: a trailing slash would make the temp names CHILDREN of
+    // the table dir (delete-original would then destroy the new copy)
+    val norm = path.replaceAll("/+$", "")
+    require(norm.nonEmpty, "compactParquet: cannot compact the filesystem root")
+    val dir = resolve(filesystem, norm)
     val entries = fs.listStatus(dir)
     // a partitioned table is nested key=value directories — rewriting it
     // flat would silently DESTROY the partition layout; compact each
     // partition directory (a plain parquet dir) individually instead
     require(!entries.exists(_.isDirectory),
-      s"compactParquet: $path contains subdirectories (partitioned table?) — " +
+      s"compactParquet: $norm contains subdirectories (partitioned table?) — " +
         "compact each partition directory individually")
     val totalBytes = entries.filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = s"$path-__compacting__"
+    val tmp = s"$norm-__compacting__"
+    val old = s"$norm-__old__"
+    require(pathStatus(filesystem, tmp).isEmpty && pathStatus(filesystem, old).isEmpty,
+      s"compactParquet: leftover $tmp / $old from an interrupted run — " +
+        "recover or remove them first")
+    val props = pathStatus(filesystem, norm).map(_.properties).getOrElse(Map.empty)
     // repartition (round-robin) spreads rows evenly across the target
-    // file count; read completes into the temp write before the source
-    // is touched, so a crash mid-compaction leaves the original intact
+    // file count; the copy completes before the original is touched
     spark.read.parquet(dir.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(resolve(filesystem, tmp).toString)
-    deletePath(filesystem, path, recursive = true)
-    renamePath(filesystem, tmp, path)
+    def step(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactParquet: $what failed; table data is intact under " +
+          s"$norm-__old__/$tmp — recover manually")
+    step(renamePath(filesystem, norm, old), s"rename $norm aside")
+    step(renamePath(filesystem, tmp, norm), s"rename compacted copy into $norm")
+    if (props.nonEmpty) setPathProperties(filesystem, norm, props)
+    step(deletePath(filesystem, old, recursive = true), s"delete $old")
     nFiles
   }
 

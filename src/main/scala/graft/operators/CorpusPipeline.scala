@@ -207,12 +207,22 @@ object CorpusPipeline {
     * at ≤ cap. One row_number window partitioned by the stratum — the
     * same shuffle any per-domain op pays; for a pathologically hot
     * domain, pre-cap per (stratum, hash-shard) with this same function
-    * first, then cap the survivors (composition preserves determinism). */
+    * first, then cap the survivors (composition preserves determinism).
+    *
+    * Id contract (same as [[hashSplit]]/[[stratifiedSample]]): `idCol`
+    * should be unique and non-null. Duplicate ids keep the KEPT ID SET
+    * deterministic but make which physical duplicate survives
+    * arbitrary; null ids hash to null and sort LAST (nulls-last, so
+    * they never steal quota from hashable rows — note cp2 drops them
+    * outright, since null < threshold is null). */
   def sourceCap(df: DataFrame, strataCol: String, cap: Int,
                 idCol: String = "doc_id", salt: String = "cp5"): DataFrame = {
     require(cap >= 1, s"sourceCap: cap must be >= 1, got $cap")
+    require(!df.columns.contains("cp5_hx") && !df.columns.contains("cp5_rank"),
+      "sourceCap: input already has a cp5_hx/cp5_rank column — rename it first")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(col("cp5_hx"), col(idCol))
+      .partitionBy(col(strataCol))
+      .orderBy(col("cp5_hx").asc_nulls_last, col(idCol).asc_nulls_last)
     df.withColumn("cp5_hx", md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
       .withColumn("cp5_rank", row_number().over(w))
       .where(col("cp5_rank") <= cap)

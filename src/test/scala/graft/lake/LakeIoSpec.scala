@@ -64,6 +64,17 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey"),
       s"expected pushed l_orderkey filter in:\n$plan")
+
+    // with partitionBy, partition columns LEAD the range key, so the
+    // file count stays ~files + nPartitionValues - 1, not files × values
+    client.writeParquetClustered(
+      li.withColumn("flag", (col("l_orderkey") % 2).cast("int")),
+      "clu", "li_clustered_part",
+      clusterBy = Seq("l_orderkey"), files = 4, partitionBy = Seq("flag"))
+    val partBack = client.readParquet(spark, "clu", "li_clustered_part")
+    assert(partBack.count() == li.count())
+    assert(partBack.inputFiles.length <= 4 + 2 - 1,
+      s"partitioned clustered write fanned out: ${partBack.inputFiles.length} files")
   }
 
   test("compactParquet rewrites a fragmented table into few files with identical content") {
