@@ -561,6 +561,26 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     df.write.mode("overwrite").orc(resolve(filesystem, path).toString)
   def readText(spark: SparkSession, filesystem: String, path: String): DataFrame =
     spark.read.text(resolve(filesystem, path).toString)
+  /** Avro — the row-oriented interchange format of Kafka/schema-registry
+    * pipelines. This Spark build ships `AvroFileFormat` inside spark-sql
+    * but without its `DataSourceRegister` service entry, so the short
+    * name "avro" does not resolve — the full class name does. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+  def readAvro(spark: SparkSession, filesystem: String, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(resolve(filesystem, path).toString)
+  def writeAvro(df: DataFrame, filesystem: String, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat)
+      .save(resolve(filesystem, path).toString)
+  /** XML (built-in since Spark 4) — `rowTag` names the element that maps
+    * to one row. */
+  def readXml(spark: SparkSession, filesystem: String, path: String,
+              rowTag: String = "row"): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag)
+      .load(resolve(filesystem, path).toString)
+  def writeXml(df: DataFrame, filesystem: String, path: String,
+               rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag)
+      .save(resolve(filesystem, path).toString)
   /** Opaque-bytes read — the reference's untyped data plane as a DataFrame
     * (binaryFile source: path, modificationTime, length, content). */
   def readBinary(spark: SparkSession, filesystem: String, glob: String): DataFrame =

@@ -157,6 +157,20 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.readJson(spark, "io", "nation_json").count() == 25)
   }
 
+  test("round-trip Avro and XML through the lake client, values intact") {
+    client.createFilesystem("io2")
+    val nation = graft.tables.Tables.nation(spark, "/root/testdata/sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(n_nationkey AS LONG)", "CAST(n_name AS STRING)",
+          "CAST(n_regionkey AS LONG)")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = asSet(nation)
+    client.writeAvro(nation, "io2", "nation_avro")
+    assert(asSet(client.readAvro(spark, "io2", "nation_avro")) == expect)
+    client.writeXml(nation, "io2", "nation_xml", rowTag = "nation")
+    assert(asSet(client.readXml(spark, "io2", "nation_xml", rowTag = "nation")) == expect)
+  }
+
   test("listPathsDF: distributed listing matches the paged client listing") {
     client.createFilesystem("cat")
     for (i <- 0 until 15) client.uploadString("cat", f"d1/f$i%02d.txt", "x")
