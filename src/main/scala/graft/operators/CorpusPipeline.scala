@@ -110,7 +110,11 @@ object CorpusPipeline {
                        idCol: String = "doc_id", salt: String = "cp2"): DataFrame = {
     def hex(rate: Double): String = {
       require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
-      f"${math.min((rate * 65536).toLong, 65535L)}%04x"
+      // rate 1.0 must keep EVERY row: clamping to "ffff" with a strict <
+      // would silently drop the ~1/65536 of ids hashing exactly "ffff".
+      // "g" sorts after every 4-hex-char string, so it's an always-true
+      // threshold (same lexicographic trick as the ranges themselves).
+      if (rate >= 1.0) "g" else f"${(rate * 65536).toLong}%04x"
     }
     val hx = substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 4)
     val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hex(defaultRate))) {

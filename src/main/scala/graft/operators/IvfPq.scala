@@ -64,12 +64,8 @@ object IvfPq {
     * (the [[ProductQuantizer.encode]] contract). */
   def encode(e: DataFrame, model: Model): DataFrame = {
     val wr = withResidual(e, model.centroids)
-    val codes = ProductQuantizer.assignCodes(
-        wr.select(col("vec_id"), col("res").as("embedding")), model.pq)
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
-      .select(col("vec_id"), transform(col("sc"), x => x.getField("code")).as("codes"))
-      .where(!array_contains(col("codes"), -1))
+    val codes = ProductQuantizer.codesFor(
+      wr.select(col("vec_id"), col("res").as("embedding")), model.pq)
     wr.select(col("vec_id"), col("cell"), col("nrm")).join(codes, "vec_id")
       .select(col("vec_id"), col("cell"), col("codes"), col("nrm"))
   }

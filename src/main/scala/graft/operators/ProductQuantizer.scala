@@ -156,21 +156,26 @@ object ProductQuantizer {
     } finally { e.unpersist(false); () }
   }
 
-  /** Encode the corpus: (vec_id, codes[m], nrm). Rows any subspace of
-    * which is unencodable (wrong dimension) drop out. This is the table
-    * a production deployment PERSISTS — ~20-30× smaller than the raw
-    * embeddings, which is the entire point at 100 TB. */
-  def encode(e: DataFrame, model: Model): DataFrame = {
-    val codes = assignCodes(e, model)
+  /** (vec_id, codes[m]) for every fully-encodable vector: per-subspace
+    * code assignment collected into subspace order; rows any subspace of
+    * which is unencodable (code -1: wrong dimension) drop out. The ONE
+    * place the sentinel/ordering contract lives — [[encode]] and
+    * [[IvfPq.encode]] both attach their own side columns to this. */
+  private[operators] def codesFor(e: DataFrame, model: Model): DataFrame =
+    assignCodes(e, model)
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col("vec_id"), transform(col("sc"), x => x.getField("code")).as("codes"))
       .where(!array_contains(col("codes"), -1))
+
+  /** Encode the corpus: (vec_id, codes[m], nrm). This is the table a
+    * production deployment PERSISTS — ~20-30× smaller than the raw
+    * embeddings, which is the entire point at 100 TB. */
+  def encode(e: DataFrame, model: Model): DataFrame =
     e.select(col("vec_id"),
         sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      .join(codes, "vec_id")
+      .join(codesFor(e, model), "vec_id")
       .select(col("vec_id"), col("codes"), col("nrm"))
-  }
 
   /** ADC approximate dot-product EXPRESSION over a `codes` column: the
     * per-(subspace, code) dot products form a driver-computed m×k

@@ -169,6 +169,13 @@ object Similarity {
     val e0 = e00.where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"lshNeardupPairs: embedding dimension must be $dim")), lit(true)))
+      // zero-norm rows (failed-embedding padding) project 0 on EVERY
+      // hyperplane: `proj >= 0` parks them ALL in the all-ones bucket of
+      // every table, an uncapped N_zero-squared self-join whose pairs then
+      // verify to NULL cosine and vanish — filter them before bucketing
+      // (they can never pair; the tier tables bound only EXPECTED bucket
+      // sizes of hash-spread vectors)
+      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     val (_, tables, bits) =
       PairLshTiers.find(estRowsOf(e00) < _._1).getOrElse(PairLshTiers.last)
     // each table's bucket packs into its own 64/tables-wide LANE; `bits`
@@ -275,7 +282,9 @@ object Similarity {
     * near-duplicate flood all assigning to one cell) whose within-cell
     * self-join goes quadratic; like the dd3/dd5/ss2 bucket caps the
     * guard trades those cells' pairs away to bound the join — the
-    * verified-subset contract is unaffected. DORMANT at the measured
+    * verified-subset contract is unaffected. (dd3/dd5 cap buckets the
+    * same way; ss2/ss5 instead bound expected bucket size via tiered
+    * bits + a zero-norm pre-filter.) DORMANT at the measured
     * fixture/smoke scales (20× smoke: zero pairs lost); it exists for
     * the adversarial tail, exactly like its siblings. */
   private def ivfMaxCellPop(e: DataFrame, cells: Int, nProbe: Int): Long =
@@ -479,7 +488,7 @@ object Similarity {
   /** ss8_pq_topk — product-quantized top-k: [[ProductQuantizer]] fit +
     * encode (the ~20-30× smaller table a production deployment scans),
     * ADC candidate generation for the ss1 query vector, exact re-rank of
-    * the 40-candidate shortlist, top-10 in ss1's schema. Construction
+    * the 100-candidate shortlist, top-10 in ss1's schema. Construction
     * runs the fit's jobs plus one 1-row lookup for the query vector —
     * the documented iterative-ML exception (ss4_fitted). Approximate →
     * rows-only check; SimilaritySpec measures recall vs exact ss1. */
@@ -545,6 +554,9 @@ object Similarity {
     val e0 = e00.where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"knnJoin: embedding dimension must be $dim")), lit(true)))
+      // zero-norm degenerates flood one bucket per table (see
+      // lshNeardupPairs) and can never rank — drop before bucketing
+      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     // many short tables, not few long ones, at small N: kNN needs recall
     // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
     // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At

@@ -32,6 +32,9 @@ object SkewJoin {
       .contains(normalized),
       s"saltedJoin replicates the right side $salt×, so only left-preserving " +
         s"join types keep results identical to the unsalted join; got '$joinType'")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin: an input already has a _salt column — rename it first " +
+        "(withColumn would silently overwrite it and drop() would delete it)")
     val leftCols = left.columns
     val l = left.withColumn("_salt",
       pmod(xxhash64(leftCols.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))

@@ -200,8 +200,12 @@ object TextAnalysis {
         col("doc_id"),
         size(col("t")).as("n_tok"),
         col("top2_count"),
-        round(col("top2_chars") / length(col("text")), 4).as("top2_frac"),
-        round(col("dup5_chars") / length(col("text")), 4).as("dup5_frac"))
+        // try_divide: an EMPTY document has length 0 and plain `/` is a
+        // task-killing DIVIDE_BY_ZERO under ANSI (Spark-4 default) —
+        // empty docs score NULL fractions instead (fixture docs are all
+        // non-empty, so the oracle is unaffected)
+        round(try_divide(col("top2_chars"), length(col("text"))), 4).as("top2_frac"),
+        round(try_divide(col("dup5_chars"), length(col("text"))), 4).as("dup5_frac"))
       .orderBy(col("doc_id"))
 
   /** Email / phone / IPv4 patterns shared by the scrubber and its tests.

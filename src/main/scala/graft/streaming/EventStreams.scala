@@ -255,6 +255,12 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
     import spark.implicits._
+    val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val idleTimeoutMs =
+      idleMs.days.toLong * 24 * 3600 * 1000 + idleMs.microseconds / 1000
+    require(idleMs.months == 0 && idleTimeoutMs > 0,
+      s"streamingUserTotals: idleTimeout must be a positive day-time interval, got '$idleTimeout'")
     val typed = events
       .withWatermark("ts", watermark)
       // the watermark column must flow into the stateful operator for
@@ -271,10 +277,20 @@ object EventStreams {
         } else {
           val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
           var n = n0; var sum = sum0
-          rows.foreach { case (_, v, _) => n += 1; sum += v }
+          var lastTs = Long.MinValue
+          rows.foreach { case (_, v, ts) =>
+            n += 1; sum += v
+            if (ts.getTime > lastTs) lastTs = ts.getTime
+          }
           state.update((n, sum))
-          if (state.getCurrentWatermarkMs() > 0)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 30 * 60 * 1000)
+          // idle = no events for idleTimeout after the user's LAST SEEN
+          // event time (streamingAttribution's anchor-on-data rule — a
+          // watermark-anchored timeout would be an absolute 1970 instant
+          // while the watermark is still 0 and evict state immediately);
+          // max(..., wm+1): Spark rejects timeouts at/below the watermark,
+          // and the floor also covers users seen only in batch 0
+          state.setTimeoutTimestamp(
+            math.max(lastTs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
           Iterator.single((userId, n, math.round(sum * 100).toDouble / 100))
         }
     }.toDF("user_id", "n_events", "total_value")

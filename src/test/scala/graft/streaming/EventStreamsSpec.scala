@@ -107,6 +107,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingUserTotals honors idleTimeout: idle state evicts and the count restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingUserTotals(in.toDF(),
+        watermark = "0 seconds", idleTimeout = "10 minutes")
+      .writeStream.format("memory").queryName("totals_idle")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(0), 7, "a", 1.0))
+    q.processAllAvailable()
+    // another user's event pushes the watermark far past 7's last-seen
+    // (ts 0) + 10 minutes — user 7's state must time out and be removed
+    in.addData(Ev(2, ts(120), 8, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(121), 7, "a", 5.0))
+    q.processAllAvailable()
+    val snaps = spark.table("totals_idle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(snaps.contains((7L, 1L, 1.0)), "first snapshot")
+    assert(snaps.contains((7L, 1L, 5.0)),
+      s"count must RESTART after the idle eviction, got $snaps")
+    assert(!snaps.contains((7L, 2L, 6.0)),
+      "state survived past its idle timeout")
+    q.stop()
+  }
+
   test("streaming attribution credits purchases to the latest in-band click") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
