@@ -8,17 +8,21 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * `Aggregator[IN, BUF, OUT]` — the engine-extension path users take when
   * built-in aggregates don't fit.
   *
-  * WeightedMean keeps exact BigDecimal partial sums (merge-order
-  * independent, like the engine's DECIMAL summing convention) and divides
-  * once at finish — so results are reproducible across partitionings and
-  * match a DECIMAL-arithmetic oracle. Partial aggregation (map-side
-  * combine) comes for free from the Aggregator contract: `reduce` runs
-  * per-partition, `merge` combines the small (2-decimal) buffers.
+  * WeightedMean QUANTIZES each input value and weight to 6 decimal
+  * places (HALF_UP) and then keeps exact BigDecimal partial sums
+  * (merge-order independent, like the engine's DECIMAL summing
+  * convention), dividing once at finish. The quantization is what makes
+  * the result bit-reproducible across partitionings AND match a
+  * DECIMAL-arithmetic oracle — callers needing sub-micro weights must
+  * rescale first (a 1e-7 weight rounds to 0). Partial aggregation
+  * (map-side combine) comes for free from the Aggregator contract:
+  * `reduce` runs per-partition, `merge` combines the tiny buffers.
   */
 object Aggregators {
 
-  /** Weighted mean of `value` with weight `weight`, exact until the final
-    * division (scale-2 HALF_UP, mirroring SQL round(x, 2)). */
+  /** Weighted mean of `value` with weight `weight`: inputs quantized to
+    * 6 dp, sums exact, final division rounded to scale-2 HALF_UP
+    * (mirroring SQL round(x, 2)). */
   class WeightedMean extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
     private def d2(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))

@@ -23,7 +23,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * results are bit-identical for equal-length inputs; length-mismatched
   * inputs yield NULL (as the zip_with form does: the padded null element
   * nulls the whole aggregate) — a dimension bug surfaces instead of
-  * silently producing a truncated dot product.
+  * silently producing a truncated dot product. A NULL ELEMENT inside
+  * either array also yields NULL (zip_with parity again — getFloat on a
+  * null slot would silently read 0.0 and fabricate a similarity).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,7 +52,13 @@ case class FloatVectorDot(left: Expression, right: Expression)
     if (n != y.numElements()) return null // dimension mismatch -> NULL, like zip_with
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      // null element -> NULL result (getFloat on a null slot reads 0.0
+      // and would silently fabricate a similarity)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -65,9 +73,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
         |} else {
         |  double ${ev.value}_acc = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |    ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |  }
-        |  ${ev.value} = ${ev.value}_acc;
+        |  if (!${ev.isNull}) { ${ev.value} = ${ev.value}_acc; }
         |}
       """.stripMargin
     })

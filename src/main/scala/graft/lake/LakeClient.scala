@@ -86,7 +86,13 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   def createPath(filesystem: String, path: String, directory: Boolean = false): Unit = {
     val p = resolve(filesystem, path)
     if (directory) fs.mkdirs(p)
-    else fs.create(p, true).close() // zero-byte stage, like PUT ?resource=file
+    else {
+      // overwrite semantics: a re-created file must NOT inherit the
+      // replaced file's properties (deletePath/renamePath keep the same
+      // invariant; ADLS PUT ?resource=file resets properties)
+      fs.delete(fileSidecar(p), false)
+      fs.create(p, true).close() // zero-byte stage, like PUT ?resource=file
+    }
   }
 
   /** rename_file — client.py:358-395. The reference needs a content-length
@@ -130,6 +136,14 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   def deletePath(filesystem: String, path: String, recursive: Boolean = false): Boolean = {
     val p = resolve(filesystem, path)
     val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    if (isDir && !recursive) {
+      // a directory's props sidecar lives INSIDE it and is hidden from
+      // listings — a directory that LISTS as empty must still delete
+      // non-recursively, so drop the sidecar when it is the only child
+      val kids = fs.listStatus(p)
+      if (kids.length == 1 && kids(0).getPath.getName == PropsFileName)
+        fs.delete(kids(0).getPath, false)
+    }
     val ok = fs.delete(p, recursive)
     if (ok && !isDir) fs.delete(fileSidecar(p), false)
     ok
@@ -292,7 +306,9 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * sequential loop. */
   def upload(filesystem: String, path: String, in: InputStream,
              chunkSize: Int = ChunkSize): Long = {
-    val out = fs.create(resolve(filesystem, path), true)
+    val p = resolve(filesystem, path)
+    fs.delete(fileSidecar(p), false) // overwrite resets properties (see createPath)
+    val out = fs.create(p, true)
     try copyStream(in, out, chunkSize)
     finally out.close()
   }
@@ -534,6 +550,12 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * how incremental reprocessing lands without rewriting the table). */
   def upsertPartitions(updates: DataFrame, filesystem: String, path: String,
                        partitionBy: Seq[String]): Unit = {
+    // with no partition columns, "dynamic overwrite" degenerates to a
+    // FULL-TABLE overwrite of everything outside `updates` — never what
+    // the per-partition contract above promises
+    require(partitionBy.nonEmpty,
+      "upsertPartitions: partitionBy must be non-empty (an unpartitioned " +
+        "overwrite would replace the whole table)")
     val spark = updates.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -597,6 +619,14 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     else fileSidecar(p)
 
   private def writeProps(p: Path, props: Map[String, String]): Unit = {
+    // keys are stored bare in the comma/equals-joined sidecar line
+    // (values are base64) — a ',' or '=' in a key would write fine and
+    // then poison EVERY later read with a parse error; validate like
+    // the ADLS x-ms-properties key contract
+    props.keys.foreach { k =>
+      require(k.nonEmpty && !k.exists(c => c == ',' || c == '=' || c == '\n'),
+        s"property key must be non-empty and contain no ',', '=' or newline: '$k'")
+    }
     val out = fs.create(propsPath(p), true)
     try out.write(encodeProps(props).getBytes(StandardCharsets.UTF_8))
     finally out.close()

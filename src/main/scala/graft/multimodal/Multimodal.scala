@@ -267,9 +267,12 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
       it.map { m =>
         val f = dec.decode(m.payload, m.format)
-        val mean =
-          if (m.payload.isEmpty) 0.0
-          else m.payload.map(b => (b & 0xFF).toDouble).sum / m.payload.length
+        // fused accumulator: .map(...).sum would materialize an 8×-size
+        // Double array per row on this hot path
+        var acc = 0.0
+        var i = 0
+        while (i < m.payload.length) { acc += (m.payload(i) & 0xFF); i += 1 }
+        val mean = if (m.payload.isEmpty) 0.0 else acc / m.payload.length
         MediaFeatures(m.media_id, m.payload.length, mean, f)
       }
     }
@@ -309,8 +312,12 @@ object Multimodal {
           }
         else if (m.width <= targetWidth || m.payload.isEmpty) m
         else {
-          // STUB (video / compressed audio): every ceil(w/targetW)-th byte
-          val step = math.ceil(m.width.toDouble / targetWidth).toInt
+          // STUB (video / compressed audio): every k-th byte. The step is
+          // computed from PAYLOAD length — the unit the subsample actually
+          // operates in — so output width (= byte count) stays consistent
+          // with the input unit on repeated application; the pixel width
+          // of a true codec format is unknowable without decoding.
+          val step = math.max(1, math.ceil(m.payload.length.toDouble / targetWidth).toInt)
           val out = m.payload.grouped(step).map(_.head).toArray
           m.copy(payload = out, width = out.length)
         }

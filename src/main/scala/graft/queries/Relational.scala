@@ -281,9 +281,15 @@ object Relational {
     * a 1-row relation — free at any scale). */
   def q16ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val avgBal = c.agg(avg(col("c_acctbal")).as("global_avg"))
-    c.crossJoin(broadcast(avgBal))
-      .filter(col("c_acctbal") > col("global_avg"))
+    // `bal > avg(bal)` decided in EXACT decimal arithmetic as
+    // `bal * n > sum(bal)`: a double mean is summation-order dependent,
+    // and a row sitting exactly on the boundary could flip between
+    // engines (the header's q8 lesson applied to a filter instead of an
+    // output column). Same rows, same plan shape (1-row broadcast).
+    val tot = c.agg(sum(dec(col("c_acctbal"))).as("total_bal"),
+      count(lit(1)).as("n_cust"))
+    c.crossJoin(broadcast(tot))
+      .filter(dec(col("c_acctbal")) * col("n_cust") > col("total_bal"))
       .select(col("c_custkey"), r2(col("c_acctbal")).as("acctbal"))
       .orderBy(col("c_custkey"))
   }
@@ -808,7 +814,8 @@ object Relational {
        ORDER BY e.event_id""",
     "q16_scalar_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
-       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+       WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT count(*) FROM customer)
+             > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
        ORDER BY c_custkey""",
     "q17_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,

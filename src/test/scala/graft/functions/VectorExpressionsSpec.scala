@@ -94,6 +94,31 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a null ELEMENT yields null, not a fabricated 0-element dot (codegen + interpreted)") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // getFloat on a null array slot silently reads 0.0 — the kernel must
+    // return NULL instead, matching zip_with's null propagation
+    val d = Seq(
+      (1L, Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))),
+      (2L, Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f))))
+      .toDF("id", "a", "b")
+    def run() = d.select(col("id"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+      .orderBy(col("id")).collect()
+    val rows = run()
+    assert(rows(0).isNullAt(1), "null element must null the dot product")
+    assert(rows(1).getDouble(1) == 11.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = run()
+      assert(interp(0).isNullAt(1) && interp(1).getDouble(1) == 11.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("vecCosine of identical vectors is 1") {
     VectorFunctions.ensureRegistered(spark)
     val r = df.where(col("id") === 1)

@@ -225,6 +225,43 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("pd")
   }
 
+  test("overwrite (no delete) also resets properties; poison keys rejected at write") {
+    client.createFilesystem("po")
+    client.uploadString("po", "f.txt", "v1")
+    client.setPathProperties("po", "f.txt", Map("stale" -> "yes"))
+    // direct overwrite — the same reset contract as delete+recreate
+    client.uploadString("po", "f.txt", "v2")
+    assert(client.getPathProperties("po", "f.txt") == Map.empty)
+    client.createPath("po", "g.txt")
+    client.setPathProperties("po", "g.txt", Map("stale" -> "yes"))
+    client.createPath("po", "g.txt") // re-stage overwrites
+    assert(client.getPathProperties("po", "g.txt") == Map.empty)
+    // a ',' or '=' in a KEY would poison the sidecar for every later
+    // read — rejected at write time (values may contain anything)
+    client.uploadString("po", "h.txt", "x")
+    intercept[IllegalArgumentException] {
+      client.setPathProperties("po", "h.txt", Map("a,b" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      client.setPathProperties("po", "h.txt", Map("a=b" -> "v"))
+    }
+    client.setPathProperties("po", "h.txt", Map("ok" -> "v=1,v=2")) // values fine
+    assert(client.getPathProperties("po", "h.txt") == Map("ok" -> "v=1,v=2"))
+    client.deleteFilesystem("po")
+  }
+
+  test("a directory with only properties still deletes non-recursively") {
+    client.createFilesystem("dd")
+    client.createPath("dd", "d", directory = true)
+    client.setPathProperties("dd", "d", Map("k" -> "v"))
+    // the sidecar lives INSIDE the dir but is hidden from listings — a
+    // visibly-empty directory must still delete with recursive=false
+    assert(client.listPaths("dd", "d").isEmpty)
+    assert(client.deletePath("dd", "d", recursive = false))
+    assert(client.pathStatus("dd", "d").isEmpty)
+    client.deleteFilesystem("dd")
+  }
+
   test("properties travel with a renamed file; old name starts clean") {
     client.createFilesystem("pr")
     client.uploadString("pr", "a.txt", "x")
