@@ -197,8 +197,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.Guards.requireEstimatedBytesAtMost(
         big, Similarity.MaxExactPairScanBytes, "ss3_embedding_neardup")
     }
-    // fixture-scale corpus stays under the cap and runs
-    assert(Similarity.ss3EmbeddingNeardup(spark, dir).limit(1).count() >= 0)
+    // fixture-scale corpus stays under the cap, runs, and finds pairs
+    // (== 1, not the vacuous >= 0: the guard not tripping AND the scan
+    // producing output are both part of the contract)
+    assert(Similarity.ss3EmbeddingNeardup(spark, dir).limit(1).count() == 1)
   }
 
   test("fitted IVF recall vs exact pairs is at least the seeded variant's") {
