@@ -41,7 +41,7 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   /** Leading-`/` tolerance: client.py:221-222,244-245,... */
   private def norm(p: String): String = p.stripPrefix("/")
   private def fsRoot(filesystem: String): Path = new Path(accountRoot, norm(filesystem))
-  private def resolve(filesystem: String, path: String): Path =
+  private[graft] def resolve(filesystem: String, path: String): Path =
     if (norm(path).isEmpty) fsRoot(filesystem)
     else new Path(fsRoot(filesystem), norm(path))
 
@@ -136,15 +136,25 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   def deletePath(filesystem: String, path: String, recursive: Boolean = false): Boolean = {
     val p = resolve(filesystem, path)
     val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
-    if (isDir && !recursive) {
-      // a directory's props sidecar lives INSIDE it and is hidden from
-      // listings — a directory that LISTS as empty must still delete
-      // non-recursively, so drop the sidecar when it is the only child
-      val kids = fs.listStatus(p)
-      if (kids.length == 1 && kids(0).getPath.getName == PropsFileName)
-        fs.delete(kids(0).getPath, false)
-    }
-    val ok = fs.delete(p, recursive)
+    val ok =
+      if (isDir && !recursive) {
+        // a directory's props sidecar lives INSIDE it and is hidden from
+        // listings — a directory that LISTS as empty must still delete
+        // non-recursively. Attempt the delete FIRST and drop the sidecar
+        // only on the not-empty failure path (and only when it is the
+        // sole child): deleting it up front would destroy the
+        // directory's properties even when the delete then fails (e.g. a
+        // child created between the listing and the delete).
+        try fs.delete(p, false)
+        catch {
+          case e: java.io.IOException =>
+            val kids = fs.listStatus(p)
+            if (kids.length == 1 && kids(0).getPath.getName == PropsFileName) {
+              fs.delete(kids(0).getPath, false)
+              fs.delete(p, false)
+            } else throw e // genuinely non-empty: props survive with the dir
+        }
+      } else fs.delete(p, recursive)
     if (ok && !isDir) fs.delete(fileSidecar(p), false)
     ok
   }
@@ -585,8 +595,11 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     spark.read.text(resolve(filesystem, path).toString)
   /** Avro — the row-oriented interchange format of Kafka/schema-registry
     * pipelines. This Spark build ships `AvroFileFormat` inside spark-sql
-    * but without its `DataSourceRegister` service entry, so the short
-    * name "avro" does not resolve — the full class name does. */
+    * but without its `DataSourceRegister` service entry, so the library
+    * supplies one (`src/main/resources/META-INF/services/…DataSourceRegister`)
+    * and a user's `format("avro")` resolves whenever graft is on the
+    * classpath. The helpers keep the class name — they must work even if
+    * a shading step drops resource files. */
   private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
   def readAvro(spark: SparkSession, filesystem: String, path: String): DataFrame =
     spark.read.format(AvroFormat).load(resolve(filesystem, path).toString)

@@ -164,6 +164,10 @@ object CorpusPipeline {
       .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_no"), col("pack_offset"))
       .orderBy(col("doc_id"))
 
+  /** Epoch-weight sanity bound for [[epochMix]] (a weight IS the per-doc
+    * copy count, so values beyond real training practice are typos). */
+  val MaxEpochWeight = 100.0
+
   /** Deterministic epoch mixing: materialize a training mix where stratum
     * s is repeated `weights(s)` epochs (fractional allowed — "2.5 epochs
     * of wiki, 0.25 of crawl"). Each doc emits copies 1..ceil(w); integer
@@ -171,14 +175,20 @@ object CorpusPipeline {
     * per-(copy, id) hash falls under frac(w) — so the realized rate is
     * EXACTLY w in expectation, reproducible on any engine, and nested the
     * same way as [[stratifiedSample]] (which this generalizes to w > 1).
-    * Explode factor is ceil(w) — bounded, per-row codegen, no shuffle. */
+    * Explode factor is ceil(w) — bounded by [[MaxEpochWeight]], per-row
+    * codegen, no shuffle. */
   def epochMix(df: DataFrame, strataCol: String,
                weights: Map[String, Double], defaultWeight: Double,
                idCol: String = "doc_id", salt: String = "cp4"): DataFrame = {
-    def hexFrac(w: Double): String = {
-      require(w >= 0, s"negative epoch weight: $w")
+    // explode factor is ceil(w) PER ROW — an unchecked weight (250 typed
+    // for 2.50) would materialize a 250× corpus with no warning. Mirror
+    // stratifiedSample's rate range check with a generous epoch cap.
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w <= MaxEpochWeight,
+        s"epoch weight $w outside [0, $MaxEpochWeight] — weights are " +
+          "epochs (copies per document), not percentages"))
+    def hexFrac(w: Double): String =
       f"${math.min(((w - math.floor(w)) * 65536).toLong, 65535L)}%04x"
-    }
     def pick[T](f: Double => T, toCol: T => Column, default: Double): Column =
       weights.toSeq.sortBy(_._1).foldRight(toCol(f(default))) { case ((stratum, w), els) =>
         when(col(strataCol) === stratum, toCol(f(w))).otherwise(els)

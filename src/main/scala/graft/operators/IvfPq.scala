@@ -81,6 +81,10 @@ object IvfPq {
   def topK(e: DataFrame, encoded: DataFrame, model: Model, query: Array[Float],
            nProbe: Int, topK: Int, rerank: Int): DataFrame = {
     require(nProbe >= 1, "IvfPq.topK: nProbe must be >= 1")
+    // rerank < topK would silently return fewer than topK rows and
+    // rerank <= 0 an empty result — fail fast like sampleFrames does
+    require(topK >= 1, s"IvfPq.topK: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"IvfPq.topK: rerank ($rerank) must be >= topK ($topK)")
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var i = 0
       while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }

@@ -48,10 +48,18 @@ object ProductQuantizer {
     * argmax(2·dot − |c|²) (row term constant), ties to the LOWER code
     * (negated code in the max-struct — the KMeans rule). A wrong-dim row
     * scores NULL everywhere (vec_dot NULL) → code -1; zero subvectors
-    * are fine (L2 needs no norm division). */
+    * are fine (L2 needs no norm division). Both size mismatches take the
+    * -1 path: under-length rows slice short (vec_dot NULL), over-length
+    * rows are nulled up front — their slices would all be full, so
+    * without the guard they'd encode a valid-looking code for the PREFIX
+    * while `nrm` covers the whole vector (a silently deflated ADC
+    * cosine, not an error). */
   private[operators] def assignCodes(e: DataFrame, model: Model): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
-    e.select(col("vec_id"), slices(model.m, model.subDim).as(Seq("s", "sub")))
+    e.select(col("vec_id"),
+        when(size(col("embedding")) === model.m * model.subDim, col("embedding"))
+          .as("embedding"))
+      .select(col("vec_id"), slices(model.m, model.subDim).as(Seq("s", "sub")))
       .select(col("vec_id"), col("s"), col("sub"),
         explode(element_at(codebookLit(model.codebooks), col("s") + 1)).as("cw"))
       .select(col("vec_id"), col("s"),
@@ -211,6 +219,10 @@ object ProductQuantizer {
     * The full-vector table is touched for `rerank` rows, not N. */
   def pqTopK(e: DataFrame, encoded: DataFrame, model: Model,
              query: Array[Float], topK: Int, rerank: Int): DataFrame = {
+    // rerank < topK would silently return fewer than topK rows and
+    // rerank <= 0 an empty result — fail fast like sampleFrames does
+    require(topK >= 1, s"pqTopK: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"pqTopK: rerank ($rerank) must be >= topK ($topK)")
     val qLit = typedLit(query.toSeq)
     val cand = adcScores(encoded, model, query)
       .orderBy(col("approx_cos").desc, col("vec_id"))

@@ -213,7 +213,15 @@ object TextAnalysis {
     * regex and RE2 (DuckDB) interpret identically, so the oracle mirrors
     * the scrub exactly. */
   private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[operators] val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  /** US phone shapes, alternation ordered longest-first so Java and RE2
+    * (both leftmost-first) pick the same match: `(415) 867-5309`,
+    * 10-digit with -/./space separators, bare 10-digit, and the local
+    * 7-digit `867-5309`. No capture groups (extract-all counts group 0);
+    * runs on the IP-scrubbed text so dotted phones can't collide with
+    * IPv4 (which needs three dots anyway). */
+  private[operators] val PhoneRe =
+    "\\(\\d{3}\\) ?\\d{3}[-. ]\\d{4}\\b|\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b|" +
+      "\\b\\d{10}\\b|\\b\\d{3}-\\d{4}\\b"
   private[operators] val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** PII redaction over an arbitrary text column: counts then replaces
@@ -232,14 +240,18 @@ object TextAnalysis {
 
   /** ta8_pii_scrub — the scrubber as a checkable query. The synthetic
     * corpus carries no PII, so the query first SEEDS each document with
-    * deterministic fake contact lines derived from `doc_id` (an email, a
-    * phone, an IPv4), then proves the scrubber finds and redacts all of
-    * them. Counts + redacted text per document. */
+    * deterministic fake contact lines derived from `doc_id` (an email,
+    * all four phone shapes [[PhoneRe]] covers, an IPv4), then proves the
+    * scrubber finds and redacts all of them. Counts + redacted text per
+    * document. */
   def ta8PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val last4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
     val seeded = concat(
       col("text"), lit(" reach user"), col("doc_id").cast("string"),
-      lit("@mail.example.com or 555-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit("@mail.example.com or 555-"), last4,
+      lit(" or (415) 867-"), last4,
+      lit(" or 415.867."), last4,
+      lit(" or 415867"), last4,
       lit(" from 10."), (col("doc_id") % 256).cast("string"),
       lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
     val (nEmail, nIp, nPhone, clean) = piiScrub(seeded)
@@ -414,7 +426,11 @@ object TextAnalysis {
         SELECT doc_id,
                text || ' reach user' || CAST(doc_id AS VARCHAR) ||
                '@mail.example.com or 555-' ||
-               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' or (415) 867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' or 415.867.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' or 415867' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.' ||
                CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
                CAST((doc_id * 7) % 256 AS VARCHAR) AS seeded
         FROM documents),
@@ -431,10 +447,14 @@ object TextAnalysis {
        SELECT doc_id,
             CAST(len(regexp_extract_all(seeded,
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-            CAST(len(regexp_extract_all(no_ip, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+            CAST(len(regexp_extract_all(no_ip,
+              '\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b|\b\d{10}\b|\b\d{3}-\d{4}\b'
+              )) AS INTEGER) AS n_phones,
             CAST(len(regexp_extract_all(no_email,
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
-            regexp_replace(no_ip, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+            regexp_replace(no_ip,
+              '\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b|\b\d{10}\b|\b\d{3}-\d{4}\b',
+              '<PHONE>', 'g') AS scrubbed
        FROM r2 ORDER BY doc_id""",
     "ta9_lm_score" ->
       """WITH tok AS (

@@ -169,6 +169,10 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(client.readAvro(spark, "io2", "nation_avro")) == expect)
     client.writeXml(nation, "io2", "nation_xml", rowTag = "nation")
     assert(asSet(client.readXml(spark, "io2", "nation_xml", rowTag = "nation")) == expect)
+    // short name resolves via graft's own META-INF/services entry (this
+    // Spark build ships AvroFileFormat without registering it)
+    assert(asSet(spark.read.format("avro")
+      .load(client.resolve("io2", "nation_avro").toString)) == expect)
   }
 
   test("listPathsDF: distributed listing matches the paged client listing") {
