@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Diagnostic main: run the heavy LLM-pipeline operators at ~20× the
   * largest fixture (100k documents, 40k embeddings) to show the plans
@@ -15,6 +16,10 @@ import org.apache.spark.sql.functions._
   * Prints one timing line per operator; exits nonzero on any failure.
   */
 object ScaleSmoke {
+  /** MemoryStream row shape for the streaming state-bound smoke. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(20)
@@ -129,6 +134,25 @@ object ScaleSmoke {
         graft.operators.KMeans.assignTopCells(embs, m.centroids,
           graft.operators.Similarity.IvfNProbe), 0.4)
     }, 0.4, bar = 0.75)
+    // the upper IvfCellTiers, forced on this corpus: 256 cells (literal
+    // tier ceiling) and 1024 cells — the √N tier whose assignment runs
+    // the broadcast-centroid plan (KMeans.assignTopCellsBroadcast) that
+    // no fixture-scale query engages. nProbe follows the tier
+    // (ivfNProbeFor); same .75 fitted bar as the home tier.
+    for (cells <- Seq(256, 1024)) {
+      sampleRecall(f"recall: ss4 IVF ${cells}c (fitted)", {
+        val m = graft.operators.KMeans.fit(embs, k = cells, maxIters = 3)
+        graft.operators.Similarity.ivfCellPairs(
+          graft.operators.KMeans.assignTopCells(embs, m.centroids,
+            graft.operators.Similarity.ivfNProbeFor(cells)), 0.4)
+      }, 0.4, bar = 0.75)
+    }
+    // the top PairLshTiers geometry (4 tables × 16 bits — what a >2M-row
+    // corpus gets), forced here so the tier has a measured recall number
+    // before a corpus ever lands on it
+    sampleRecall("recall: lshNeardup 4x16 tier",
+      graft.operators.Similarity.lshNeardupGeom(embs, 0.45, 64, Some((4, 16))),
+      0.45, bar = 0.6)
     timed("ss9_ivfpq (fit+encode+topk)") {
       val m = graft.operators.IvfPq.fit(embs, cells = 64)
       val enc = graft.operators.IvfPq.encode(embs, m)
@@ -157,6 +181,91 @@ object ScaleSmoke {
         docs.withColumn("source", (col("doc_id") % 20).cast("string")),
         "source", Map("0" -> 2.5, "1" -> 0.25), defaultWeight = 1.0).count()
     }
+    // Streaming at 20×: watermarks are CONFIGURED everywhere, but only a
+    // driven run proves state is BOUNDED — rows-in-state must plateau at
+    // O(open windows / in-band rows) as the watermark advances, not grow
+    // with total events (the streaming analogue of the byte-stats
+    // guards). Event time advances faster than the watermark+retention
+    // horizon each batch, so every batch must evict the previous one's
+    // state; the early-vs-late max comparison catches a leak of ANY
+    // per-batch magnitude.
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+      def stateNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+
+      timed("stream sessions 20x (2M ev)") {
+        val in = MemoryStream[Ev]
+        val q = graft.streaming.EventStreams
+          .streamingSessions(in.toDF(), watermark = "10 minutes")
+          .writeStream.format("memory").queryName("smoke_sessions")
+          .outputMode("append").start()
+        val batches = 20
+        val perBatch = 100000
+        val users = 20000
+        var id = 0L
+        val states = scala.collection.mutable.ArrayBuffer[Long]()
+        for (b <- 0 until batches) {
+          val base = b.toLong * 120 // 2 h apart ≫ 30-min gap + 10-min watermark
+          in.addData((0 until perBatch).map { i =>
+            id += 1
+            Ev(id, at(base + (i % 50)), (i % users).toLong, "a", 1.0)
+          })
+          q.processAllAvailable()
+          states += stateNow(q)
+        }
+        val out = spark.table("smoke_sessions").count()
+        q.stop()
+        val early = states.take(5).max
+        val late = states.takeRight(5).max
+        assert(out >= users.toLong * (batches - 2), s"only $out sessions emitted")
+        assert(late <= early * 2,
+          s"session state grew: early max $early, late max $late — not watermark-bounded")
+        assert(states.max <= 4L * users,
+          s"state ${states.max} rows is not O(open sessions) for $users users")
+        out
+      }
+
+      timed("stream-stream join 20x (2M ev)") {
+        val clicks = MemoryStream[Ev]
+        val purchases = MemoryStream[Ev]
+        val q = graft.streaming.EventStreams
+          .streamingStreamJoin(clicks.toDF(), purchases.toDF(), watermark = "1 hour")
+          .writeStream.format("memory").queryName("smoke_join")
+          .outputMode("append").start()
+        val batches = 20
+        val perBatch = 50000
+        var uid = 0L
+        val states = scala.collection.mutable.ArrayBuffer[Long]()
+        for (b <- 0 until batches) {
+          val base = b.toLong * 180 // 3 h apart ≫ 1-h watermark + 30-min band
+          val pairs = (0 until perBatch).map { i =>
+            uid += 1
+            (Ev(uid, at(base + (i % 50)), uid, "click", 0.0),
+             Ev(uid + 1000000000L, at(base + (i % 50) + 10), uid, "purchase", 1.0))
+          }
+          clicks.addData(pairs.map(_._1))
+          purchases.addData(pairs.map(_._2))
+          q.processAllAvailable()
+          states += stateNow(q)
+        }
+        val out = spark.table("smoke_join").count()
+        q.stop()
+        val early = states.take(5).max
+        val late = states.takeRight(5).max
+        assert(out == batches.toLong * perBatch,
+          s"expected ${batches * perBatch} joined rows, got $out")
+        assert(late <= early * 2,
+          s"join state grew: early max $early, late max $late — not watermark-bounded")
+        assert(states.max <= 6L * perBatch,
+          s"state ${states.max} rows is not O(in-band rows) for $perBatch/side batches")
+        out
+      }
+    }
+
     timed("dd7_cluster (CC over LSH edges)") {
       // the forced-LSH edge source semanticEdges picks above the exact-
       // scan byte cap — exercised explicitly so the smoke demonstrates

@@ -529,7 +529,7 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     // partition directory (a plain parquet dir) individually instead
     require(!entries.exists(_.isDirectory),
       s"compactParquet: $norm contains subdirectories (partitioned table?) — " +
-        "compact each partition directory individually")
+        "use compactPartitionedParquet, which compacts each partition in place")
     val totalBytes = entries.filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -552,6 +552,43 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     if (props.nonEmpty) setPathProperties(filesystem, norm, props)
     step(deletePath(filesystem, old, recursive = true), s"delete $old")
     nFiles
+  }
+
+  /** Compact a PARTITIONED parquet table partition-by-partition: each
+    * leaf `key=value` directory (where the data files actually live) is
+    * compacted independently with [[compactParquet]]'s checked
+    * rename-aside swap. Small-file buildup is worst exactly in
+    * partitioned tables — every incremental [[upsertPartitions]] lands a
+    * few files per touched partition — and per-partition compaction
+    * keeps the maintenance unit bounded (ONE partition's bytes, not the
+    * table's) no matter how large the table grows, with the partition
+    * layout untouched: partition values live in the directory names, so
+    * rewriting a leaf's files never changes what the partition is.
+    * A flat table (no subdirectories) degenerates to a single
+    * [[compactParquet]] call. Empty partition directories (no parquet
+    * files) are skipped. Returns (partitions compacted, total output
+    * files). Crash contract is compactParquet's PER PARTITION: an
+    * interrupted run leaves every other partition untouched or fully
+    * swapped, and the wounded one recoverable from its `-__old__` /
+    * `-__compacting__` siblings; the same maintenance fence applies
+    * (the transient sibling dirs are not `key=value`-shaped, so fence
+    * concurrent partition-discovery readers too). */
+  def compactPartitionedParquet(spark: SparkSession, filesystem: String, path: String,
+                                targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val norm = path.replaceAll("/+$", "")
+    require(norm.nonEmpty, "compactPartitionedParquet: cannot compact the filesystem root")
+    def leaves(rel: String): Seq[String] = {
+      val subdirs = fs.listStatus(resolve(filesystem, rel)).filter(_.isDirectory)
+      if (subdirs.isEmpty) Seq(rel)
+      else subdirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
+    }
+    val parts = leaves(norm).filter { rel =>
+      fs.listStatus(resolve(filesystem, rel))
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    var files = 0
+    parts.foreach { rel => files += compactParquet(spark, filesystem, rel, targetFileBytes) }
+    (parts.size, files)
   }
 
   /** Partition-level upsert: overwrite ONLY the partitions present in

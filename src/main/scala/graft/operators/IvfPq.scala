@@ -36,15 +36,32 @@ object IvfPq {
     * argmax) plus the float residual against that cell's centroid.
     * `nrm` is the ORIGINAL vector's norm — the cosine denominator; the
     * residual is what gets coded. Unassignable rows (zero-norm,
-    * wrong-dim: empty probe set) drop out. */
-  private def withResidual(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame =
-    KMeans.assignTopCells(e, centroids, 1)
+    * wrong-dim: empty probe set) drop out. Past
+    * [[KMeans.MaxLiteralCells]] the centroid lookup switches from a
+    * cells-long literal to a broadcast equi-join on `cell` (a
+    * BroadcastHashJoin — the natural key exists here, unlike in
+    * assignment) so the plan stays k-independent at √N cell counts;
+    * same float subtraction, bit-identical residuals (IvfPqSpec). */
+  private[operators] def withResidual(e: DataFrame, centroids: Seq[Array[Float]],
+                                      broadcastPath: Option[Boolean] = None): DataFrame = {
+    val assigned = KMeans.assignTopCells(e, centroids, 1)
       .where(size(col("cells")) > 0)
       .select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
-        col("nrm"),
+        col("nrm"), col("embedding"))
+    if (!broadcastPath.getOrElse(centroids.size > KMeans.MaxLiteralCells))
+      assigned.select(col("vec_id"), col("cell"), col("nrm"),
         zip_with(col("embedding"),
-          element_at(centroidLit(centroids), element_at(col("cells"), 1) + 1),
+          element_at(centroidLit(centroids), col("cell") + 1),
           (x, c) => x - c).as("res"))
+    else {
+      val cdf = e.sparkSession.createDataFrame(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("cell", "cw")
+      assigned.join(broadcast(cdf), "cell")
+        .select(col("vec_id"), col("cell"), col("nrm"),
+          zip_with(col("embedding"), col("cw"), (x, c) => x - c).as("res"))
+    }
+  }
 
   /** Fit the coarse cells on the corpus, then ONE shared PQ on the
     * pooled residuals. RUNS Spark jobs (both fits are iterative ML —

@@ -29,12 +29,58 @@ object KMeans {
   /** Above this k the literal when-chain argmax overflows Janino's 64 KB
     * generated-method limit (whole-stage codegen falls back to
     * interpreted — measured at 64 cells); assignment switches to the
-    * exploded form: per-row fan-out over a LITERAL (cell, centroid,
-    * norm) array (no join, no broadcast variable) + ONE aggregation of
-    * slim (vec_id, cell, score) rows with map-side partial max. Same
-    * argmax, same tie-breaking, same scalar arithmetic — bit-identical
+    * exploded form: per-row fan-out over a (cell, centroid, norm) table
+    * ([[scoredCellRows]]: a literal array up to [[MaxLiteralCells]], a
+    * broadcast DataFrame past it) + ONE aggregation of slim (vec_id,
+    * cell, score) rows with map-side partial max. Same argmax, same
+    * tie-breaking, same scalar arithmetic — bit-identical
     * assignments. */
   val MaxWhenChainCells = 16
+
+  /** Above this cell count the exploded LITERAL centroid table stops
+    * being free: a typedLit of cells×dim floats is serialized into every
+    * task binary (the "broadcasting large task binary" warning, repeated
+    * for every stage that scores), so past it the (cell, centroid, norm)
+    * table becomes a REAL broadcast DataFrame cross-joined against the
+    * vectors — one torrent-broadcast per executor, task/plan size
+    * independent of k. Scoring arithmetic and the downstream argmax /
+    * top-n aggregations are SHARED with the literal path, so assignments
+    * are bit-identical (proven in KMeansSpec). This is the 100 TB
+    * assignment shape for √N-scale cell counts (1024+ cells at 1M+
+    * vectors — [[graft.operators.Similarity.IvfCellTiers]]). */
+  val MaxLiteralCells = 256
+
+  /** Slim (vec_id, cell, score) scoring rows of every vector against
+    * every centroid — the shared producer behind both large-k assignment
+    * paths. `broadcastPath = None` picks by [[MaxLiteralCells]]; specs
+    * force each variant to prove bit-identity. The broadcast variant's
+    * cross join is deliberate: every row scores every centroid, and a
+    * broadcast nested-loop with a cells-row build side IS that plan —
+    * the stream side never shuffles. */
+  private[operators] def scoredCellRows(
+      e: DataFrame, centroids: Seq[Array[Float]], nrm: Column,
+      cnorms: Seq[Double], broadcastPath: Option[Boolean] = None): DataFrame = {
+    val viaBroadcast = broadcastPath.getOrElse(centroids.size > MaxLiteralCells)
+    if (!viaBroadcast) {
+      val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq, cnorms(i))
+      }
+      e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
+          explode(typedLit(ctab)).as("cc"))
+        .select(col("vec_id"), col("cc._1").as("cell"),
+          try_divide(VectorFunctions.vecDot(col("embedding"), col("cc._2")),
+            col("nrm") * col("cc._3")).as("score"))
+    } else {
+      val ctabDf = e.sparkSession.createDataFrame(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq, cnorms(i)) })
+        .toDF("cell", "cw", "cn")
+      e.select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+        .crossJoin(broadcast(ctabDf))
+        .select(col("vec_id"), col("cell"),
+          try_divide(VectorFunctions.vecDot(col("embedding"), col("cw")),
+            col("nrm") * col("cn")).as("score"))
+    }
+  }
 
   /** Cell assignment by maximum cosine against literal centroids — the
     * same argmax shape ss4 plans (broadcast constants, per-row codegen,
@@ -108,7 +154,9 @@ object KMeans {
     require(centroids.forall(c => c.exists(_ != 0f)),
       "assignTopCells: centroids must be non-zero")
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
-    if (centroids.size > MaxWhenChainCells) {
+    if (centroids.size > MaxLiteralCells) {
+      assignTopCellsBroadcast(e, centroids, nrm, cnorms, nProbe)
+    } else if (centroids.size > MaxWhenChainCells) {
       val top = assignTopCellsExploded(e, centroids, nrm, cnorms, nProbe)
       top.join(e.select(col("vec_id"), col("embedding"), nrm.as("nrm")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cells"))
@@ -130,22 +178,49 @@ object KMeans {
     }
   }
 
-  /** Slim large-k top-n assignment: explode the literal centroid table,
-    * score with the SAME arithmetic as the when-chain, keep each
-    * vector's sorted top-n as an array — collect_list is bounded at k
-    * structs per vector and the shuffle rows are (vec_id, cell, score)
-    * only. */
-  private[operators] def assignTopCellsExploded(
+  /** √N-scale probe-set assignment (k > [[MaxLiteralCells]]): the
+    * centroid table rides in as ONE broadcast row holding the whole
+    * (cell, centroid, norm) array, and each vector scores, filters,
+    * sorts, and slices its top-n INSIDE the row with array lambdas —
+    * codegen size is constant in k (a loop over ArrayData, not k
+    * generated branches) and NOTHING shuffles, where the exploded-agg
+    * form would push a k-struct array per vector through the
+    * exchange (k=1024 → ~12 KB/vector — terabytes at corpus scale).
+    * The 1-row broadcast cross join is the documented q16/ss1 pattern.
+    * Scoring arithmetic, the invalid-score filter, and the
+    * sort-desc/ties-to-lower-cell rule are those of the ≤
+    * [[MaxWhenChainCells]] in-row path — assignments are bit-identical
+    * to the exploded form (KMeansSpec). */
+  private[operators] def assignTopCellsBroadcast(
       e: DataFrame, centroids: Seq[Array[Float]], nrm: Column,
       cnorms: Seq[Double], nProbe: Int): DataFrame = {
     val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
       case (c, i) => (i, c.toSeq, cnorms(i))
     }
-    e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
-        explode(typedLit(ctab)).as("cc"))
-      .select(col("vec_id"), col("cc._1").as("cell"),
-        try_divide(VectorFunctions.vecDot(col("embedding"), col("cc._2")),
-          col("nrm") * col("cc._3")).as("score"))
+    val ctabDf = e.sparkSession.createDataFrame(Seq(Tuple1(ctab))).toDF("ctab")
+    val scored = transform(col("ctab"), cc => struct(
+      try_divide(VectorFunctions.vecDot(col("embedding"), cc.getField("_2")),
+        col("nrm") * cc.getField("_3")).as("score"),
+      (-cc.getField("_1")).as("negcell")))
+    val valid = filter(scored, x =>
+      x.getField("score").isNotNull && !isnan(x.getField("score")))
+    val top = slice(sort_array(valid, asc = false), 1, nProbe)
+    e.select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+      .crossJoin(broadcast(ctabDf))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        transform(top, x => (-x.getField("negcell")).cast("int")).as("cells"))
+  }
+
+  /** Slim large-k top-n assignment: fan out over the centroid table
+    * ([[scoredCellRows]]), score with the SAME arithmetic as the
+    * when-chain, keep each vector's sorted top-n as an array —
+    * collect_list is bounded at k structs per vector and the shuffle
+    * rows are (vec_id, cell, score) only. */
+  private[operators] def assignTopCellsExploded(
+      e: DataFrame, centroids: Seq[Array[Float]], nrm: Column,
+      cnorms: Seq[Double], nProbe: Int,
+      broadcastPath: Option[Boolean] = None): DataFrame = {
+    scoredCellRows(e, centroids, nrm, cnorms, broadcastPath)
       .where(col("score").isNotNull && !isnan(col("score")))
       .groupBy(col("vec_id"))
       .agg(slice(
@@ -155,10 +230,11 @@ object KMeans {
         transform(col("top"), x => (-x.getField("negcell")).cast("int")).as("cells"))
   }
 
-  /** Large-k assignment (see [[MaxWhenChainCells]]): explode a literal
-    * (cell, centroid, centroidNorm) table per row, score each pair with
-    * the SAME `dot / (rowNorm * centroidNorm)` arithmetic as the
-    * when-chain, and take the per-vector argmax as `max(struct(score,
+  /** Large-k assignment (see [[MaxWhenChainCells]]): fan each row out
+    * over the (cell, centroid, centroidNorm) table ([[scoredCellRows]]),
+    * score each pair with the SAME `dot / (rowNorm * centroidNorm)`
+    * arithmetic as the when-chain, and take the per-vector argmax as
+    * `max(struct(score,
     * -cell))` — larger score wins, ties to the LOWER cell id via the
     * negated cell, exactly the when-chain's first-match rule. A
     * zero-norm row scores NULL everywhere (try_divide), as does a
@@ -166,15 +242,9 @@ object KMeans {
     * the winner's score is NULL only when ALL are — mapped to cell -1
     * (the isnan check stays for defense in depth). */
   private[operators] def assignCellsExploded(e: DataFrame, centroids: Seq[Array[Float]],
-                                             nrm: Column, cnorms: Seq[Double]): DataFrame = {
-    val ctab: Seq[(Int, Seq[Float], Double)] = centroids.zipWithIndex.map {
-      case (c, i) => (i, c.toSeq, cnorms(i))
-    }
-    e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
-        explode(typedLit(ctab)).as("cc"))
-      .select(col("vec_id"), col("cc._1").as("cell"),
-        try_divide(VectorFunctions.vecDot(col("embedding"), col("cc._2")),
-          col("nrm") * col("cc._3")).as("score"))
+                                             nrm: Column, cnorms: Seq[Double],
+                                             broadcastPath: Option[Boolean] = None): DataFrame = {
+    scoredCellRows(e, centroids, nrm, cnorms, broadcastPath)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("cell")).as("negcell"))).as("b"))
       .select(col("vec_id"),

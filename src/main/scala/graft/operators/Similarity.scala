@@ -164,7 +164,17 @@ object Similarity {
     * work on the packed XOR — no distinct shuffle of the candidate
     * explosion), embeddings traveling through the bucket join so only
     * slim (vec_a, vec_b, cos) rows leave it. */
-  def lshNeardupPairs(e00: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+  def lshNeardupPairs(e00: DataFrame, threshold: Double, dim: Int = 64): DataFrame =
+    lshNeardupGeom(e00, threshold, dim, None)
+
+  /** [[lshNeardupPairs]] with explicit (tables, bits) — ScaleSmoke
+    * forces the top [[PairLshTiers]] geometry on a smaller corpus to
+    * measure that tier's recall (full-corpus bucket populations come
+    * from the corpus itself; the geometry is what's tier-specific).
+    * Measured at the 20× smoke: 4×16 recall .817 @ .45 (4×12: .818) —
+    * the extra 4 bits cost nothing on high-cosine near-dup pairs. */
+  private[graft] def lshNeardupGeom(e00: DataFrame, threshold: Double,
+                                    dim: Int, geom: Option[(Int, Int)]): DataFrame = {
     VectorFunctions.ensureRegistered(e00.sparkSession)
     val e0 = e00.where(coalesce(
       assert_true(size(col("embedding")) === dim,
@@ -176,8 +186,10 @@ object Similarity {
       // (they can never pair; the tier tables bound only EXPECTED bucket
       // sizes of hash-spread vectors)
       .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
-    val (_, tables, bits) =
-      PairLshTiers.find(estRowsOf(e00) < _._1).getOrElse(PairLshTiers.last)
+    val (tables, bits) = geom.getOrElse {
+      val t = PairLshTiers.find(estRowsOf(e00) < _._1).getOrElse(PairLshTiers.last)
+      (t._2, t._3)
+    }
     // each table's bucket packs into its own 64/tables-wide LANE; `bits`
     // may be narrower than the lane (the 12-bit tier) — the spare high
     // lane bits stay zero on both sides, which is what keeps the OR-fold
@@ -249,24 +261,40 @@ object Similarity {
   /** IVF coarse-cell count by estimated corpus rows: per-cell population
     * ≈ N/cells is what the within-cell self-join squares, so cells must
     * grow with N (production rule of thumb: cells ≈ √N; recall across
-    * cell boundaries comes from [[IvfNProbe]]-way multi-probe). Capped
-    * at 256 — the argmax when-chain is per-row codegen over `cells`
-    * branches; beyond that the assignment should become a
-    * broadcast-centroid join + max_by aggregation (same plan
-    * [[KMeans.assignCells]] would move to). */
+    * cell boundaries comes from [[ivfNProbeFor]]-way multi-probe). The
+    * ≥1024-cell tiers run assignment through
+    * [[KMeans.assignTopCellsBroadcast]] — a genuine broadcast of the
+    * centroid table with in-row top-n, so neither task-binary size nor
+    * shuffle volume grows with the cell count; the tier ladder can keep
+    * extending by the same ×4-cells rule as N grows. */
   val IvfCellTiers: Seq[(Long, Int)] = Seq(
-    (16000L, 8), (1000000L, 64), (Long.MaxValue, 256))
+    (16000L, 8), (1000000L, 64), (64000000L, 256), (Long.MaxValue, 1024))
 
-  /** Cells probed per vector (ss4/ss4_fitted): single-probe IVF loses
-    * every pair straddling a cell boundary — measured recall .317
-    * seeded / .500 fitted at sf0.01. With the ASYMMETRIC join in
-    * [[ivfCellPairs]] (index side anchored at its primary cell only)
-    * candidate volume is ~nProbe·pop per cell rather than the
-    * symmetric join's (nProbe·pop)², so a deeper probe is cheap:
-    * measured at the 20× smoke's 64-cell tier, nProbe=6 asymmetric is
-    * ~9× FASTER than nProbe=3 symmetric (10 s vs 91 s) at HIGHER
-    * fitted recall (.843 vs .788). */
+  /** Base probe depth (the ≤64-cell tiers of [[ivfNProbeFor]]):
+    * single-probe IVF loses every pair straddling a cell boundary —
+    * measured recall .317 seeded / .500 fitted at sf0.01. With the
+    * ASYMMETRIC join in [[ivfCellPairs]] (index side anchored at its
+    * primary cell only) candidate volume is ~nProbe·pop per cell rather
+    * than the symmetric join's (nProbe·pop)², so a deeper probe is
+    * cheap: measured at the 20× smoke's 64-cell tier, nProbe=6
+    * asymmetric is ~9× FASTER than nProbe=3 symmetric (10 s vs 91 s) at
+    * HIGHER fitted recall (.843 vs .788). */
   val IvfNProbe = 6
+
+  /** Probe depth tied to the cell tier (FAISS practice: nProbe grows
+    * with the cell count — finer cells mean a fixed-radius neighborhood
+    * spans more of them, so a constant probe depth would silently shed
+    * recall exactly as the tier ladder climbs). Doubling per ×4-cells
+    * step keeps the probed FRACTION (nProbe/cells) falling — the scan
+    * still shrinks as cells grow — while per-cell populations (N/cells)
+    * also fall, so the asymmetric join's ~nProbe·pop per-cell candidate
+    * volume drops ~2× per tier. Measured at the 20× smoke (fitted,
+    * bar .75): 64c/p6 .843, 256c/p12 .891, 1024c/p24 .994 — the
+    * deeper probe more than pays for the finer cells. */
+  def ivfNProbeFor(cells: Int): Int =
+    if (cells <= 64) IvfNProbe
+    else if (cells <= 256) 12
+    else 24
 
   private def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
@@ -358,8 +386,10 @@ object Similarity {
     ss4From(Tables.embeddings(s, dir))
 
   /** Seeded-centroid IVF over an arbitrary embedding DataFrame. */
-  def ss4From(e: DataFrame): DataFrame =
-    ss4Seeded(e, ivfCellsFor(e), IvfNProbe)
+  def ss4From(e: DataFrame): DataFrame = {
+    val cells = ivfCellsFor(e)
+    ss4Seeded(e, cells, ivfNProbeFor(cells))
+  }
 
   /** Seeded IVF with explicit geometry (ScaleSmoke sweeps it; the public
     * entry binds the tier table + [[IvfNProbe]]). */
@@ -396,8 +426,9 @@ object Similarity {
     VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
     val model = cachedModel(s, dir, e)
-    ivfCellPairs(KMeans.assignTopCells(e, model.centroids, IvfNProbe), 0.4,
-      ivfMaxCellPop(e, model.centroids.size, IvfNProbe))
+    val nProbe = ivfNProbeFor(model.centroids.size)
+    ivfCellPairs(KMeans.assignTopCells(e, model.centroids, nProbe), 0.4,
+      ivfMaxCellPop(e, model.centroids.size, nProbe))
   }
 
   private val fittedModels =
@@ -482,7 +513,7 @@ object Similarity {
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val corpus = e.where(col("vec_id") =!= 0)
     IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, query,
-      nProbe = IvfNProbe, topK = 10, rerank = 100)
+      nProbe = ivfNProbeFor(model.centroids.size), topK = 10, rerank = 100)
   }
 
   /** ss8_pq_topk — product-quantized top-k: [[ProductQuantizer]] fit +

@@ -111,6 +111,46 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.compactParquet(spark, "frag", "li_part/flag=0") >= 1)
   }
 
+  test("compactPartitionedParquet compacts inside each partition; layout, content, pruning intact") {
+    import org.apache.spark.sql.functions._
+    client.createFilesystem("fragp")
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    // fragment WITHIN partitions: 8 files per l_returnflag directory
+    li.repartition(8).write.partitionBy("l_returnflag")
+      .parquet(rootDir.resolve("fragp/li").toString)
+    def filesPerPart(): Map[String, Int] =
+      client.listPaths("fragp", "li", recursive = false).filter(_.isDirectory)
+        .map(d => d.name.split('/').last ->
+          client.listPaths("fragp", "li/" + d.name.split('/').last)
+            .count(e => !e.isDirectory && e.name.endsWith(".parquet"))).toMap
+    val before = filesPerPart()
+    assert(before.keySet == Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    assert(before.values.forall(_ == 8), s"fixture not fragmented as expected: $before")
+    def checksumOf(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum(xxhash64(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_returnflag").cast("string")).cast("decimal(38,0)"))).head().getDecimal(0)
+    val checksum = checksumOf(client.readParquet(spark, "fragp", "li"))
+
+    val (nParts, nFiles) = client.compactPartitionedParquet(spark, "fragp", "li")
+    assert(nParts == 3 && nFiles == 3, s"expected 3 partitions -> 1 file each, got ($nParts, $nFiles)")
+    val after = filesPerPart()
+    assert(after.keySet == before.keySet, "partition layout must be untouched")
+    assert(after.values.forall(_ == 1), s"partitions not compacted: $after")
+    val back = client.readParquet(spark, "fragp", "li")
+    assert(back.count() == li.count(), "compaction must not lose rows")
+    assert(checksumOf(back) == checksum, "compaction must not change content")
+    // partition pruning still plans on the compacted table
+    val pruned = back.where(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition filters in:\n$plan")
+    assert(pruned.count() > 0)
+    // no temp debris anywhere in the tree
+    assert(client.listPaths("fragp", "li", maxResults = Int.MaxValue)
+      .forall(e => !e.name.contains("__compacting__") && !e.name.contains("__old__")))
+  }
+
   test("write partitioned parquet to the lake; read back with partition pruning") {
     client.createFilesystem("warehouse")
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")

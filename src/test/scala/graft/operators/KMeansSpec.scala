@@ -116,6 +116,55 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("broadcast-centroid paths assign bit-identically to the literal paths") {
+    // the > MaxLiteralCells plan shapes (broadcast-table cross join +
+    // max_by argmax; 1-row broadcast + in-row top-n) must reproduce the
+    // literal-table assignments exactly — same arithmetic, same ties
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val m = KMeans.fit(e, k = 24, maxIters = 5)
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val cnorms = m.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val viaLit = KMeans.assignCellsExploded(e, m.centroids, nrm, cnorms, Some(false))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaBcast = KMeans.assignCellsExploded(e, m.centroids, nrm, cnorms, Some(true))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaLit == viaBcast, "argmax: broadcast join disagrees with literal explode")
+    val topLit = KMeans.assignTopCells(e, m.centroids, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    val topBcast = KMeans.assignTopCellsBroadcast(e, m.centroids, nrm, cnorms, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(topLit == topBcast, "top-n: in-row broadcast disagrees with exploded agg")
+    // and against the small-k when-chain in-row form
+    val m8 = KMeans.fit(e, k = 8, maxIters = 5)
+    val cn8 = m8.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val chain = KMeans.assignTopCells(e, m8.centroids, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    val bcast8 = KMeans.assignTopCellsBroadcast(e, m8.centroids, nrm, cn8, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(chain == bcast8, "top-n: in-row broadcast disagrees with when-chain")
+  }
+
+  test("a >MaxLiteralCells cell count assigns sane probe sets via the public API") {
+    // 300 centroids routes assignCells through the broadcast-join argmax
+    // and assignTopCells through the in-row broadcast — the two must
+    // agree on the best cell, the √N-tier analogue of the 8/24 check
+    val rnd = new scala.util.Random(11)
+    val cs = Seq.fill(KMeans.MaxLiteralCells + 44)(
+      Array.fill(64)(rnd.nextGaussian().toFloat))
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val single = KMeans.assignCells(e, cs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val multi = KMeans.assignTopCells(e, cs, 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(multi.nonEmpty)
+    multi.foreach { case (id, cells) =>
+      assert(cells.nonEmpty && cells.length <= 5 && cells.distinct == cells,
+        s"vec $id probe set $cells")
+      assert(cells.head == single(id),
+        s"vec $id: top probe ${cells.head} != argmax cell ${single(id)}")
+    }
+  }
+
   test("assignTopCells drops zero-norm rows (empty probe set)") {
     import spark.implicits._
     val zero = Seq((-1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")

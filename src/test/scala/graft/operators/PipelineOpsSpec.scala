@@ -130,6 +130,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == mix(Map.empty, 1.5).count(), "same weights must produce the identical mix")
     // copy 1 of an integer-surviving stratum is the corpus itself
     assert(half.where(col("copy") === 1).count() == n)
+    // a typo'd percentage-as-weight must be rejected, not exploded 250×
+    intercept[IllegalArgumentException] { mix(Map("src0" -> 250.0), 1.0) }
+    intercept[IllegalArgumentException] { mix(Map.empty, -0.5) }
   }
 
   test("cp3: packing replays as a per-shard greedy cumsum; offsets stay under capacity") {

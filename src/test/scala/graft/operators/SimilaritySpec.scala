@@ -88,6 +88,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     enc.unpersist()
   }
 
+  test("ss9 withResidual: broadcast centroid-join path matches the literal path bit-for-bit") {
+    // past KMeans.MaxLiteralCells the residual's centroid lookup becomes
+    // a broadcast equi-join on cell; the float subtraction must be the
+    // literal element_at path's exactly
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val m = KMeans.fit(e, k = 20, maxIters = 3)
+    def resOf(bp: Boolean): Map[Long, (Int, Seq[Float])] =
+      IvfPq.withResidual(e, m.centroids, Some(bp)).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Float](3)))).toMap
+    val lit = resOf(false)
+    val bcast = resOf(true)
+    assert(lit.keySet == bcast.keySet)
+    lit.foreach { case (id, (cell, res)) =>
+      assert(bcast(id)._1 == cell, s"vec $id cell differs")
+      assert(bcast(id)._2 == res, s"vec $id residual differs")
+    }
+  }
+
   test("ss9 IVF-PQ degrades to exact brute force when fully opened (all cells, rerank=N)") {
     // probing every cell and re-ranking every candidate leaves only the
     // exact-cosine re-rank — the result must be bit-identical to ss1
