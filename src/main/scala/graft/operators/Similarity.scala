@@ -369,7 +369,10 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    // UNSORTED by design: the deterministic-output orderBy is a QUERY
+    // convention, applied at the ss4 entries — an internal caller
+    // (ScaleSmoke recall runs, a pipeline stage feeding dd7-style
+    // clustering) must not pay a global sort it doesn't need
   }
 
   /** ss4_ann_ivf — approximate all-pairs similarity, IVF-style: assign
@@ -407,6 +410,7 @@ object Similarity {
       centroids.map(_.map(_.toFloat).toArray), nProbe,
       centroids.map(_ => 1.0))
     ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** ss4_ann_ivf_fitted — the production IVF path end-to-end:
@@ -429,6 +433,7 @@ object Similarity {
     val nProbe = ivfNProbeFor(model.centroids.size)
     ivfCellPairs(KMeans.assignTopCells(e, model.centroids, nProbe), 0.4,
       ivfMaxCellPop(e, model.centroids.size, nProbe))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private val fittedModels =
