@@ -165,6 +165,26 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("broadcast probe-set assignment plans shuffle-free") {
+    // the >MaxLiteralCells scale claim is structural: each row scores,
+    // sorts, and slices its probe set IN the row, so the only exchange
+    // in the plan is the broadcast of the centroid table itself — no
+    // per-vector data ever shuffles no matter the cell count
+    val rnd = new scala.util.Random(5)
+    val cs = Seq.fill(KMeans.MaxLiteralCells + 10)(
+      Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = KMeans.assignTopCells(
+      graft.tables.Tables.embeddings(spark, dir), cs, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"expected a shuffle-free in-row assignment plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must arrive via broadcast:\n$plan")
+  }
+
   test("assignTopCells drops zero-norm rows (empty probe set)") {
     import spark.implicits._
     val zero = Seq((-1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
