@@ -72,7 +72,9 @@ object ScaleSmoke {
         docs.select(col("doc_id")),
         graft.operators.Dedup.dd4From(docs).select(col("doc_a"), col("doc_b"))).count()
     }
-    timed("ss5_knn_join (adaptive LSH)") {
+    timed("ss5_knn_join (routed: IVF)") {
+      // 40k rows is past the home LSH tier, so this exercises the
+      // knnJoinIvf route (seeded 64 cells, knnNProbeFor depth)
       graft.operators.Similarity.knnJoin(embs).count()
     }
     timed("dd5_simhash (capped bands)") {

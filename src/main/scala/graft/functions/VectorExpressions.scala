@@ -93,6 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.vecDotDescriptor)
     ext.injectFunction(VectorFunctions.simhashDescriptor)
+    ext.injectFunction(VectorFunctions.topkDescriptor)
   }
 }
 
@@ -111,17 +112,31 @@ object VectorFunctions {
     new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
     (children: Seq[Expression]) => SimHashAgg(children.head).toAggregateExpression())
 
+  private[functions] val topkDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by_score"),
+    new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+    (children: Seq[Expression]) =>
+      TopKByScore(children(0), children(1), children(2)).toAggregateExpression())
+
   /** Idempotently register the custom functions in an existing session
     * (covers sessions built without the extensions config). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDotDescriptor, simhashDescriptor).foreach { case (id, info, builder) =>
-      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    Seq(vecDotDescriptor, simhashDescriptor, topkDescriptor).foreach {
+      case (id, info, builder) =>
+        if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 
   /** SimHash sketch aggregate over a bigint token-hash column. */
   def simhashAgg(tokenHash: Column): Column = call_function("simhash_agg", tokenHash)
+
+  /** Bounded-state top-k aggregate: per-group best `k` (score, id)
+    * structs, best-first, ties to the lower id ([[TopKByScore]]). */
+  def topkByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Codegen dot product of two float-array columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

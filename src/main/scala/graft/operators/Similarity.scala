@@ -296,6 +296,21 @@ object Similarity {
     else if (cells <= 256) 12
     else 24
 
+  /** Probe depth for RANK-k search ([[knnJoinIvf]]) — deeper than the
+    * pair rule above, because a rank neighbor has no threshold to lean
+    * on: recall comes only from probe mass. Fixture sweep (seeded
+    * 64-cell, recall@5 vs exact): p6 .277, p12 .442, p16 .530, p24
+    * .674 (fitted: p6 .545, p12 .711, p16 .786) — and those are
+    * PESSIMISTIC proxies: a corpus dense enough to engage the tier has
+    * far closer rank-k neighbors than the 2k-row fixture. The probed
+    * FRACTION still falls as the ladder climbs (16/64 = 25%, 32/256 =
+    * 12.5%, 48/1024 ≈ 4.7%), so the scan share shrinks with N. */
+  def knnNProbeFor(cells: Int): Int =
+    if (cells <= 8) IvfNProbe
+    else if (cells <= 64) 16
+    else if (cells <= 256) 32
+    else 48
+
   private def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
 
@@ -334,23 +349,29 @@ object Similarity {
     * bought back (and more) by the deeper probe it affords.
     * `assigned` = (vec_id, embedding, nrm, cells) with `cells` sorted
     * nearest-first ([[KMeans.assignTopCells]]). */
-  private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
-                                  maxPop: Long = Long.MaxValue): DataFrame = {
-    // Population cap WITHOUT wide shuffles: per-cell counts are a tiny
-    // map-side-combined aggregate (≤ IvfCellTiers.last cells), the
-    // over-cap cells collapse to ONE broadcast row whose array every
-    // vector consults per-row (array_except — which preserves element
-    // order, so `cells` stays nearest-first and element_at(cells, 1)
-    // is the nearest SURVIVING cell: capped cells' members re-anchor
-    // consistently on both join sides). The 1-row cross join is the
-    // documented q16/ss1 broadcast pattern (PlanAudit whitelists it).
+  /** Probe sets after the cell-population cap, WITHOUT wide shuffles:
+    * per-cell counts are a tiny map-side-combined aggregate (≤
+    * IvfCellTiers.last cells), the over-cap cells collapse to ONE
+    * broadcast row whose array every vector consults per-row
+    * (array_except — which preserves element order, so `cells` stays
+    * nearest-first and element_at(cells, 1) is the nearest SURVIVING
+    * cell: capped cells' members re-anchor consistently on every
+    * consumer). The 1-row cross join is the documented q16/ss1
+    * broadcast pattern (PlanAudit whitelists it). Shared by
+    * [[ivfCellPairs]] and [[knnJoinIvfKernel]]. */
+  private def capCells(assigned: DataFrame, maxPop: Long): DataFrame = {
     val over = assigned.select(explode(col("cells")).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       .where(col("pop") > maxPop)
       .agg(collect_list(col("cell")).as("overcap")) // global agg: exactly one row
-    val surv = assigned.crossJoin(broadcast(over))
+    assigned.crossJoin(broadcast(over))
       .withColumn("cells", array_except(col("cells"), col("overcap")))
       .where(size(col("cells")) > 0)
+  }
+
+  private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
+                                  maxPop: Long = Long.MaxValue): DataFrame = {
+    val surv = capCells(assigned, maxPop)
     val probe = surv.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("cells").as("cells_a"),
       explode(col("cells")).as("cell"))
@@ -394,21 +415,28 @@ object Similarity {
     ss4Seeded(e, cells, ivfNProbeFor(cells))
   }
 
+  /** Deterministic seeded coarse centroids (the oracle-free stand-in
+    * for a [[KMeans.fit]] — ss4's original convention, shared by the
+    * IVF-routed kNN path): Random(7) Gaussians, scored by raw dot/|e|
+    * (norms forced to 1.0 — x*1.0 exact). */
+  private def seededCentroids(cells: Int, dim: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(cells, dim)(rnd.nextGaussian()).map(_.map(_.toFloat).toArray)
+  }
+
+  private[graft] def seededCentroidsForTest(cells: Int, dim: Int): Seq[Array[Float]] =
+    seededCentroids(cells, dim)
+
   /** Seeded IVF with explicit geometry (ScaleSmoke sweeps it; the public
     * entry binds the tier table + [[IvfNProbe]]). */
   private[graft] def ss4Seeded(e: DataFrame, cells: Int, nProbe: Int): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
-    val dim = 64
-    val rnd = new scala.util.Random(7)
-    val centroids: Seq[Seq[Double]] = Seq.fill(cells, dim)(rnd.nextGaussian())
-    // nearest centroids by raw dot/|e| (seeded centroids deliberately NOT
-    // norm-divided — norms forced to 1.0, x*1.0 exact, preserved
-    // fixture-scale form). Probe-set assignment keeps the argmax plan
-    // split: per-row sorted literal array under the when-chain cap, slim
-    // exploded top-n + embedding re-join past it (KMeans.assignTopCells).
+    // Probe-set assignment keeps the argmax plan split: per-row sorted
+    // literal array under the when-chain cap, slim exploded top-n +
+    // embedding re-join past it, broadcast in-row past 256
+    // (KMeans.assignTopCells).
     val assigned = KMeans.assignTopCellsWith(e,
-      centroids.map(_.map(_.toFloat).toArray), nProbe,
-      centroids.map(_ => 1.0))
+      seededCentroids(cells, 64), nProbe, Seq.fill(cells)(1.0))
     ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -555,19 +583,24 @@ object Similarity {
     knnJoin(Tables.embeddings(s, dir), k)
   }
 
-  /** LSH tier table for [[knnJoin]]: (estimated corpus rows → tables ×
-    * bits), keeping tables*bits = 64 so the signature packs into one
-    * long. Small corpora spend tables on recall (16×4 measures ~.9);
-    * large corpora spend bits on bucket granularity so per-bucket size —
-    * and with it the self-join's fan-out — stays bounded as N grows
-    * (bucket ≈ N/2^bits; fixed bits would make the bucket join quadratic
-    * at corpus scale). The estimate comes from plan-statistics bytes at
-    * ~300 parquet bytes per 64-float row — tier boundaries are coarse on
+  /** LSH tier table for [[knnJoin]]'s hyperplane route: (estimated
+    * corpus rows → tables × bits), keeping tables*bits = 64 so the
+    * signature packs into one long. Only the HOME tier routes here now:
+    * 16×4 measures recall@5 .896 on the fixture, but the upper
+    * geometries that would bound buckets at corpus scale collapse on
+    * rank-k recall — 8×8 measures .138, 4×16 .001 (SimilaritySpec tier
+    * sweep; p_match = 1-(1-p_bit^bits)^tables dies in `bits` for the
+    * moderate-cosine neighbors rank search must find, and the 64-bit
+    * pack caps `tables`). Corpora past the home tier take
+    * [[knnJoinIvf]] instead; the upper rows remain for the explicit
+    * [[knnJoinGeom]] seam and as the measured record of WHY the route
+    * changed. The estimate comes from plan-statistics bytes at ~300
+    * parquet bytes per 64-float row — tier boundaries are coarse on
     * purpose. */
   val KnnLshTiers: Seq[(Long, Int, Int)] = Seq(
     (16000L, 16, 4),    // < 16k rows: buckets ≥ ~1k-way split, recall-first
-    (2000000L, 8, 8),   // < 2M rows: 256 buckets/table
-    (Long.MaxValue, 4, 16)) // beyond: 65k buckets/table
+    (2000000L, 8, 8),   // measured recall@5 .138 — kept for the geom seam only
+    (Long.MaxValue, 4, 16)) // measured recall@5 .001 — kept for the geom seam only
 
   /** Estimated embedding-corpus rows from optimizer byte statistics at
     * ~300 parquet bytes per 64-float row — the ONE row estimator behind
@@ -582,8 +615,90 @@ object Similarity {
     * `embedding`, whose arrays must all be `dim`-long — enforced with a
     * per-row assert_true so a mismatched corpus fails loudly instead of
     * collapsing every vector into bucket 0); [[ss5KnnJoin]] binds it to
-    * the fixture table. */
-  def knnJoin(e00: DataFrame, k: Int = 5, dim: Int = 64): DataFrame = {
+    * the fixture table. Routes by estimated rows: the home tier takes
+    * the 16×4 hyperplane-LSH join (recall@5 .896 measured), anything
+    * larger takes [[knnJoinIvf]] — the upper LSH geometries collapse on
+    * rank-k recall (see [[KnnLshTiers]]). */
+  def knnJoin(e00: DataFrame, k: Int = 5, dim: Int = 64): DataFrame =
+    if (estRowsOf(e00) < KnnLshTiers.head._1) knnJoinGeom(e00, k, dim, None)
+    else knnJoinIvf(e00, k, dim)
+
+  /** IVF-backed batch kNN — the route [[knnJoin]] takes past the home
+    * LSH tier. Rank-recall is the measured reason (SimilaritySpec tier
+    * sweep): random-hyperplane kNN needs many SHORT tables (16×4:
+    * recall@5 .896 on the fixture), but the upper [[KnnLshTiers]]
+    * geometries that keep buckets bounded at corpus scale collapse on
+    * moderate-cosine rank-k neighbors — 8×8 measures .138 and 4×16
+    * .001, because p_match = 1-(1-p_bit^bits)^tables dies in `bits`
+    * and the 64-bit signature pack caps `tables`. The IVF cell
+    * machinery has no such exponent: a neighbor is found iff its
+    * primary cell is among the query's nProbe nearest, measured .72-.99
+    * on the pair ops — so the scale tier reuses it. Seeded centroids
+    * (no construction job — the ss4 convention); cells/nProbe from the
+    * IVF tier tables, candidates per query ≈ nProbe·N/cells, the same
+    * asymmetric one-row-per-(query, neighbor) join as [[ivfCellPairs]]
+    * with a per-query top-k window instead of a threshold. */
+  def knnJoinIvf(e00: DataFrame, k: Int = 5, dim: Int = 64,
+                 centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    VectorFunctions.ensureRegistered(e00.sparkSession)
+    val e0 = e00.where(coalesce(
+      assert_true(size(col("embedding")) === dim,
+        lit(s"knnJoinIvf: embedding dimension must be $dim")), lit(true)))
+      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
+    // default: seeded centroids, raw-dot scoring (norms 1.0) — no
+    // construction job. A production corpus should pass KMeans.fit
+    // centroids instead: fitted cells measure +.15-.25 recall over
+    // seeded at every probed fraction (knnNProbeFor sweep).
+    val cs = centroids.getOrElse(seededCentroids(ivfCellsFor(e00), dim))
+    val cn = centroids match {
+      case None => Seq.fill(cs.size)(1.0)
+      case Some(_) => cs.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    }
+    val nProbe = knnNProbeFor(cs.size)
+    knnJoinIvfKernel(e0, k, cs, cn, nProbe, ivfMaxCellPop(e00, cs.size, nProbe))
+  }
+
+  /** The IVF kNN join proper, shared by the seeded route and the
+    * fitted-centroid variant the spec measures: each query explodes its
+    * nProbe probe cells, the index side anchors every vector at its
+    * primary cell, so a (query, neighbor) candidate exists at most ONCE
+    * (the neighbor has one primary — no dedup at all, simpler than the
+    * pair case). The per-query top-k is [[graft.functions.TopKByScore]],
+    * NOT a row_number window: the aggregate's k-bounded buffer lets the
+    * map-side partial pass trim every partition's candidates to k per
+    * query BEFORE the exchange, so the shuffle is ≤ N×k tiny rows —
+    * invariant in the nProbe·pop candidate volume that IS this
+    * operator's cost at corpus scale (a window would shuffle and sort
+    * every candidate row). Same (cos desc, nbr_id asc) order either
+    * way. */
+  private[graft] def knnJoinIvfKernel(e0: DataFrame, k: Int,
+      centroids: Seq[Array[Float]], cnorms: Seq[Double],
+      nProbe: Int, maxPop: Long): DataFrame = {
+    val assigned = capCells(
+      KMeans.assignTopCellsWith(e0, centroids, nProbe, cnorms), maxPop)
+    val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(col("cells")).as("cell"))
+    val index = assigned.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      element_at(col("cells"), 1).as("cell"))
+    probe.join(index, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(try_divide(VectorFunctions.vecDot(col("embedding"), col("emb_b")),
+          col("nrm") * col("nrm_b")), 3).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(VectorFunctions.topkByScore(col("cos"), col("nbr_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("vec_id"), col("t.id").as("nbr_id"),
+        col("t.score").as("cos"), (col("rk0") + 1).cast("int").as("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** [[knnJoin]] with explicit (tables, bits) — the ScaleSmoke seam for
+    * measuring an upper [[KnnLshTiers]] geometry's recall before a
+    * corpus lands on it (the lshNeardupGeom convention). */
+  private[graft] def knnJoinGeom(e00: DataFrame, k: Int, dim: Int,
+                                 geom: Option[(Int, Int)]): DataFrame = {
     VectorFunctions.ensureRegistered(e00.sparkSession)
     // coalesce(assert_true(..)) -> true: a filter the optimizer cannot
     // prune, throwing on the first wrong-dimension row
@@ -597,8 +712,11 @@ object Similarity {
     // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
     // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At
     // corpus scale bits grows (tier table above) to bound buckets.
-    val (_, tables, bits) =
-      KnnLshTiers.find(estRowsOf(e00) < _._1).getOrElse(KnnLshTiers.last)
+    val (tables, bits) = geom.getOrElse {
+      val t = KnnLshTiers.find(estRowsOf(e00) < _._1).getOrElse(KnnLshTiers.last)
+      (t._2, t._3)
+    }
+    require(tables * bits <= 64, s"kNN geometry ($tables x $bits) does not pack into 64 bits")
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val bucketCols = planes.map { tbl =>

@@ -119,6 +119,43 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("topk_by_score matches a row_number window on every group, at any parallelism") {
+    import spark.implicits._
+    // 40 groups x 200 scored rows, engineered score ties (score = v % 17
+    // collides constantly) so the id tie-break is really exercised
+    val rows = for (g <- 0L until 40L; v <- 0L until 200L)
+      yield (g, g * 1000 + v, (v % 17).toDouble)
+    val base = rows.toDF("grp", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+    val expect = base.withColumn("rk", row_number().over(w)).where(col("rk") <= 7)
+      .select(col("grp"), col("id"), col("score"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    for (parts <- Seq(1, 2, 13)) { // single partition, and merge-heavy layouts
+      val got = base.repartition(parts)
+        .groupBy(col("grp"))
+        .agg(VectorFunctions.topkByScore(col("score"), col("id"), 7).as("top"))
+        .select(col("grp"), posexplode(col("top")).as(Seq("rk0", "t")))
+        .select(col("grp"), col("t.id"), col("t.score"),
+          (col("rk0") + 1).cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == expect, s"topk_by_score diverged from the window at $parts partitions")
+    }
+    // NaN and NULL scores are skipped, not ranked
+    val dirty = Seq((1L, 1L, Double.NaN), (1L, 2L, 3.0), (1L, 3L, 1.0))
+      .toDF("grp", "id", "score")
+      .union(Seq((1L, 4L)).toDF("grp", "id").withColumn("score", lit(null).cast("double")))
+    val top = dirty.groupBy(col("grp"))
+      .agg(VectorFunctions.topkByScore(col("score"), col("id"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.id")).collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(2L, 3L), s"NaN/NULL must be skipped, got ${top.toSeq}")
+    // k must be a positive literal
+    intercept[Exception] {
+      dirty.groupBy(col("grp"))
+        .agg(call_function("topk_by_score", col("score"), col("id"), lit(0))).collect()
+    }
+  }
+
   test("vecCosine of identical vectors is 1") {
     VectorFunctions.ensureRegistered(spark)
     val r = df.where(col("id") === 1)

@@ -197,6 +197,78 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ss6 == truth, "ss6_knn_exact must equal the brute-force top-k set")
   }
 
+  test("kNN tier geometries: measured rank-recall per KnnLshTiers row") {
+    // every KnnLshTiers geometry gets a recall number against the exact
+    // ground truth — the upper tiers never engage at fixture scale, so
+    // without forcing them here their recall would be unmeasured until
+    // a >16k-row corpus lands on them
+    VectorFunctions.ensureRegistered(spark)
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val truth = Similarity.ss6KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(found: Set[(Long, Long)]): Double =
+      (found & truth).size.toDouble / truth.size
+    val recalls = Similarity.KnnLshTiers.map { case (_, tables, bits) =>
+      val rec = recallOf(Similarity.knnJoinGeom(e, 5, 64, Some((tables, bits)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      info(f"kNN geometry ${tables}x$bits: recall@5 $rec%.3f")
+      rec
+    }
+    assert(recalls.head > 0.5, f"home-tier recall ${recalls.head}%.3f too low")
+
+    // the IVF route that replaces the collapsed upper LSH tiers, at its
+    // two operating points: the home analogue (8c/p6) and the routed
+    // at-scale geometry (64c/p16 — knnNProbeFor). Probe-depth ladder at
+    // 64c seeded measured once: p6 .277, p12 .442, p16 .530, p24 .674
+    // (recorded in the knnNProbeFor scaladoc — this test pins the two
+    // points the router actually uses).
+    val e0 = e.where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
+    def seededRecall(cells: Int): Double = {
+      val nProbe = Similarity.knnNProbeFor(cells)
+      val rec = recallOf(Similarity.knnJoinIvfKernel(e0, 5,
+          Similarity.seededCentroidsForTest(cells, 64), Seq.fill(cells)(1.0),
+          nProbe, Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      info(f"kNN IVF seeded ${cells}c/p$nProbe: recall@5 $rec%.3f")
+      rec
+    }
+    val seeded8 = seededRecall(8)   // measured .891 — on par with 16x4 LSH
+    val seeded64 = seededRecall(64) // measured .530 — vs the 8x8 tier's .138
+    // fitted centroids — the quality ceiling of the same kernel
+    val m = KMeans.fit(e0, k = 64, maxIters = 5)
+    val fitted64 = recallOf(Similarity.knnJoinIvfKernel(e0, 5, m.centroids,
+        m.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)),
+        Similarity.knnNProbeFor(64), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(f"kNN IVF fitted 64c/p16: recall@5 $fitted64%.3f") // measured .786
+    assert(seeded8 > 0.7, f"IVF kNN home-analogue recall $seeded8%.3f too low")
+    assert(seeded64 > recalls(1) + 0.2,
+      f"routed IVF kNN recall $seeded64%.3f must clearly beat the 8x8 LSH tier (${recalls(1)}%.3f)")
+    assert(fitted64 > seeded64,
+      f"fitted centroids ($fitted64%.3f) must beat seeded ($seeded64%.3f)")
+
+    // the public router: past the home tier knnJoin must take the IVF
+    // route — same schema, exactly <= k ranked rows per vector
+    val routed = Similarity.knnJoinIvf(e, 5)
+    assert(routed.columns.toSeq == Seq("vec_id", "nbr_id", "cos", "rk"))
+    val byVec = routed.collect().groupBy(_.getLong(0))
+    assert(byVec.values.forall(g => g.length <= 5 &&
+      g.map(_.getInt(3)).sorted.sameElements(1 to g.length)))
+
+    // fully opened (probe every cell), the kernel must degrade to EXACT
+    // kNN bit-for-bit — every candidate survives, so only the
+    // TopKByScore ranking is left, and it must equal ss6's window-based
+    // exact ranks including cos values and tie order (pins the agg's
+    // update/merge/eval path end-to-end, the ss9 degradation idiom)
+    val opened = Similarity.knnJoinIvfKernel(e0, 5,
+        Similarity.seededCentroidsForTest(8, 64), Seq.fill(8)(1.0),
+        nProbe = 8, maxPop = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact6 = Similarity.ss6KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(opened == exact6, "fully-opened IVF kNN must equal exact kNN")
+  }
+
   test("ss6 guard trips on oversized input") {
     // the exact kNN join is quadratic work; a corpus past the byte cap
     // must fail fast instead of launching N² dot products
