@@ -62,6 +62,15 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
          FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
          GROUP BY doc_id""").collect()
     assert(sketches.length == 500)
+    // bounded-state top-k aggregate from SQL: per-source 3 longest docs
+    val tops = spark.sql(
+      """SELECT source, topk_by_score(CAST(length(text) AS DOUBLE), doc_id, 3) AS top
+         FROM documents GROUP BY source""").collect()
+    assert(tops.nonEmpty && tops.forall(r => {
+      val a = r.getSeq[org.apache.spark.sql.Row](1)
+      a.nonEmpty && a.length <= 3 &&
+        a.map(_.getDouble(0)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+    }))
   }
 
   test("JSON access over the events props column in SQL") {
