@@ -260,13 +260,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // TopKByScore ranking is left, and it must equal ss6's window-based
     // exact ranks including cos values and tie order (pins the agg's
     // update/merge/eval path end-to-end, the ss9 degradation idiom)
-    val opened = Similarity.knnJoinIvfKernel(e0, 5,
+    val openedDf = Similarity.knnJoinIvfKernel(e0, 5,
         Similarity.seededCentroidsForTest(8, 64), Seq.fill(8)(1.0),
-        nProbe = 8, maxPop = Long.MaxValue).collect()
+        nProbe = 8, maxPop = Long.MaxValue)
+    val opened = openedDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val exact6 = Similarity.ss6KnnExact(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(opened == exact6, "fully-opened IVF kNN must equal exact kNN")
+
+    // the scale claim is structural: the top-k must run as a two-phase
+    // ObjectHashAggregate (partial_topk_by_score map-side), so the
+    // exchange carries pre-trimmed k-row buffers, not candidate rows
+    val kernelPlan = openedDf.queryExecution.executedPlan.toString
+    assert(kernelPlan.contains("ObjectHashAggregate") &&
+      kernelPlan.contains("partial_topk_by_score"),
+      s"expected a partial topk_by_score aggregation pass in:\n$kernelPlan")
   }
 
   test("ss6 guard trips on oversized input") {
