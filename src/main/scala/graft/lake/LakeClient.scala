@@ -579,6 +579,16 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     require(norm.nonEmpty, "compactPartitionedParquet: cannot compact the filesystem root")
     def leaves(rel: String): Seq[String] = {
       val subdirs = fs.listStatus(resolve(filesystem, rel)).filter(_.isDirectory)
+      // an interrupted per-partition run leaves `-__old__`/`-__compacting__`
+      // siblings INSIDE the table — walking into one would rewrite the
+      // recovery copy as if it were a partition. Refuse the whole table
+      // until it's recovered (the flat compactParquet contract, lifted
+      // to the tree).
+      subdirs.map(_.getPath.getName)
+        .find(n => n.endsWith("-__old__") || n.endsWith("-__compacting__"))
+        .foreach(n => throw new IllegalArgumentException(
+          s"compactPartitionedParquet: leftover $rel/$n from an interrupted " +
+            "run — recover or remove it first"))
       if (subdirs.isEmpty) Seq(rel)
       else subdirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
     }

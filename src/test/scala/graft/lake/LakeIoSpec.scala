@@ -149,6 +149,13 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no temp debris anywhere in the tree
     assert(client.listPaths("fragp", "li", maxResults = Int.MaxValue)
       .forall(e => !e.name.contains("__compacting__") && !e.name.contains("__old__")))
+    // an interrupted run's leftover must refuse the whole table rather
+    // than be rewritten as if it were a partition
+    client.createPath("fragp", "li/l_returnflag=A-__old__", directory = true)
+    intercept[IllegalArgumentException] {
+      client.compactPartitionedParquet(spark, "fragp", "li")
+    }
+    client.deletePath("fragp", "li/l_returnflag=A-__old__")
   }
 
   test("write partitioned parquet to the lake; read back with partition pruning") {
