@@ -165,6 +165,21 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fit runs end-to-end through the >MaxLiteralCells broadcast argmax") {
+    // every Lloyd's iteration at this k takes the broadcast-centroid
+    // assignment plan; the fit must still converge deterministically
+    // and produce in-range, mostly-populated cells
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val k = KMeans.MaxLiteralCells + 20
+    val m1 = KMeans.fit(e, k = k, maxIters = 3)
+    val m2 = KMeans.fit(e, k = k, maxIters = 3)
+    assert(m1.centroids.zip(m2.centroids).forall { case (a, b) => a.sameElements(b) },
+      "large-k fit must be bit-deterministic")
+    val cells = KMeans.assignCells(e, m1.centroids).collect().map(_.getInt(1))
+    assert(cells.forall(c => c >= 0 && c < k))
+    assert(cells.distinct.length > k / 4, "large-k fit degenerated to few cells")
+  }
+
   test("broadcast probe-set assignment plans shuffle-free") {
     // the >MaxLiteralCells scale claim is structural: each row scores,
     // sorts, and slices its probe set IN the row, so the only exchange
