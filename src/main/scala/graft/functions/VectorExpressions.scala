@@ -100,24 +100,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object VectorFunctions {
   import org.apache.spark.sql.functions.{call_function, try_divide, sqrt => fsqrt}
 
+  /** SQL-builder arity gate: `topk_by_score(score, id)` from SQL must
+    * fail as a proper wrong-number-of-arguments AnalysisException (the
+    * standard WRONG_NUM_ARGS error class every built-in raises), not an
+    * IndexOutOfBoundsException from a blind children(2). */
+  private def requireArity(name: String, expected: Int,
+                           children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private[functions] val vecDotDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      requireArity("vec_dot", 2, children)
+      FloatVectorDot(children(0), children(1))
+    })
 
   private[functions] val simhashDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash_agg"),
     new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
-    (children: Seq[Expression]) => SimHashAgg(children.head).toAggregateExpression())
+    (children: Seq[Expression]) => {
+      requireArity("simhash_agg", 1, children)
+      SimHashAgg(children.head).toAggregateExpression()
+    })
 
   private[functions] val topkDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by_score"),
     new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-    (children: Seq[Expression]) =>
-      TopKByScore(children(0), children(1), children(2)).toAggregateExpression())
+    (children: Seq[Expression]) => {
+      requireArity("topk_by_score", 3, children)
+      TopKByScore(children(0), children(1), children(2)).toAggregateExpression()
+    })
 
   /** Idempotently register the custom functions in an existing session
     * (covers sessions built without the extensions config). */

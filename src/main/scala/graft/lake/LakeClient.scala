@@ -589,8 +589,20 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
         .foreach(n => throw new IllegalArgumentException(
           s"compactPartitionedParquet: leftover $rel/$n from an interrupted " +
             "run — recover or remove it first"))
-      if (subdirs.isEmpty) Seq(rel)
-      else subdirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
+      // recurse ONLY into `key=value`-shaped partition directories: a
+      // non-partition directory inside the table — a concurrent writer's
+      // `_temporary` task attempts, a streaming sink's `_spark_metadata`,
+      // or any stray user directory — is NOT data and must not be
+      // rewritten as if it were a partition (underscore/dot-prefixed
+      // names are the FileInputFormat hidden convention; anything else
+      // without `=` is not partition layout either). Skipped dirs are
+      // left untouched.
+      val partDirs = subdirs.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.contains('=')
+      }
+      if (partDirs.isEmpty) Seq(rel)
+      else partDirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
     }
     val parts = leaves(norm).filter { rel =>
       fs.listStatus(resolve(filesystem, rel))
@@ -646,7 +658,10 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * supplies one (`src/main/resources/META-INF/services/…DataSourceRegister`)
     * and a user's `format("avro")` resolves whenever graft is on the
     * classpath. The helpers keep the class name — they must work even if
-    * a shading step drops resource files. */
+    * a shading step drops resource files, and the class name also
+    * side-steps the documented duplicate-registration constraint (an
+    * external spark-avro jar re-registering the same class breaks the
+    * SHORT name, not the class-name path — see the services file). */
   private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
   def readAvro(spark: SparkSession, filesystem: String, path: String): DataFrame =
     spark.read.format(AvroFormat).load(resolve(filesystem, path).toString)

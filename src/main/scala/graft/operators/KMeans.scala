@@ -132,7 +132,11 @@ object KMeans {
     * recovers them). Returns (vec_id, embedding, nrm, cells) with
     * `cells` best-first, ties to the LOWER cell id (the [[assignCells]]
     * rule — `cells[0]` is bit-identical to its `cell`); unassignable
-    * rows (zero-norm, wrong-dim) get an empty array / drop out.
+    * rows (zero-norm, wrong-dim) DROP OUT on every plan path — the
+    * in-row variants filter their empty-`cells` rows explicitly so the
+    * returned row set is identical across centroid counts (the exploded
+    * path drops them structurally: no valid score rows survive the
+    * filter, so the vector never reaches the groupBy).
     *
     * Plan shape mirrors the argmax split: k ≤ [[MaxWhenChainCells]]
     * scores all cells per row and top-n's them INSIDE the row (literal
@@ -175,6 +179,7 @@ object KMeans {
       val top = slice(sort_array(valid, asc = false), 1, nProbe)
       e.select(col("vec_id"), col("embedding"), nrm.as("nrm"),
         transform(top, x => (-x.getField("negcell")).cast("int")).as("cells"))
+        .where(size(col("cells")) > 0)
     }
   }
 
@@ -209,6 +214,7 @@ object KMeans {
       .crossJoin(broadcast(ctabDf))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         transform(top, x => (-x.getField("negcell")).cast("int")).as("cells"))
+      .where(size(col("cells")) > 0)
   }
 
   /** Slim large-k top-n assignment: fan out over the centroid table

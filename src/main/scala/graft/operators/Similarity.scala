@@ -571,16 +571,24 @@ object Similarity {
   /** ss5_knn_join — batch kNN join: EVERY vector gets its top-k
     * approximate neighbors (the all-queries form of similarity search a
     * training pipeline runs, e.g. for semantic dedup or hard-negative
-    * mining). Candidates come from 16 random-hyperplane LSH tables kept
-    * in both orientations (each vector owns its neighbor list),
-    * deduplicated AT THE JOIN (first-colliding-table rule — no distinct
-    * shuffle of the candidate explosion); exact cosine ranks candidates;
-    * per-vector top-k via window. One bucket self-join + one window — no
-    * cross join at any scale. Approximate recall → rows-only check;
-    * SimilaritySpec measures recall against brute force. */
+    * mining). Routes like [[knnJoin]] — home tier: 16 random-hyperplane
+    * LSH tables with join-time first-colliding-table dedup; larger
+    * corpora: [[knnJoinIvf]] — but the scaled route runs with FITTED
+    * coarse centroids from the (session, dir) [[cachedModel]] memo (the
+    * ss4_fitted discipline; recall .786 vs the seeded default's .530 at
+    * 64c/p16), which makes a fit-running construction possible here
+    * where the DataFrame-only [[knnJoin]] must stay job-free. The
+    * deterministic output orderBy is applied HERE (the query-entry
+    * convention — kernels stay unsorted). Approximate recall →
+    * rows-only check; SimilaritySpec measures recall against brute
+    * force. */
   def ss5KnnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    knnJoin(Tables.embeddings(s, dir), k)
+    val e = Tables.embeddings(s, dir)
+    val routed =
+      if (estRowsOf(e) < KnnLshTiers.head._1) knnJoinGeom(e, k, 64, None)
+      else knnJoinIvf(e, k, 64, Some(cachedModel(s, dir, e).centroids))
+    routed.orderBy(col("vec_id"), col("rk"))
   }
 
   /** LSH tier table for [[knnJoin]]'s hyperplane route: (estimated
@@ -618,10 +626,35 @@ object Similarity {
     * the fixture table. Routes by estimated rows: the home tier takes
     * the 16×4 hyperplane-LSH join (recall@5 .896 measured), anything
     * larger takes [[knnJoinIvf]] — the upper LSH geometries collapse on
-    * rank-k recall (see [[KnnLshTiers]]). */
+    * rank-k recall (see [[KnnLshTiers]]).
+    *
+    * RECALL CLIFF past the home tier: because query construction must
+    * stay job-free, the routed IVF path defaults to SEEDED random
+    * centroids, whose measured recall@5 is .530 at 64c/p16 vs .786 with
+    * fitted ones — a corpus that can afford the [[KMeans.fit]] jobs
+    * should call [[knnJoinFitted]] (or pass fitted centroids to
+    * [[knnJoinIvf]]) to run at the fitted operating point, as
+    * [[ss5KnnJoin]] does via its model memo. Output is UNSORTED by
+    * design (kernels end at the top-k posexplode); callers needing
+    * presentation order sort at the query entry. */
   def knnJoin(e00: DataFrame, k: Int = 5, dim: Int = 64): DataFrame =
     if (estRowsOf(e00) < KnnLshTiers.head._1) knnJoinGeom(e00, k, dim, None)
     else knnJoinIvf(e00, k, dim)
+
+  /** [[knnJoin]] at the fitted operating point: same routing, but past
+    * the home tier the IVF cells come from a [[KMeans.fit]] on the
+    * corpus — construction RUNS the fit's jobs (the documented
+    * iterative-ML exception), buying +.15-.25 recall over the seeded
+    * default at every probed fraction. The production choice whenever
+    * the corpus is queried more than once; pair it with an external
+    * model memo (the [[ss5KnnJoin]] discipline) to amortize the fit. */
+  def knnJoinFitted(e00: DataFrame, k: Int = 5, dim: Int = 64): DataFrame =
+    if (estRowsOf(e00) < KnnLshTiers.head._1) knnJoinGeom(e00, k, dim, None)
+    else {
+      val m = KMeans.fit(e00.select(col("vec_id"), col("embedding")),
+        k = ivfCellsFor(e00), maxIters = 5)
+      knnJoinIvf(e00, k, dim, Some(m.centroids))
+    }
 
   /** IVF-backed batch kNN — the route [[knnJoin]] takes past the home
     * LSH tier. Rank-recall is the measured reason (SimilaritySpec tier
@@ -670,7 +703,11 @@ object Similarity {
     * invariant in the nProbe·pop candidate volume that IS this
     * operator's cost at corpus scale (a window would shuffle and sort
     * every candidate row). Same (cos desc, nbr_id asc) order either
-    * way. */
+    * way. UNSORTED by design (the ivfCellPairs convention): a global
+    * orderBy here would full-sort N×k output rows for every pipeline
+    * caller (semantic dedup, hard-negative mining) that doesn't need
+    * presentation order — the deterministic sort is a QUERY concern,
+    * applied at [[ss5KnnJoin]]. */
   private[graft] def knnJoinIvfKernel(e0: DataFrame, k: Int,
       centroids: Seq[Array[Float]], cnorms: Seq[Double],
       nProbe: Int, maxPop: Long): DataFrame = {
@@ -691,7 +728,6 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("rk0", "t")))
       .select(col("vec_id"), col("t.id").as("nbr_id"),
         col("t.score").as("cos"), (col("rk0") + 1).cast("int").as("rk"))
-      .orderBy(col("vec_id"), col("rk"))
   }
 
   /** [[knnJoin]] with explicit (tables, bits) — the ScaleSmoke seam for
@@ -796,7 +832,8 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))
-      .orderBy(col("vec_id"), col("rk"))
+    // UNSORTED by design — the deterministic orderBy is a QUERY concern
+    // (applied at ss5KnnJoin), not a kernel one; see knnJoinIvfKernel
   }
 
   /** ss6_knn_exact — EXACT batch kNN join: every vector's true top-k

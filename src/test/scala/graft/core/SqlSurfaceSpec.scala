@@ -73,6 +73,25 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }))
   }
 
+  test("wrong arity from SQL raises a proper AnalysisException, not IndexOutOfBounds") {
+    // the builders index children positionally; without the arity gate a
+    // 2-arg topk_by_score died with IndexOutOfBoundsException instead of
+    // the WRONG_NUM_ARGS AnalysisException every built-in raises
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT source, topk_by_score(CAST(length(text) AS DOUBLE), doc_id)
+                   FROM documents GROUP BY source""")
+    }
+    assert(e1.getMessage.contains("topk_by_score") && e1.getMessage.contains("3"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(embedding) FROM embeddings")
+    }
+    assert(e2.getMessage.contains("vec_dot") && e2.getMessage.contains("2"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash_agg(doc_id, doc_id) FROM documents")
+    }
+    assert(e3.getMessage.contains("simhash_agg"))
+  }
+
   test("JSON access over the events props column in SQL") {
     val n = spark.sql(
       """SELECT count(*) FROM events

@@ -156,6 +156,22 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.compactPartitionedParquet(spark, "fragp", "li")
     }
     client.deletePath("fragp", "li/l_returnflag=A-__old__")
+    // non-partition directories are NEVER recursed into or rewritten: a
+    // concurrent writer's _temporary (whose files are NOT parquet, so
+    // compacting it would throw) and a stray non-key=value dir must both
+    // survive untouched while the real partitions compact normally
+    client.uploadBytes("fragp", "li/_temporary/attempt_0/part-0.parquet",
+      "not parquet at all".getBytes("UTF-8"))
+    client.uploadBytes("fragp", "li/stray-dir/notes.txt", "junk".getBytes("UTF-8"))
+    val (nParts2, _) = client.compactPartitionedParquet(spark, "fragp", "li")
+    assert(nParts2 == 3, s"expected only the 3 real partitions, got $nParts2")
+    assert(new String(client.readBytes("fragp", "li/_temporary/attempt_0/part-0.parquet"),
+      "UTF-8") == "not parquet at all", "_temporary must be untouched")
+    assert(new String(client.readBytes("fragp", "li/stray-dir/notes.txt"),
+      "UTF-8") == "junk", "a stray non-partition dir must be untouched")
+    client.deletePath("fragp", "li/_temporary", recursive = true)
+    client.deletePath("fragp", "li/stray-dir", recursive = true)
+    assert(checksumOf(client.readParquet(spark, "fragp", "li")) == checksum)
   }
 
   test("write partitioned parquet to the lake; read back with partition pruning") {

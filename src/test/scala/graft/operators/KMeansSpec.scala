@@ -119,8 +119,15 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("broadcast-centroid paths assign bit-identically to the literal paths") {
     // the > MaxLiteralCells plan shapes (broadcast-table cross join +
     // max_by argmax; 1-row broadcast + in-row top-n) must reproduce the
-    // literal-table assignments exactly — same arithmetic, same ties
+    // literal-table assignments exactly — same arithmetic, same ties.
+    // A zero-norm padding row rides along: bit-identity includes the
+    // DROPPED row set (the in-row paths filter empty probe sets; the
+    // exploded path drops them structurally), so every variant must
+    // agree the row is absent — not return it with an empty array.
+    import spark.implicits._
+    val zeroRow = Seq((-7L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
     val e = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").union(zeroRow)
     val m = KMeans.fit(e, k = 24, maxIters = 5)
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
     val cnorms = m.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
@@ -142,6 +149,10 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bcast8 = KMeans.assignTopCellsBroadcast(e, m8.centroids, nrm, cn8, 3)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
     assert(chain == bcast8, "top-n: in-row broadcast disagrees with when-chain")
+    // the zero-norm row must be ABSENT from every variant's output
+    assert(!topLit.contains(-7L) && !topBcast.contains(-7L) &&
+      !chain.contains(-7L) && !bcast8.contains(-7L),
+      "a zero-norm row must drop out of every assignTopCells plan path")
   }
 
   test("a >MaxLiteralCells cell count assigns sane probe sets via the public API") {
@@ -208,6 +219,7 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = KMeans.fit(e, k = 4, maxIters = 10)
     val multi = KMeans.assignTopCells(e, m.centroids, 2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
-    assert(multi.get(-1L).forall(_.isEmpty), "zero-norm row must carry no probes")
+    assert(!multi.contains(-1L),
+      "zero-norm row must DROP OUT (not carry an empty probe set)")
   }
 }

@@ -84,6 +84,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), s"expected WholeStageCodegen stage in:\n$plan")
   }
 
+  test("kNN kernels end at the top-k — the deterministic sort is the ss5 entry's") {
+    // the ivfCellPairs convention, applied to the kNN kernels: a global
+    // orderBy (Exchange rangepartitioning) baked into a KERNEL would
+    // full-sort N×k output rows for every pipeline caller that doesn't
+    // need presentation order — at 100 TB that's a pointless
+    // whole-corpus sort. Kernels must carry no range exchange; the ss5
+    // query entry (presentation output) must add exactly that.
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val lshKernel = planString(graft.operators.Similarity.knnJoin(e))
+    assert(!lshKernel.contains("rangepartitioning"),
+      s"LSH kNN kernel must not globally sort:\n$lshKernel")
+    val ivfKernel = planString(graft.operators.Similarity.knnJoinIvf(e))
+    assert(!ivfKernel.contains("rangepartitioning"),
+      s"IVF kNN kernel must not globally sort:\n$ivfKernel")
+    val entry = planString(graft.operators.Similarity.ss5KnnJoin(spark, dir))
+    assert(entry.contains("rangepartitioning"),
+      s"the ss5 entry owns the deterministic orderBy:\n$entry")
+  }
+
   test("ss5: query construction launches no job beyond the table read itself") {
     // round-2 regression guard: the broadcast-vs-shuffle choice must come
     // from optimizer statistics (file bytes), not an eager e.count() scan.
