@@ -468,6 +468,18 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(resolve(filesystem, path).toString)
   }
+  /** Append to an existing parquet table (mode=append — new files only,
+    * existing data untouched; new partition directories are created as
+    * needed). The incremental-landing primitive behind
+    * [[graft.operators.AnnIndex.appendIvfPq]] and any drip-fed fact
+    * table; pair with [[compactPartitionedParquet]] as small files
+    * accumulate. */
+  def appendParquet(df: DataFrame, filesystem: String, path: String,
+                    partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(resolve(filesystem, path).toString)
+  }
   /** Clustered write: range-repartition on `clusterBy` and sort within
     * partitions before writing, so each output file owns a narrow
     * `clusterBy` range and its parquet row-group min/max statistics

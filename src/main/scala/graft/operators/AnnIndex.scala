@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.LakeClient
+
+/** Persisted ANN index lifecycle — the gap between "the operators exist"
+  * and "the index exists". [[ProductQuantizer.encode]] /
+  * [[IvfPq.encode]] produce the 20-30× compressed coded table a
+  * production deployment PERSISTS and serves queries from; this object
+  * is that persistence: write the coded table through the lake client
+  * (IVF-PQ: partitioned by `cell`, so the scan-prune the probe relies
+  * on becomes PARTITION pruning on files — unprobed cells are never
+  * read), store the fitted model as small parquet sidecar tables beside
+  * it, read both back, and append newly-arrived corpus rows encoded
+  * under the stored model (corpus append is the normal state of a
+  * training-data lake; encoding is pure per-row given a model, so the
+  * append path touches only the new rows).
+  *
+  * Index layout under `path` in a lake filesystem:
+  * {{{
+  *   codes/             (vec_id, codes[m], nrm [, cell])  — the coded
+  *                      corpus; IVF-PQ partitioned by `cell`
+  *   model/codebooks/   (s, code, cw[subDim])             — shared PQ
+  *   model/centroids/   (cell, cw[dim])                   — IVF-PQ only
+  * }}}
+  *
+  * Everything round-trips bit-exactly: parquet stores float32/float64
+  * verbatim, model reconstruction orders by (cell) / (s, code), and the
+  * fits themselves are bit-deterministic ([[KMeans]]/[[ProductQuantizer]]
+  * contracts) — so write → read → query equals the in-memory path
+  * bit-for-bit (AnnIndexSpec). Write-then-read, not write-and-keep: the
+  * served DataFrame scans the PERSISTED files, which is exactly what a
+  * production query pays (and what the bench should measure).
+  *
+  * Staleness contract: the model sidecar is written BEFORE the codes
+  * (a reader that sees codes sees their model); `writeParquet` is
+  * mode=overwrite so a rebuild replaces both. Appends extend `codes/`
+  * under the EXISTING model — drift between the stored centroids and a
+  * grown corpus is the operator's signal to re-fit (ScaleSmoke measures
+  * the recall gap stale-vs-refit at 2× growth). `vec_id` uniqueness
+  * across appends is the caller's contract, as for any table append. */
+object AnnIndex {
+
+  private def codebooksDf(s: SparkSession, pq: ProductQuantizer.Model): DataFrame =
+    s.createDataFrame(for {
+      (cb, sub) <- pq.codebooks.zipWithIndex
+      (cw, code) <- cb.zipWithIndex
+    } yield (sub, code, cw.toSeq)).toDF("s", "code", "cw")
+
+  private def centroidsDf(s: SparkSession, centroids: Seq[Array[Float]]): DataFrame =
+    s.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "cw")
+
+  private def readCodebooks(spark: SparkSession, lake: LakeClient,
+                            filesystem: String, path: String): ProductQuantizer.Model = {
+    val rows = lake.readParquet(spark, filesystem, s"$path/model/codebooks")
+      .select(col("s"), col("code"), col("cw")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"AnnIndex: no codebooks at $path/model/codebooks")
+    val bySub = rows.groupBy(_._1._1)
+    val m = bySub.keySet.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"AnnIndex: codebook subspaces not contiguous at $path")
+    val codebooks = (0 until m).map { s =>
+      val cb = bySub(s).sortBy(_._1._2)
+      require(cb.map(_._1._2).sameElements(cb.indices),
+        s"AnnIndex: codebook codes not contiguous in subspace $s at $path")
+      cb.map(_._2).toSeq
+    }
+    ProductQuantizer.Model(codebooks, codebooks.head.head.length)
+  }
+
+  private def readCentroids(spark: SparkSession, lake: LakeClient,
+                            filesystem: String, path: String): Seq[Array[Float]] = {
+    val rows = lake.readParquet(spark, filesystem, s"$path/model/centroids")
+      .select(col("cell"), col("cw")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"AnnIndex: no centroids at $path/model/centroids")
+    require(rows.map(_._1).sameElements(rows.indices),
+      s"AnnIndex: centroid cells not contiguous at $path")
+    rows.map(_._2).toSeq
+  }
+
+  /** Build and persist a flat-PQ index: fit sidecar + coded corpus.
+    * Runs the encode job (one linear pass over `corpus`). */
+  def writePq(lake: LakeClient, filesystem: String, path: String,
+              corpus: DataFrame, model: ProductQuantizer.Model): Unit = {
+    val s = corpus.sparkSession
+    lake.writeParquet(codebooksDf(s, model), filesystem, s"$path/model/codebooks")
+    lake.writeParquet(ProductQuantizer.encode(corpus, model),
+      filesystem, s"$path/codes")
+  }
+
+  /** Load a persisted flat-PQ index: (coded table as scanned from the
+    * lake, reconstructed model). The DataFrame is lazy — serving a
+    * query scans the persisted files, nothing is collected beyond the
+    * m×k×subDim model floats. */
+  def readPq(spark: SparkSession, lake: LakeClient, filesystem: String,
+             path: String): (DataFrame, ProductQuantizer.Model) =
+    (lake.readParquet(spark, filesystem, s"$path/codes"),
+      readCodebooks(spark, lake, filesystem, path))
+
+  /** Build and persist an IVF-PQ index: both model sidecars + the coded
+    * corpus PARTITIONED BY CELL — the layout that turns the probe's
+    * cell filter into partition pruning, so a query's scan share is
+    * (nProbe/cells) in FILES, not just in rows. */
+  def writeIvfPq(lake: LakeClient, filesystem: String, path: String,
+                 corpus: DataFrame, model: IvfPq.Model): Unit = {
+    val s = corpus.sparkSession
+    lake.writeParquet(centroidsDf(s, model.centroids),
+      filesystem, s"$path/model/centroids")
+    lake.writeParquet(codebooksDf(s, model.pq),
+      filesystem, s"$path/model/codebooks")
+    lake.writeParquet(IvfPq.encode(corpus, model),
+      filesystem, s"$path/codes", partitionBy = Seq("cell"))
+  }
+
+  /** Load a persisted IVF-PQ index. `cell` comes back as the partition
+    * column of the coded table, so [[IvfPq.topK]]'s probed-cell filter
+    * prunes files (AnnIndexSpec asserts the PartitionFilters). */
+  def readIvfPq(spark: SparkSession, lake: LakeClient, filesystem: String,
+                path: String): (DataFrame, IvfPq.Model) =
+    (lake.readParquet(spark, filesystem, s"$path/codes"),
+      IvfPq.Model(readCentroids(spark, lake, filesystem, path),
+        readCodebooks(spark, lake, filesystem, path)))
+
+  /** Incremental append: encode ONLY `newRows` under the index's stored
+    * model and append them to the coded table (new `cell` partitions
+    * are created as needed; existing ones gain files — the small-file
+    * buildup [[graft.lake.LakeClient.compactPartitionedParquet]]
+    * maintains). Cost is linear in the APPENDED rows; the existing
+    * corpus is never touched, because encoding is pure per-row given
+    * the model. The model goes STALE as appends accumulate — the
+    * centroids were fit before these rows existed — which costs recall,
+    * not correctness (every row still lands in its nearest stale cell);
+    * re-fit and rebuild when the measured drift warrants it. */
+  def appendIvfPq(lake: LakeClient, filesystem: String, path: String,
+                  newRows: DataFrame): Unit = {
+    val spark = newRows.sparkSession
+    val model = IvfPq.Model(readCentroids(spark, lake, filesystem, path),
+      readCodebooks(spark, lake, filesystem, path))
+    lake.appendParquet(IvfPq.encode(newRows, model),
+      filesystem, s"$path/codes", partitionBy = Seq("cell"))
+  }
+
+  /** Incremental append for a flat-PQ index — same contract as
+    * [[appendIvfPq]] minus the cell partitioning. */
+  def appendPq(lake: LakeClient, filesystem: String, path: String,
+               newRows: DataFrame): Unit = {
+    val spark = newRows.sparkSession
+    val model = readCodebooks(spark, lake, filesystem, path)
+    lake.appendParquet(ProductQuantizer.encode(newRows, model),
+      filesystem, s"$path/codes")
+  }
+}

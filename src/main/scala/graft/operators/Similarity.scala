@@ -488,9 +488,11 @@ object Similarity {
     }
   }
 
-  /** Drop all memoized IVF models (tests / after rewriting a dir). */
+  /** Drop all memoized IVF models and persisted-index handles (tests /
+    * after rewriting a dir). */
   def clearModelCache(): Unit = {
     fittedModels.clear(); pqModels.clear(); ivfPqModels.clear()
+    pqIndexes.clear(); ivfPqIndexes.clear()
   }
 
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
@@ -527,6 +529,83 @@ object Similarity {
     }
   }
 
+  // -- persisted ANN indexes (ss8/ss9 serving path) -----------------------
+
+  /** Root directory for the persisted ANN indexes the ss8/ss9 entries
+    * serve from: `spark.graft.index.root` if set (the production knob —
+    * point it at a lake path), else a per-JVM temp directory removed at
+    * exit. Unique per JVM so concurrent driver processes (a test run
+    * beside a bench run) can never interleave writes into one table. */
+  private lazy val defaultIndexRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ann-index")
+    sys.addShutdownHook {
+      try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      catch { case _: java.io.IOException => () } // best-effort temp sweep
+    }
+    d.toString
+  }
+
+  private def indexLake(s: SparkSession): graft.lake.LakeClient =
+    graft.lake.LakeClient.local(
+      s.conf.get("spark.graft.index.root", defaultIndexRoot))
+
+  private val IndexFs = "ann"
+
+  private def indexPath(dir: String, kind: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_") + "/" + kind
+
+  private val pqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, ProductQuantizer.Model)]()
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, IvfPq.Model)]()
+
+  /** The ss8/ss9 corpus convention: everything but the ss1 query
+    * vector. */
+  private def indexCorpus(e: DataFrame): DataFrame =
+    e.where(col("vec_id") =!= 0)
+
+  /** Persisted flat-PQ index memo — the production serving shape: the
+    * first invocation per (session, dir) fits (via [[cachedPqModel]]),
+    * encodes, WRITES the coded table through the lake client, and hands
+    * back a DataFrame that SCANS the persisted files; every later query
+    * pays only that scan + re-rank (an ADC-scan profile), not the
+    * fan-out encode job ss8 used to re-run per invocation. The heavy
+    * build runs outside the CHM bin lock (the [[cachedModel]]
+    * discipline); a rare concurrent duplicate build lands byte-identical
+    * files via overwrite. Same staleness contract as every (session,
+    * dir) memo: `dir` is immutable for the session's life. */
+  private def cachedPqIndex(s: SparkSession, dir: String,
+                            e: DataFrame): (DataFrame, ProductQuantizer.Model) = {
+    pqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    val key = (s, dir)
+    Option(pqIndexes.get(key)).getOrElse {
+      val lake = indexLake(s)
+      val path = indexPath(dir, "pq")
+      AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
+      val idx = AnnIndex.readPq(s, lake, IndexFs, path)
+      Option(pqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+    }
+  }
+
+  /** Persisted IVF-PQ index memo — [[cachedPqIndex]]'s contract, plus
+    * the cell layout: the coded table is written PARTITIONED BY CELL,
+    * so the probe's cell filter prunes to (nProbe/cells) of the FILES
+    * (AnnIndexSpec asserts the PartitionFilters on this exact serving
+    * path). */
+  private def cachedIvfPqIndex(s: SparkSession, dir: String,
+                               e: DataFrame): (DataFrame, IvfPq.Model) = {
+    ivfPqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    val key = (s, dir)
+    Option(ivfPqIndexes.get(key)).getOrElse {
+      val lake = indexLake(s)
+      val path = indexPath(dir, "ivfpq")
+      AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
+        cachedIvfPqModel(s, dir, e))
+      val idx = AnnIndex.readIvfPq(s, lake, IndexFs, path)
+      Option(ivfPqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+    }
+  }
+
   /** ss9_ivfpq_topk — the full production ANN composition ([[IvfPq]],
     * FAISS's IVFADC): coarse cells route the query to [[IvfNProbe]]
     * probed cells, a shared residual product quantizer gives the
@@ -534,37 +613,41 @@ object Similarity {
     * scores the probed cells' codes, and the 100-candidate shortlist
     * re-ranks exactly — ss1's schema, at a 100 TB-shaped cost:
     * (nProbe/cells) of a PQ-compressed scan instead of N full vectors.
-    * Construction runs the two fits' jobs plus one 1-row query lookup
-    * (the documented iterative-ML exception; model memoized per
-    * (session, dir)). Approximate → rows-only check; SimilaritySpec
-    * measures recall@10 vs exact ss1. */
+    * Serves from the PERSISTED index ([[cachedIvfPqIndex]]): the first
+    * invocation per (session, dir) fits + encodes + writes the
+    * cell-partitioned coded table, every later one scans it — the
+    * production cost profile (warm = probed-partition ADC scan + exact
+    * re-rank, no re-encode). Construction still runs one 1-row query
+    * lookup (the documented exception). Approximate → rows-only check;
+    * SimilaritySpec measures recall@10 vs exact ss1. */
   def ss9IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
-    val model = cachedIvfPqModel(s, dir, e)
+    val (encoded, model) = cachedIvfPqIndex(s, dir, e)
     val query: Array[Float] = e.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val corpus = e.where(col("vec_id") =!= 0)
-    IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, query,
+    IvfPq.topK(indexCorpus(e), encoded, model, query,
       nProbe = ivfNProbeFor(model.centroids.size), topK = 10, rerank = 100)
   }
 
-  /** ss8_pq_topk — product-quantized top-k: [[ProductQuantizer]] fit +
-    * encode (the ~20-30× smaller table a production deployment scans),
-    * ADC candidate generation for the ss1 query vector, exact re-rank of
-    * the 100-candidate shortlist, top-10 in ss1's schema. Construction
-    * runs the fit's jobs plus one 1-row lookup for the query vector —
-    * the documented iterative-ML exception (ss4_fitted). Approximate →
-    * rows-only check; SimilaritySpec measures recall vs exact ss1. */
+  /** ss8_pq_topk — product-quantized top-k: ADC candidate generation
+    * over the ~20-30× smaller coded table for the ss1 query vector,
+    * exact re-rank of the 100-candidate shortlist, top-10 in ss1's
+    * schema. Serves from the PERSISTED index ([[cachedPqIndex]]): fit +
+    * encode + write happen once per (session, dir); every later
+    * invocation scans the persisted coded table — warm cost is the ADC
+    * scan + re-rank a production deployment pays, not the fan-out
+    * encode job this entry used to re-run per call. Construction still
+    * runs one 1-row lookup for the query vector (the documented
+    * exception). Approximate → rows-only check; SimilaritySpec measures
+    * recall vs exact ss1. */
   def ss8PqTopk(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, dir)
-    val model = cachedPqModel(s, dir, e)
+    val (encoded, model) = cachedPqIndex(s, dir, e)
     val query: Array[Float] = e.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val corpus = e.where(col("vec_id") =!= 0)
-    ProductQuantizer.pqTopK(
-      corpus, ProductQuantizer.encode(corpus, model), model, query,
+    ProductQuantizer.pqTopK(indexCorpus(e), encoded, model, query,
       topK = 10, rerank = 100)
   }
 

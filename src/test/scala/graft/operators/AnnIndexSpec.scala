@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.VectorFunctions
+import graft.lake.LakeClient
+
+/** Persisted ANN index lifecycle: write → read → query must equal the
+  * in-memory path bit-for-bit, the served IVF-PQ scan must prune to the
+  * probed cells' partitions, and the incremental append must encode
+  * exactly what a full re-encode would for the appended rows. */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private lazy val spark: SparkSession = spark0
+  private val dir = "/root/testdata/sf0.001"
+  private var rootDir: java.nio.file.Path = _
+  private var lake: LakeClient = _
+  private val Fs = "idx"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("ann-index-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    rootDir = java.nio.file.Files.createTempDirectory("annindex")
+    lake = LakeClient.local(rootDir.toString)
+    lake.createFilesystem(Fs)
+  }
+
+  override def afterAll(): Unit = {
+    spark0.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(rootDir.toFile)
+  }
+
+  private def embeddings = graft.tables.Tables.embeddings(spark, dir)
+
+  private def topRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("flat-PQ index round-trips: model bit-equal, served topK == in-memory topK") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val corpus = e.where(col("vec_id") =!= 0)
+    val model = ProductQuantizer.fit(corpus)
+    AnnIndex.writePq(lake, Fs, "pq_rt", corpus, model)
+    val (served, back) = AnnIndex.readPq(spark, lake, Fs, "pq_rt")
+    // model reconstruction is bit-exact (parquet float32 round-trip)
+    assert(back.subDim == model.subDim && back.m == model.m && back.k == model.k)
+    assert(back.codebooks.flatten.zip(model.codebooks.flatten)
+      .forall { case (a, b) => a.sameElements(b) }, "codebooks must round-trip bit-exactly")
+    // the served coded table equals the in-memory encode row-for-row
+    val mem = ProductQuantizer.encode(corpus, model)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    val disk = served.select("vec_id", "codes", "nrm")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    assert(disk == mem, "persisted codes must equal the in-memory encode")
+    // and the full query path over the persisted table is bit-identical
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val fromDisk = topRows(ProductQuantizer.pqTopK(corpus, served, back, q, 10, 100))
+    val fromMem = topRows(ProductQuantizer.pqTopK(corpus, mem2df(corpus, model), model, q, 10, 100))
+    assert(fromDisk == fromMem, "served topK must equal in-memory topK bit-for-bit")
+  }
+
+  private def mem2df(corpus: org.apache.spark.sql.DataFrame,
+                     model: ProductQuantizer.Model) =
+    ProductQuantizer.encode(corpus, model)
+
+  test("IVF-PQ index round-trips and the served scan prunes to the probed cells") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val corpus = e.where(col("vec_id") =!= 0)
+    val model = IvfPq.fit(corpus, cells = 8)
+    AnnIndex.writeIvfPq(lake, Fs, "ivfpq_rt", corpus, model)
+    val (served, back) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_rt")
+    assert(back.centroids.size == model.centroids.size &&
+      back.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) },
+      "centroids must round-trip bit-exactly")
+    assert(back.pq.codebooks.flatten.zip(model.pq.codebooks.flatten)
+      .forall { case (a, b) => a.sameElements(b) }, "codebooks must round-trip bit-exactly")
+    val mem = IvfPq.encode(corpus, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3))).toSet
+    val disk = served.select("vec_id", "cell", "codes", "nrm")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3))).toSet
+    assert(disk == mem, "persisted codes must equal the in-memory encode")
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qDisk = IvfPq.topK(corpus, served, back, q, nProbe = 6, topK = 10, rerank = 100)
+    // the probe's cell filter must prune the PERSISTED table's partitions
+    // — this is the serving path itself, not a hand-built read
+    val plan = qDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected cell partition pruning on the served scan:\n$plan")
+    val qMem = IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, q,
+      nProbe = 6, topK = 10, rerank = 100)
+    assert(topRows(qDisk) == topRows(qMem),
+      "served topK must equal in-memory topK bit-for-bit")
+  }
+
+  test("appendIvfPq encodes the appended slice exactly as a full re-encode would") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val base = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val fresh = e.where(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val model = IvfPq.fit(base, cells = 8)
+    AnnIndex.writeIvfPq(lake, Fs, "ivfpq_app", base, model)
+    AnnIndex.appendIvfPq(lake, Fs, "ivfpq_app", fresh)
+    val (served, back) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_app")
+    val expect = IvfPq.encode(base.unionByName(fresh), back)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3))).toSet
+    val got = served.select("vec_id", "cell", "codes", "nrm")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3))).toSet
+    assert(got == expect,
+      "base ∪ appended must equal one full encode under the same (stale) model")
+    assert(got.exists(_._1 >= 1000000L), "appended rows must be present")
+  }
+
+  test("ss8/ss9 entries serve from the persisted index memo deterministically") {
+    // the first entry invocation builds + persists; the second must
+    // reproduce the identical result from the persisted table (and the
+    // memo must survive clearModelCache only by rebuilding — same bits
+    // either way, because fit/encode are deterministic)
+    val first8 = topRows(Similarity.ss8PqTopk(spark, dir))
+    val again8 = topRows(Similarity.ss8PqTopk(spark, dir))
+    assert(first8 == again8, "ss8 must be stable across invocations")
+    val first9 = topRows(Similarity.ss9IvfPqTopk(spark, dir))
+    val again9 = topRows(Similarity.ss9IvfPqTopk(spark, dir))
+    assert(first9 == again9, "ss9 must be stable across invocations")
+    Similarity.clearModelCache()
+    assert(topRows(Similarity.ss8PqTopk(spark, dir)) == first8,
+      "a rebuilt ss8 index must reproduce the same bits")
+    assert(topRows(Similarity.ss9IvfPqTopk(spark, dir)) == first9,
+      "a rebuilt ss9 index must reproduce the same bits")
+  }
+}
