@@ -3,12 +3,15 @@ package graft
 /** Benchmark main: times every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
-  * Honesty rules (round-2): each query runs three times; the reported
-  * `queries`/`value` figures are the best WARM run (min of runs 2-3, so
-  * one contended scheduler burst can't masquerade as a regression —
-  * round-3 driver cold spikes were exactly that); the first-run times
-  * are kept in `queries_cold`. A query that throws is NOT silently
-  * scored: its time is -1 and the error lands in `errors`.
+  * Honesty rules (round-2, tightened round-7): each query runs four
+  * times; the reported `queries`/`value` figures are the best WARM run
+  * (min of runs 2-4 — the round-6 artifact showed two warm runs are not
+  * enough insurance when a concurrent JVM contends the box: ss8
+  * recorded 7.7× its real cost; a third warm sample makes a sustained
+  * external burst much less likely to own BOTH best candidates); the
+  * first-run times are kept in `queries_cold`. A query that throws is
+  * NOT silently scored: its time is -1 and the error lands in
+  * `errors`.
   *
   * The session comes from [[graft.core.GraftSession.builder]] — ONE
   * source of config truth (AQE, UTC, extensions, nanos-as-long), because
@@ -47,7 +50,7 @@ object Bench {
       }
       val cold = once()
       val warm = if (cold.isLeft) cold
-      else (once(), once()) match {
+      else Seq(once(), once(), once()).reduce[Either[String, Double]] {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (l @ Left(_), _) => l
         case (_, l) => l
@@ -72,7 +75,7 @@ object Bench {
     // historical BENCH artifacts compare apples-to-apples.
     println(s"""{"metric":"cold","unit":"sec","queries_cold":${timesJson(_._1)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(_._2)},""" +
-      s""""errors":$errors,"methodology":"warm=min(run2,run3);cold=run1","sf":"$sfDir"}""")
+      s""""errors":$errors,"methodology":"warm=min(run2,run3,run4);cold=run1","sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -186,7 +186,12 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
   /** lease_path — client.py:449-479. Advisory no-op: Spark's exactly-once
     * writes come from the output-commit protocol + atomic rename, and the
     * ABFS driver manages server leases internally (SURVEY.md §7.4). The
-    * action vocabulary (client.py:30) is validated for parity. */
+    * action vocabulary (client.py:30) is validated for parity, but NO
+    * lease state is tracked: every call returns the caller's id or a
+    * fresh UUID — `renew`/`release` of a lease that was never acquired
+    * succeed, and nothing is ever fenced. Callers needing real mutual
+    * exclusion must fence externally (the compaction-maintenance
+    * contract). */
   def leasePath(filesystem: String, path: String, action: String,
                 leaseId: Option[String] = None): String = {
     val actions = Set("acquire", "break", "change", "renew", "release")

@@ -140,4 +140,27 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topRows(Similarity.ss9IvfPqTopk(spark, dir)) == first9,
       "a rebuilt ss9 index must reproduce the same bits")
   }
+
+  test("spark.graft.index.root points the persisted index at a chosen lake root") {
+    // the production knob: an operator points the index root at a real
+    // lake path; the entries must build there and SERVE from there (the
+    // query plan scans files under that root — proof the warm path
+    // reads the persisted table, not a re-encode)
+    val root = java.nio.file.Files.createTempDirectory("annroot").toString
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      Similarity.clearModelCache()
+      val res = Similarity.ss9IvfPqTopk(spark, dir)
+      assert(res.count() == 10)
+      val codes = new java.io.File(root, "ann")
+      assert(codes.isDirectory && codes.listFiles().nonEmpty,
+        s"index must be persisted under the configured root: $root")
+      assert(res.queryExecution.executedPlan.toString.contains(root),
+        "the served ss9 plan must scan the persisted index files")
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      Similarity.clearModelCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }
