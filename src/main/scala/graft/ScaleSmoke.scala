@@ -200,15 +200,41 @@ object ScaleSmoke {
     sampleRecall("recall: lshNeardup 4x16 tier",
       graft.operators.Similarity.lshNeardupGeom(embs, 0.45, 64, Some((4, 16))),
       0.45, bar = 0.6)
-    timed("ss9_ivfpq (fit+encode+topk)") {
-      val m = graft.operators.IvfPq.fit(embs, cells = 64)
-      val enc = graft.operators.IvfPq.encode(embs, m)
-      val q = embs.where(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      graft.operators.IvfPq.topK(
-        embs.where(col("vec_id") =!= 0), enc, m, q,
-        nProbe = graft.operators.Similarity.IvfNProbe,
-        topK = 10, rerank = 100).count()
+    // ss9 at 20×, split into the two costs a production deployment
+    // actually sees: the ONE-TIME build (fit + encode + persisted
+    // cell-partitioned write through the lake client) and the PER-QUERY
+    // serve (probed-partition ADC scan + exact re-rank from the
+    // persisted table — the warm shape the bench measures since the
+    // index landed). Three serves timed together so the line reflects
+    // steady-state cost, not first-read planning.
+    locally {
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-ss9")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("smoke9")
+        timed("ss9 index build (persisted)") {
+          val m = graft.operators.IvfPq.fit(embs, cells = 64)
+          graft.operators.AnnIndex.writeIvfPq(lake, "smoke9", "ivfpq",
+            embs.where(col("vec_id") =!= 0), m)
+          lake.listPaths("smoke9", "ivfpq/codes", maxResults = Int.MaxValue)
+            .count(en => !en.isDirectory && en.name.endsWith(".parquet")).toLong
+        }
+        timed("ss9 serve x3 (persisted)") {
+          val (enc, m) =
+            graft.operators.AnnIndex.readIvfPq(spark, lake, "smoke9", "ivfpq")
+          val q = embs.where(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0).toArray
+          var n = 0L
+          for (_ <- 1 to 3)
+            n += graft.operators.IvfPq.topK(
+              embs.where(col("vec_id") =!= 0), enc, m, q,
+              nProbe = graft.operators.Similarity.IvfNProbe,
+              topK = 10, rerank = 100).count()
+          n
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
     }
     timed("ss8_pq (fit+encode+topk)") {
       val m = graft.operators.ProductQuantizer.fit(embs)

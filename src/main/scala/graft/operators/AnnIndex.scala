@@ -105,7 +105,16 @@ object AnnIndex {
   /** Build and persist an IVF-PQ index: both model sidecars + the coded
     * corpus PARTITIONED BY CELL — the layout that turns the probe's
     * cell filter into partition pruning, so a query's scan share is
-    * (nProbe/cells) in FILES, not just in rows. */
+    * (nProbe/cells) in FILES, not just in rows.
+    *
+    * The coded rows are hash-repartitioned on `cell` before the write:
+    * without it every shuffle partition writes a sliver into every cell
+    * directory — cells × shufflePartitions files (measured 2048 at the
+    * 20× smoke's 64-cell tier) — where one pass of clustering yields
+    * O(cells) right-sized files. A pathologically hot cell lands in one
+    * task/file; codes are ~12 B/row, so even a 10⁸-row cell is ~1 GB —
+    * cap with `spark.sql.files.maxRecordsPerFile` or recompact if a
+    * corpus ever gets there. */
   def writeIvfPq(lake: LakeClient, filesystem: String, path: String,
                  corpus: DataFrame, model: IvfPq.Model): Unit = {
     val s = corpus.sparkSession
@@ -113,7 +122,7 @@ object AnnIndex {
       filesystem, s"$path/model/centroids")
     lake.writeParquet(codebooksDf(s, model.pq),
       filesystem, s"$path/model/codebooks")
-    lake.writeParquet(IvfPq.encode(corpus, model),
+    lake.writeParquet(IvfPq.encode(corpus, model).repartition(col("cell")),
       filesystem, s"$path/codes", partitionBy = Seq("cell"))
   }
 
@@ -141,7 +150,9 @@ object AnnIndex {
     val spark = newRows.sparkSession
     val model = IvfPq.Model(readCentroids(spark, lake, filesystem, path),
       readCodebooks(spark, lake, filesystem, path))
-    lake.appendParquet(IvfPq.encode(newRows, model),
+    // same cell-clustering as writeIvfPq: an append adds O(touched
+    // cells) files, not O(cells × shufflePartitions)
+    lake.appendParquet(IvfPq.encode(newRows, model).repartition(col("cell")),
       filesystem, s"$path/codes", partitionBy = Seq("cell"))
   }
 

@@ -492,7 +492,7 @@ object Similarity {
     * after rewriting a dir). */
   def clearModelCache(): Unit = {
     fittedModels.clear(); pqModels.clear(); ivfPqModels.clear()
-    pqIndexes.clear(); ivfPqIndexes.clear()
+    pqIndexes.clear(); ivfPqIndexes.clear(); indexBuildLocks.clear()
   }
 
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
@@ -559,6 +559,19 @@ object Similarity {
   private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, IvfPq.Model)]()
 
+  /** Per-(session, dir, kind) build locks for the index memos. The
+    * MODEL memos tolerate a concurrent duplicate fit (pure driver
+    * state, deterministic — last write wins harmlessly), but an index
+    * build WRITES files: two threads racing `writeParquet` into the
+    * same directory can tear each other's commit. So index builds
+    * serialize per key — unrelated sessions/dirs hash to different
+    * keys and never wait on each other, which is the reason the CHM
+    * bin-lock discipline exists. */
+  private val indexBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+  private def indexBuildLock(s: SparkSession, dir: String, kind: String): Object =
+    indexBuildLocks.computeIfAbsent((s, dir, kind), _ => new Object)
+
   /** The ss8/ss9 corpus convention: everything but the ss1 query
     * vector. */
   private def indexCorpus(e: DataFrame): DataFrame =
@@ -571,19 +584,25 @@ object Similarity {
     * pays only that scan + re-rank (an ADC-scan profile), not the
     * fan-out encode job ss8 used to re-run per invocation. The heavy
     * build runs outside the CHM bin lock (the [[cachedModel]]
-    * discipline); a rare concurrent duplicate build lands byte-identical
-    * files via overwrite. Same staleness contract as every (session,
+    * discipline) but under a per-key [[indexBuildLock]]: unlike a
+    * duplicate FIT, a duplicate index WRITE into the same directory
+    * could tear the commit. Same staleness contract as every (session,
     * dir) memo: `dir` is immutable for the session's life. */
   private def cachedPqIndex(s: SparkSession, dir: String,
                             e: DataFrame): (DataFrame, ProductQuantizer.Model) = {
     pqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    indexBuildLocks.keySet().removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
     val key = (s, dir)
     Option(pqIndexes.get(key)).getOrElse {
-      val lake = indexLake(s)
-      val path = indexPath(dir, "pq")
-      AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
-      val idx = AnnIndex.readPq(s, lake, IndexFs, path)
-      Option(pqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+      indexBuildLock(s, dir, "pq").synchronized {
+        Option(pqIndexes.get(key)).getOrElse {
+          val lake = indexLake(s)
+          val path = indexPath(dir, "pq")
+          AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
+          val idx = AnnIndex.readPq(s, lake, IndexFs, path)
+          Option(pqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+        }
+      }
     }
   }
 
@@ -595,14 +614,19 @@ object Similarity {
   private def cachedIvfPqIndex(s: SparkSession, dir: String,
                                e: DataFrame): (DataFrame, IvfPq.Model) = {
     ivfPqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    indexBuildLocks.keySet().removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
     val key = (s, dir)
     Option(ivfPqIndexes.get(key)).getOrElse {
-      val lake = indexLake(s)
-      val path = indexPath(dir, "ivfpq")
-      AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
-        cachedIvfPqModel(s, dir, e))
-      val idx = AnnIndex.readIvfPq(s, lake, IndexFs, path)
-      Option(ivfPqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+      indexBuildLock(s, dir, "ivfpq").synchronized {
+        Option(ivfPqIndexes.get(key)).getOrElse {
+          val lake = indexLake(s)
+          val path = indexPath(dir, "ivfpq")
+          AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
+            cachedIvfPqModel(s, dir, e))
+          val idx = AnnIndex.readIvfPq(s, lake, IndexFs, path)
+          Option(ivfPqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+        }
+      }
     }
   }
 

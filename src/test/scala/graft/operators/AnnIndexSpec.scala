@@ -123,6 +123,45 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._1 >= 1000000L), "appended rows must be present")
   }
 
+  test("maintenance cycle: appends fragment, partitioned compaction preserves the served index") {
+    // the full production loop: drip-fed appends land small files per
+    // touched cell partition; compactPartitionedParquet is the
+    // maintenance tool — after it runs, the index must serve the SAME
+    // bits from fewer files, with the cell-prune layout untouched
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val base = e.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+    def slice(r: Int) = e.where(col("vec_id") % 4 === r)
+      .select((col("vec_id") + r * 1000000L).as("vec_id"), col("embedding"))
+    val model = IvfPq.fit(base, cells = 8)
+    AnnIndex.writeIvfPq(lake, Fs, "ivfpq_m", base, model)
+    (1 to 3).foreach(r => AnnIndex.appendIvfPq(lake, Fs, "ivfpq_m", slice(r)))
+    def parquetFiles(): Int =
+      lake.listPaths(Fs, "ivfpq_m/codes", maxResults = Int.MaxValue)
+        .count(en => !en.isDirectory && en.name.endsWith(".parquet"))
+    val fragmented = parquetFiles()
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = base.unionByName(slice(1)).unionByName(slice(2)).unionByName(slice(3))
+    def serve(): Seq[(Long, Double)] = {
+      val (enc, m) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_m")
+      topRows(IvfPq.topK(corpus.where(col("vec_id") =!= 0),
+        enc.where(col("vec_id") =!= 0), m, q, nProbe = 6, topK = 10, rerank = 100))
+    }
+    val before = serve()
+    val (nParts, nFiles) = lake.compactPartitionedParquet(spark, Fs, "ivfpq_m/codes")
+    assert(nParts > 0 && nFiles < fragmented,
+      s"compaction must shrink the file count ($fragmented -> $nFiles across $nParts cells)")
+    assert(parquetFiles() == nFiles)
+    val after = serve()
+    assert(after == before, "compaction must not change what the index serves")
+    // prune layout intact: the probe filter still plans PartitionFilters
+    val (enc, _) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_m")
+    val plan = enc.where(col("cell").isin(0, 1)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell pruning must survive compaction:\n$plan")
+  }
+
   test("ss8/ss9 entries serve from the persisted index memo deterministically") {
     // the first entry invocation builds + persists; the second must
     // reproduce the identical result from the persisted table (and the
@@ -139,6 +178,24 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a rebuilt ss8 index must reproduce the same bits")
     assert(topRows(Similarity.ss9IvfPqTopk(spark, dir)) == first9,
       "a rebuilt ss9 index must reproduce the same bits")
+  }
+
+  test("concurrent first-touch entries build one index, not a torn write") {
+    // two threads race the cold path; the per-key build lock must
+    // serialize the WRITE (a duplicate fit is harmless, a duplicate
+    // overwrite into one directory is not) and both must serve the
+    // same bits
+    Similarity.clearModelCache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val runs = (1 to 2).map(_ => Future(topRows(Similarity.ss9IvfPqTopk(spark, dir))))
+      val rs = Await.result(Future.sequence(runs),
+        scala.concurrent.duration.Duration(300, "s"))
+      assert(rs.head.size == 10 && rs.head == rs(1),
+        "racing cold entries must serve identical results")
+    } finally pool.shutdown()
   }
 
   test("spark.graft.index.root points the persisted index at a chosen lake root") {
