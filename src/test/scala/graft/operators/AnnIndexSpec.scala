@@ -198,6 +198,54 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pool.shutdown()
   }
 
+  test("indexPath cannot alias distinct corpus dirs after sanitization") {
+    // sanitization alone maps /a/b and /a_b to the same name; the md5
+    // suffix of the RAW dir must keep their persisted indexes apart
+    // (aliased paths would serve each other's corpus across restarts)
+    val a = Similarity.indexPath("/a/b", "pq")
+    val b = Similarity.indexPath("/a_b", "pq")
+    assert(a != b, s"distinct dirs must get distinct index paths: $a")
+    assert(a == Similarity.indexPath("/a/b", "pq"), "path must be stable")
+    assert(Similarity.indexPath("/a/b", "pq") != Similarity.indexPath("/a/b", "ivfpq"),
+      "kinds must not collide")
+  }
+
+  test("two sessions sharing one index root serve the same persisted files — no overwrite") {
+    // the ADVICE scenario: session-keyed locks would let a second
+    // session's mode=overwrite build delete the part-files the first
+    // session's memoized DataFrame still scans. With physical-path
+    // locks + reuse-if-complete, the second session must READ the
+    // existing index (bit-identical by fit determinism), leaving every
+    // file name untouched.
+    val root = java.nio.file.Files.createTempDirectory("annshared").toString
+    val s2 = spark.newSession()
+    spark.conf.set("spark.graft.index.root", root)
+    s2.conf.set("spark.graft.index.root", root)
+    def codeFiles(): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.toString).toSet
+      } finally it.close()
+    }
+    try {
+      Similarity.clearModelCache()
+      val first = topRows(Similarity.ss9IvfPqTopk(spark, dir))
+      val files = codeFiles()
+      assert(files.nonEmpty, "first session must persist the index under the shared root")
+      val second = topRows(Similarity.ss9IvfPqTopk(s2, dir))
+      assert(second == first, "both sessions must serve identical results")
+      assert(codeFiles() == files,
+        "the second session must serve the EXISTING files, not rewrite them")
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      s2.conf.unset("spark.graft.index.root")
+      Similarity.clearModelCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("spark.graft.index.root points the persisted index at a chosen lake root") {
     // the production knob: an operator points the index root at a real
     // lake path; the entries must build there and SERVE from there (the
