@@ -181,12 +181,53 @@ object ScaleSmoke {
         graft.operators.KMeans.assignTopCells(embs, m.centroids,
           graft.operators.Similarity.IvfNProbe), 0.4)
     }, 0.4, bar = 0.75)
+    // seeding cost growth BEFORE the big fits: flat Gonzalez is
+    // O(k·pool) with pool ∝ k — quadratic in k — so the ×4 step
+    // 1024→4096 would cost ~16× if the ladder kept the flat walk; the
+    // two-level walk (KMeans.seedIndices past MaxFlatSeedCells) must
+    // hold the measured ratio far under that. Pools are collected per k
+    // exactly as fit() does (8k hash-ordered rows), so the ratio is the
+    // fit's real driver-side seeding cost, not a synthetic one.
+    locally {
+      val t0 = System.nanoTime()
+      try {
+        def pool(k: Int): Array[(Long, Array[Float])] = embs
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(math.max(8 * k, 1024))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        def seedTime(k: Int): Double = {
+          val p = pool(k)
+          val t = System.nanoTime()
+          val s = graft.operators.KMeans.seedIndices(p, k)
+          assert(s.length == k && s.distinct.length == k,
+            s"seedIndices($k) must return k distinct seeds")
+          (System.nanoTime() - t) / 1e9
+        }
+        seedTime(256) // JIT warm-up, discarded
+        val t1024 = seedTime(1024)
+        val t4096 = seedTime(4096)
+        val ratio = t4096 / math.max(t1024, 1e-9)
+        println(f"seeding 1024 -> 4096 cells   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"flat $t1024%.2f s -> two-level $t4096%.2f s, x$ratio%.1f (flat x4-k would be ~x16)")
+        if (ratio > 8) {
+          failed = true
+          println(f"seeding growth x$ratio%.1f is not sub-quadratic — two-level walk regressed")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"seeding cost FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      }
+    }
     // the upper IvfCellTiers, forced on this corpus: 256 cells (literal
-    // tier ceiling) and 1024 cells — the √N tier whose assignment runs
+    // tier ceiling), 1024 cells — the √N tier whose assignment runs
     // the broadcast-centroid plan (KMeans.assignTopCellsBroadcast) that
-    // no fixture-scale query engages. nProbe follows the tier
-    // (ivfNProbeFor); same .75 fitted bar as the home tier.
-    for (cells <- Seq(256, 1024)) {
+    // no fixture-scale query engages — and 4096 cells, the top tier,
+    // whose fit also exercises the two-level seeding. nProbe follows
+    // the tier (ivfNProbeFor); same .75 fitted bar as the home tier.
+    for (cells <- Seq(256, 1024, 4096)) {
       sampleRecall(f"recall: ss4 IVF ${cells}c (fitted)", {
         val m = graft.operators.KMeans.fit(embs, k = cells, maxIters = 3)
         graft.operators.Similarity.ivfCellPairs(
@@ -244,6 +285,59 @@ object ScaleSmoke {
       graft.operators.ProductQuantizer.pqTopK(
         embs.where(col("vec_id") =!= 0), enc, m, q, topK = 10, rerank = 100).count()
     }
+    // Multi-query ADC batch vs the per-query loop, measured on the
+    // PERSISTED flat-PQ index (the round-6 decision gated adoption on
+    // exactly this: a disk-resident index, where one pass over the
+    // coded table serving Q queries replaces Q passes). The loop side
+    // is the honest per-query serving cost INCLUDING its per-job
+    // planning — that is what a caller without the batch API pays.
+    locally {
+      val t0 = System.nanoTime()
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-batch")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("b")
+        val model = graft.operators.ProductQuantizer.fit(embs)
+        graft.operators.AnnIndex.writePq(lake, "b", "pq",
+          embs.where(col("vec_id") =!= 0), model)
+        val (enc, back) = graft.operators.AnnIndex.readPq(spark, lake, "b", "pq")
+        val corpus = embs.where(col("vec_id") =!= 0)
+        val qdf = embs.where(col("vec_id") % 1250 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb")).persist()
+        val qvecs = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val nq = qvecs.length
+        // one throwaway query warms both code paths (JIT + codegen cache)
+        graft.operators.ProductQuantizer.pqTopK(
+          corpus, enc, back, qvecs.head._2, 10, 100).count()
+        val tL0 = System.nanoTime()
+        var loopRows = 0L
+        qvecs.foreach { case (_, q) =>
+          loopRows += graft.operators.ProductQuantizer.pqTopK(
+            corpus, enc, back, q, 10, 100).count()
+        }
+        val tLoop = (System.nanoTime() - tL0) / 1e9
+        val tB0 = System.nanoTime()
+        val batchRows = graft.operators.ProductQuantizer.pqTopKBatch(
+          corpus, enc, back, qdf, topK = 10, rerank = 100).count()
+        val tBatch = (System.nanoTime() - tB0) / 1e9
+        qdf.unpersist()
+        assert(batchRows == nq.toLong * 10 && loopRows == batchRows,
+          s"batch must answer every query: $batchRows vs $loopRows rows for $nq queries")
+        println(f"pq ADC batch ${nq}q vs loop    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"batch $tBatch%.1f s vs loop $tLoop%.1f s (x${tLoop / tBatch}%.1f)")
+        if (tBatch > tLoop) {
+          failed = true
+          println(f"batch serving slower than the per-query loop — adoption premise broken")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"pq ADC batch FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
+    }
     // Persisted-index lifecycle, with the question a 100 TB operator
     // actually has: corpus appends land encoded under the STALE model
     // (cheap — only new rows touched); when does the drift cost enough
@@ -257,16 +351,26 @@ object ScaleSmoke {
     // are fully scrambled — the honest worst case, where the stale
     // cells are effectively random for the appended slice. Append the
     // drifted 2× growth under the stale model via the real
-    // write→append→read path, then measure recall@10 for a
-    // drifted-slice query against (a) the stale index and (b) a full
-    // re-fit on the grown corpus. Measured (deterministic — seeded
-    // transform, bit-deterministic fits): stale .20 vs refit .50 at the
-    // 64c/p6 operating point (probed fraction 6/64 ≈ 9%, the
-    // production-shaped scan share — NOT the 8-cell fixture tier whose
-    // 6/8 probe masks everything). The 2.5× GAP is what tells the
-    // operator re-fitting pays after a full-distribution shift; the
-    // refit bar (.4, under the measured .50) is a regression tripwire,
-    // and the stale number is printed for the record.
+    // write→append→read path, then measure the re-fit signal with the
+    // OPERATOR API itself — AnnIndex.driftCheck over a bounded
+    // hash-ordered sample of drifted-slice queries (recent appends:
+    // exactly where drift bites) — at the 256c/p12 operating point
+    // (probed fraction 12/256 ≈ 4.7%, the production-shaped scan
+    // share). Deterministic (seeded transform, bit-deterministic fits,
+    // hash-ordered sample). MEASURED CORRECTION (round 8): the round-7
+    // single-query numbers (stale .20 vs refit .50 at 64c/p6) were
+    // query-sampling luck — at a 16-32-query sample the fixture shows
+    // stale ≈ refit ≈ .37-.41 at 64 cells and a small positive refit
+    // gain only at 256 cells (stale .369 vs refit .413 at Q=32). That
+    // is CONSISTENT physics, not a broken instrument: this corpus is
+    // isotropic (the round-6 covariance measurement that made OPQ
+    // pointless), and on an isotropic cloud one well-spread cell
+    // geometry is nearly as good as another — rank recall is probe-mass
+    // dominated, so stale centroids cost little, with the gap opening
+    // as cells grow finer. driftCheck is the instrument a production
+    // corpus (clustered, where geometry matters) points at its own
+    // data; the bars here are collapse detectors at the measured
+    // levels, not gap assertions.
     locally {
       val t0 = System.nanoTime()
       val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-index")
@@ -282,42 +386,89 @@ object ScaleSmoke {
           array((0 until 64).map(i =>
             (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
             .as("embedding"))
-        val qid = 10000000L // vec 0's drifted image: a query FROM the new slice
-        val staleModel = graft.operators.IvfPq.fit(base, cells = 64)
+        val staleModel = graft.operators.IvfPq.fit(base, cells = 256)
         graft.operators.AnnIndex.writeIvfPq(lake, "smoke", "drift", base, staleModel)
         graft.operators.AnnIndex.appendIvfPq(lake, "smoke", "drift", drifted)
-        val (staleEnc, staleBack) =
-          graft.operators.AnnIndex.readIvfPq(spark, lake, "smoke", "drift")
-        val grown = base.unionByName(drifted)
-        val freshModel = graft.operators.IvfPq.fit(grown, cells = 64)
-        val freshEnc = graft.operators.IvfPq.encode(grown, freshModel)
-        val q = drifted.where(col("vec_id") === qid)
-          .select(col("embedding")).head().getSeq[Float](0).toArray
-        val corpus = grown.where(col("vec_id") =!= qid)
-        def top10(enc: org.apache.spark.sql.DataFrame,
-                  m: graft.operators.IvfPq.Model): Set[Long] =
-          graft.operators.IvfPq.topK(corpus, enc.where(col("vec_id") =!= qid), m, q,
-            nProbe = graft.operators.Similarity.ivfNProbeFor(64),
-            topK = 10, rerank = 100)
-            .collect().map(_.getLong(0)).toSet
-        val exact = corpus.crossJoin(broadcast(
-            drifted.where(col("vec_id") === qid).select(col("embedding").as("qemb"))))
-          .select(col("vec_id"), round(graft.functions.VectorFunctions
-            .vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(10)
-          .collect().map(_.getLong(0)).toSet
-        val staleRecall = (top10(staleEnc, staleBack) & exact).size / 10.0
-        val freshRecall = (top10(freshEnc, freshModel) & exact).size / 10.0
+        val report = graft.operators.AnnIndex.driftCheck(lake, "smoke", "drift",
+          corpus = base.unionByName(drifted), queries = drifted,
+          topK = 10, rerank = 100, maxQueries = 32)
         println(f"index drift @2x append       ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-          f"stale $staleRecall%.2f vs refit $freshRecall%.2f recall@10")
-        if (freshRecall < 0.4) {
+          f"stale ${report.staleRecall}%.2f vs refit ${report.refitRecall}%.2f " +
+          f"recall@10 (256c/p12, ${report.queries} queries, " +
+          f"gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        if (report.staleRecall < 0.2 || report.refitRecall < 0.3) {
           failed = true
-          println(f"re-fit recall $freshRecall%.2f below the .40 bar")
+          println(f"drift recall collapsed below the (.20 stale / .30 refit) bars")
         }
       } catch {
         case e: Throwable =>
           failed = true
           println(s"index drift FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
+    }
+    // The maintenance loop a drip-fed index lives by, driven END TO END
+    // at the 20× corpus: build the persisted cell-partitioned IVF-PQ
+    // index, land several appends (each adds O(touched cells) small
+    // files — the measured buildup), fold them back with the lake's own
+    // partition-wise compaction, and re-prove the SERVED index: topK
+    // bit-identical pre/post compaction, probe's cell filter still
+    // file-level partition pruning, file count back at O(cells). This
+    // is the daily-cadence composition (append → compact → serve) whose
+    // halves were previously only tested apart.
+    locally {
+      val t0 = System.nanoTime()
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-maint")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("maint")
+        val model = graft.operators.IvfPq.fit(embs, cells = 64)
+        graft.operators.AnnIndex.writeIvfPq(lake, "maint", "ivfpq",
+          embs.where(col("vec_id") =!= 0), model)
+        def codeFiles(): Int =
+          lake.listPaths("maint", "ivfpq/codes", maxResults = Int.MaxValue)
+            .count(en => !en.isDirectory && en.name.endsWith(".parquet"))
+        val built = codeFiles()
+        // 4 drip appends (the unreplicated table, fresh ids each time)
+        val baseTab = graft.tables.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val slices = (1 to 4).map(r => baseTab
+          .select((col("vec_id") + r * 10000000L).as("vec_id"), col("embedding")))
+        slices.foreach(s =>
+          graft.operators.AnnIndex.appendIvfPq(lake, "maint", "ivfpq", s))
+        val fragmented = codeFiles()
+        val q = embs.where(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val corpus = slices.foldLeft(embs.where(col("vec_id") =!= 0))(_ unionByName _)
+        def serve(): (Seq[(Long, Double)], String) = {
+          val (enc, m) =
+            graft.operators.AnnIndex.readIvfPq(spark, lake, "maint", "ivfpq")
+          val top = graft.operators.IvfPq.topK(corpus, enc, m, q,
+            nProbe = graft.operators.Similarity.ivfNProbeFor(64),
+            topK = 10, rerank = 100)
+          (top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+            top.queryExecution.executedPlan.toString)
+        }
+        val (before, _) = serve()
+        val (nParts, nFiles) =
+          lake.compactPartitionedParquet(spark, "maint", "ivfpq/codes")
+        val (after, plan) = serve()
+        assert(after == before,
+          "compaction must not change what the served index returns")
+        assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+          s"cell partition pruning must survive compaction:\n$plan")
+        assert(nFiles < fragmented && codeFiles() == nFiles,
+          s"compaction must shrink files: $fragmented -> $nFiles")
+        assert(nFiles <= 2 * 64,
+          s"compacted file count must be O(cells): $nFiles files for 64 cells")
+        println(f"index append->compact->serve ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"files $built -> $fragmented -> $nFiles ($nParts cells), topK identical, pruning intact")
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"index maintenance FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)

@@ -165,4 +165,81 @@ object AnnIndex {
     lake.appendParquet(ProductQuantizer.encode(newRows, model),
       filesystem, s"$path/codes")
   }
+
+  /** [[driftCheck]]'s answer: mean recall@topK of the STALE persisted
+    * index vs a fresh RE-FIT on the grown corpus, over the probed
+    * queries. `refitRecall - staleRecall` is the recall a re-fit would
+    * buy right now — the operator's re-fit criterion. */
+  final case class DriftReport(staleRecall: Double, refitRecall: Double,
+                               queries: Int) {
+    /** The operator-facing decision: does re-fitting buy at least
+      * `minGain` absolute recall on the probed queries? */
+    def refitPays(minGain: Double): Boolean = refitRecall - staleRecall >= minGain
+  }
+
+  /** Measure how stale a persisted IVF-PQ index has drifted: appends
+    * land encoded under the ORIGINAL centroids ([[appendIvfPq]]), which
+    * costs recall — not correctness — as the corpus distribution moves.
+    * This is the callable form of that re-fit signal: probe a BOUNDED
+    * sample of `queries` (production: recent appends — exactly where
+    * drift bites) against (a) the stale persisted index and (b) a fresh
+    * fit+encode of `corpus` (in memory — nothing is persisted or
+    * modified), each scored against exact brute-force ground truth.
+    *
+    * A MAINTENANCE operation, not a serving path: it runs the fresh fit
+    * plus 3 small jobs per query (exact / stale / refit top-k), so it is
+    * priced for a daily cadence on a sample, never per query. Driver
+    * state is `maxQueries` vectors + the two models — bounded by
+    * construction ([[ScaleSmoke]] measures it at 2× drifted growth:
+    * on the isotropic fixture the gap is small — stale .37 vs refit
+    * .41 at 256c, Q=32 — because any well-spread cell geometry is
+    * near-equivalent there; a clustered production corpus is where
+    * staleness bites, and this probe is the instrument for it).
+    * Deterministic end-to-end: hash-ordered query sample,
+    * bit-deterministic fits, the round/tie conventions of
+    * [[IvfPq.topK]]. `corpus` must be the full grown table the index
+    * covers (codes store no raw vectors, and the re-fit needs them). */
+  def driftCheck(lake: LakeClient, filesystem: String, path: String,
+                 corpus: DataFrame, queries: DataFrame,
+                 topK: Int = 10, rerank: Int = 100,
+                 maxQueries: Int = 8): DriftReport = {
+    require(topK >= 1, s"driftCheck: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"driftCheck: rerank ($rerank) must be >= topK ($topK)")
+    require(maxQueries >= 1 && maxQueries <= 64,
+      s"driftCheck: maxQueries must be in [1, 64] (got $maxQueries) — " +
+        "the bounded-sample contract; probe more queries in batches")
+    val spark = corpus.sparkSession
+    val (staleEnc, staleModel) = readIvfPq(spark, lake, filesystem, path)
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.nonEmpty, "driftCheck: queries has no rows")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val full = corpus.select(col("vec_id"), col("embedding")).persist(disk)
+    try {
+      val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
+      val freshEnc = IvfPq.encode(full, freshModel).persist(disk)
+      val nProbe = Similarity.ivfNProbeFor(staleModel.centroids.size)
+      var staleHits = 0L; var refitHits = 0L; var truth = 0L
+      qs.foreach { case (qid, q) =>
+        val rest = full.where(col("vec_id") =!= qid)
+        val exact = rest
+          .select(col("vec_id"), round(graft.functions.VectorFunctions
+            .vecCosine(col("embedding"), typedLit(q.toSeq)), 3).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(topK)
+          .collect().map(_.getLong(0)).toSet
+        def got(enc: DataFrame, m: IvfPq.Model): Set[Long] =
+          IvfPq.topK(rest, enc.where(col("vec_id") =!= qid), m, q,
+            nProbe = nProbe, topK = topK, rerank = rerank)
+            .collect().map(_.getLong(0)).toSet
+        staleHits += (got(staleEnc, staleModel) & exact).size
+        refitHits += (got(freshEnc, freshModel) & exact).size
+        truth += exact.size
+      }
+      freshEnc.unpersist(false)
+      val t = math.max(truth, 1L).toDouble
+      DriftReport(staleHits / t, refitHits / t, qs.length)
+    } finally { full.unpersist(false); () }
+  }
 }

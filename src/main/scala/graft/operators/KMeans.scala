@@ -258,6 +258,103 @@ object KMeans {
           .otherwise(-col("b.negcell")).cast("int").as("cell"))
   }
 
+  /** Above this k the flat Gonzalez walk's driver cost — O(k · |pool|)
+    * cosine distances with |pool| ∝ k, i.e. quadratic in k — stops
+    * being negligible (k=4096 over its 8k-sized pool is ~134M distance
+    * evaluations in a single driver thread), so seeding switches to the
+    * TWO-LEVEL walk in [[seedIndices]]: √k coarse Gonzalez seeds
+    * partition the pool, then an independent Gonzalez walk inside each
+    * coarse cell picks seeds proportional to cell population —
+    * O(|pool| · √k) total, sub-quadratic in k (ScaleSmoke measures the
+    * growth). Below the threshold the flat walk is kept bit-identical
+    * to its historical behavior (every measured recall bar stands). */
+  val MaxFlatSeedCells = 1024
+
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    1.0 - dot / math.sqrt(na * nb)
+  }
+
+  /** Farthest-point (Gonzalez) walk over `pool` (indices into `sample`):
+    * start at the pool's smallest vec_id, then repeatedly take the
+    * point farthest (by cosine distance) from the seed set, ties to the
+    * smaller vec_id — the historical flat seeding, verbatim, just
+    * parameterized over the candidate pool. O(k · |pool|) distances. */
+  private def gonzalez(sample: Array[(Long, Array[Float])],
+                       pool: Array[Int], k: Int): Seq[Int] = {
+    require(pool.length >= k, s"gonzalez: pool ${pool.length} < $k seeds")
+    val seedIdx = scala.collection.mutable.ArrayBuffer(
+      pool.minBy(i => sample(i)._1))
+    val isSeed = new java.util.HashSet[Int](); isSeed.add(seedIdx.head)
+    val minDist = Array.fill(pool.length)(Double.MaxValue)
+    while (seedIdx.length < k) {
+      val last = sample(seedIdx.last)._2
+      var best = -1
+      var p = 0
+      while (p < pool.length) {
+        val i = pool(p)
+        val d = math.min(minDist(p), cosDist(sample(i)._2, last))
+        minDist(p) = d
+        if (!isSeed.contains(i) &&
+          (best < 0 || d > minDist(best) ||
+            (d == minDist(best) && sample(i)._1 < sample(pool(best))._1))) best = p
+        p += 1
+      }
+      isSeed.add(pool(best))
+      seedIdx += pool(best)
+    }
+    seedIdx.toSeq
+  }
+
+  /** Deterministic spread-seed selection over a driver-side sample:
+    * flat Gonzalez up to [[MaxFlatSeedCells]], the two-level walk past
+    * it. Returns exactly `k` distinct indices into `sample`. The
+    * two-level allocation is largest-remainder proportional to coarse
+    * cell population (ties to the lower cell), capped at each cell's
+    * population with the shortfall redistributed in cell order — every
+    * step deterministic, so the seeding (and therefore the fit) stays
+    * bit-reproducible. */
+  private[graft] def seedIndices(sample: Array[(Long, Array[Float])],
+                                 k: Int): Seq[Int] = {
+    require(sample.length >= k, s"seedIndices: sample ${sample.length} < $k")
+    val all = sample.indices.toArray
+    if (k <= MaxFlatSeedCells) gonzalez(sample, all, k)
+    else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val coarse = gonzalez(sample, all, k1)
+      // nearest coarse seed per pool point, ties to the lower coarse cell
+      val members = Array.fill(k1)(scala.collection.mutable.ArrayBuffer[Int]())
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k1) {
+          val d = cosDist(sample(i)._2, sample(coarse(c))._2)
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        members(best) += i
+        i += 1
+      }
+      val pops = members.map(_.length)
+      val quota = pops.map(p => k.toDouble * p / sample.length)
+      val alloc = quota.zip(pops).map { case (q, p) => math.min(math.floor(q).toInt, p) }
+      val order = (0 until k1).sortBy(c => (-(quota(c) - math.floor(quota(c))), c))
+      var rem = k - alloc.sum
+      while (rem > 0) {
+        // guaranteed to terminate: Σ pops == sample.length ≥ k
+        for (c <- order if rem > 0 && alloc(c) < pops(c)) { alloc(c) += 1; rem -= 1 }
+      }
+      (0 until k1).flatMap(c =>
+        if (alloc(c) == 0) Seq.empty
+        else gonzalez(sample, members(c).toArray, alloc(c)))
+    }
+  }
+
   /** Lloyd's iterations until assignments stop changing (or maxIters).
     * Empty cells keep their previous centroid. */
   def fit(e0: DataFrame, k: Int = 8, maxIters: Int = 10): Model = {
@@ -271,11 +368,12 @@ object KMeans {
       // hash-ordered sample of anchorable vectors (xxhash64(vec_id) —
       // engine/parallelism/day-independent, and a zero-norm padding row
       // cannot crash the fit just by owning a small vec_id), then a
-      // driver-side farthest-point traversal (Gonzalez) picks k spread
-      // seeds by cosine distance, ties to the smaller vec_id. Spread
-      // seeds beat the former k-smallest-vec_id rule on IVF recall
-      // (adjacent fixture ids are near-random, so the old seeds often
-      // started collapsed); the sample is ≤ max(8k, 1024) rows of
+      // driver-side farthest-point traversal picks k spread seeds by
+      // cosine distance ([[seedIndices]]: flat Gonzalez to
+      // [[MaxFlatSeedCells]], the sub-quadratic two-level walk past
+      // it). Spread seeds beat the former k-smallest-vec_id rule on IVF
+      // recall (adjacent fixture ids are near-random, so the old seeds
+      // often started collapsed); the sample is ≤ max(8k, 1024) rows of
       // driver state — the same order as the k rows the old seeding
       // collected.
       val sampleN = math.max(8 * k, 1024)
@@ -288,35 +386,7 @@ object KMeans {
         s"need at least $k non-zero vectors to seed $k cells")
       require(sample.map(_._2.length).distinct.length == 1,
         "seed vectors disagree on dimensionality — mixed-dim input")
-      def cosDist(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-          nb += b(i).toDouble * b(i); i += 1
-        }
-        1.0 - dot / math.sqrt(na * nb)
-      }
-      val seedIdx = scala.collection.mutable.ArrayBuffer(
-        sample.indices.minBy(i => sample(i)._1)) // start: smallest vec_id
-      val isSeed = Array.fill(sample.length)(false)
-      isSeed(seedIdx.head) = true
-      val minDist = Array.fill(sample.length)(Double.MaxValue)
-      while (seedIdx.length < k) {
-        val last = sample(seedIdx.last)._2
-        var best = -1
-        var i = 0
-        while (i < sample.length) {
-          val d = math.min(minDist(i), cosDist(sample(i)._2, last))
-          minDist(i) = d
-          if (!isSeed(i) &&
-            (best < 0 || d > minDist(best) ||
-              (d == minDist(best) && sample(i)._1 < sample(best)._1))) best = i
-          i += 1
-        }
-        isSeed(best) = true
-        seedIdx += best
-      }
-      var centroids: Seq[Array[Float]] = seedIdx.map(i => sample(i)._2).toSeq
+      var centroids: Seq[Array[Float]] = seedIndices(sample, k).map(i => sample(i)._2)
       var prev: Option[DataFrame] = None
       var iter = 0
       var converged = false

@@ -213,6 +213,65 @@ object ProductQuantizer {
       try_divide(adcDot(model, query), col("nrm") * qnorm).as("approx_cos"))
   }
 
+  /** Multi-query two-stage PQ top-k — the production BATCH serving
+    * shape: `queries` (qid, qemb) are answered in ONE pass over the
+    * encoded table instead of one pass per query, which at a
+    * disk-resident 100 TB index divides the dominant cost — the coded
+    * scan — by the batch size. Each query row precomputes its m×k ADC
+    * lookup table ONCE on the Q-row side (`flatten(transform(...))`
+    * over the codebook literal — the same subDim dot products
+    * [[adcDot]] computes on the driver, evaluated in the same order, so
+    * scores are bit-identical); the broadcast cross join then attaches
+    * (qid, lut) to every encoded row and scoring stays m lookups + adds
+    * per pair. Per-query `rerank` shortlists come from
+    * [[graft.functions.TopKByScore]] — k-bounded buffers, map-side
+    * partials, so the exchange carries ≤ partitions×Q×rerank slim rows,
+    * never the Q×N scored candidates (a row_number window would shuffle
+    * them all) — and ONLY shortlist rows join their full vectors for
+    * exact re-rank. Output (qid, vec_id, cos), best-first within each
+    * qid, row-for-row equal to [[pqTopK]] per query (AnnIndexSpec
+    * proves parity and ScaleSmoke measures the batch-vs-loop win on the
+    * persisted index).
+    *
+    * Contract: `queries` is a BOUNDED batch (it is broadcast whole and
+    * each row carries an m×k-double LUT — thousands of queries are
+    * fine, a second corpus is not). A zero-norm query scores NULL
+    * everywhere and drops out, the [[pqTopK]] convention. */
+  def pqTopKBatch(e: DataFrame, encoded: DataFrame, model: Model,
+                  queries: DataFrame, topK: Int, rerank: Int): DataFrame = {
+    require(topK >= 1, s"pqTopKBatch: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"pqTopKBatch: rerank ($rerank) must be >= topK ($topK)")
+    VectorFunctions.ensureRegistered(e.sparkSession)
+    val (m, k, subDim) = (model.m, model.k, model.subDim)
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq))) // m × k × subDim
+    val withLut = queries.select(col("qid"), col("qemb"),
+      sqrt(VectorFunctions.vecDot(col("qemb"), col("qemb"))).as("qnorm"),
+      flatten(transform(cbLit, (cb, s) =>
+        transform(cb, cw => VectorFunctions.vecDot(
+          slice(col("qemb"), s * subDim + 1, lit(subDim)), cw)))).as("lut"))
+    val shortlist = encoded.crossJoin(broadcast(withLut))
+      .select(col("qid"),
+        col("vec_id"),
+        try_divide(
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+            (acc, s) => acc + element_at(col("lut"),
+              s * k + element_at(col("codes"), s + 1) + 1)),
+          col("nrm") * col("qnorm")).as("approx_cos"))
+      .groupBy(col("qid"))
+      .agg(VectorFunctions.topkByScore(col("approx_cos"), col("vec_id"), rerank).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qemb"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+      .groupBy(col("qid"))
+      .agg(VectorFunctions.topkByScore(col("cos"), col("vec_id"), topK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"), col("t.score").as("cos"))
+  }
+
   /** Two-stage PQ top-k: ADC over the encoded table keeps `rerank`
     * candidates (TakeOrderedAndProject — per-partition heap), then ONLY
     * those join back to their full vectors for exact cosine re-ranking.

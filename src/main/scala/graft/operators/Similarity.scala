@@ -268,7 +268,8 @@ object Similarity {
     * shuffle volume grows with the cell count; the tier ladder can keep
     * extending by the same ×4-cells rule as N grows. */
   val IvfCellTiers: Seq[(Long, Int)] = Seq(
-    (16000L, 8), (1000000L, 64), (64000000L, 256), (Long.MaxValue, 1024))
+    (16000L, 8), (1000000L, 64), (64000000L, 256), (4096000000L, 1024),
+    (Long.MaxValue, 4096))
 
   /** Base probe depth (the ≤64-cell tiers of [[ivfNProbeFor]]):
     * single-probe IVF loses every pair straddling a cell boundary —
@@ -289,12 +290,15 @@ object Similarity {
     * still shrinks as cells grow — while per-cell populations (N/cells)
     * also fall, so the asymmetric join's ~nProbe·pop per-cell candidate
     * volume drops ~2× per tier. Measured at the 20× smoke (fitted,
-    * bar .75): 64c/p6 .843, 256c/p12 .891, 1024c/p24 .994 — the
-    * deeper probe more than pays for the finer cells. */
+    * bar .75): 64c/p6 .843, 256c/p12 .891, 1024c/p24 .994, 4096c/p48
+    * measured in the smoke — the deeper probe more than pays for the
+    * finer cells, and the probed fraction keeps falling (48/4096 ≈
+    * 1.2%). */
   def ivfNProbeFor(cells: Int): Int =
     if (cells <= 64) IvfNProbe
     else if (cells <= 256) 12
-    else 24
+    else if (cells <= 1024) 24
+    else 48
 
   /** Probe depth for RANK-k search ([[knnJoinIvf]]) — deeper than the
     * pair rule above, because a rank neighbor has no threshold to lean
@@ -304,12 +308,14 @@ object Similarity {
     * PESSIMISTIC proxies: a corpus dense enough to engage the tier has
     * far closer rank-k neighbors than the 2k-row fixture. The probed
     * FRACTION still falls as the ladder climbs (16/64 = 25%, 32/256 =
-    * 12.5%, 48/1024 ≈ 4.7%), so the scan share shrinks with N. */
+    * 12.5%, 48/1024 ≈ 4.7%, 96/4096 ≈ 2.3%), so the scan share shrinks
+    * with N. */
   def knnNProbeFor(cells: Int): Int =
     if (cells <= 8) IvfNProbe
     else if (cells <= 64) 16
     else if (cells <= 256) 32
-    else 48
+    else if (cells <= 1024) 48
+    else 96
 
   private def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2

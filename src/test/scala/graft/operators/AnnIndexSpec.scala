@@ -162,11 +162,75 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell pruning must survive compaction:\n$plan")
   }
 
+  test("pqTopKBatch equals per-query pqTopK row-for-row") {
+    // the batch ADC path computes each query's LUT in-plan (executor)
+    // where pqTopK computes it on the driver, and shortlists via
+    // TopKByScore where pqTopK sorts-and-limits — every step was chosen
+    // to preserve bit-identical scores and the same tie rule, so the
+    // batch answer for each qid must equal the single-query answer
+    // exactly
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val corpus = e.where(col("vec_id") =!= 0)
+    val model = ProductQuantizer.fit(corpus)
+    val enc = ProductQuantizer.encode(corpus, model)
+    val queries = e.where(col("vec_id") % 37 === 0).orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val batch = ProductQuantizer
+      .pqTopKBatch(corpus, enc, model, queries, topK = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq)
+      .toMap
+    val qrows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(batch.keySet == qrows.map(_._1).toSet, "every query must be answered")
+    qrows.foreach { case (qid, q) =>
+      val single = topRows(ProductQuantizer.pqTopK(corpus, enc, model, q, 10, 50))
+      assert(batch(qid) == single,
+        s"batch result for qid=$qid must equal pqTopK bit-for-bit")
+    }
+  }
+
+  test("driftCheck reports stale-vs-refit recall through the operator API, deterministically") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val base = e.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+    val fresh = e.where(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val model = IvfPq.fit(base, cells = 8)
+    AnnIndex.writeIvfPq(lake, Fs, "ivfpq_dc", base, model)
+    AnnIndex.appendIvfPq(lake, Fs, "ivfpq_dc", fresh)
+    val grown = base.unionByName(fresh)
+    val rep = AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, queries = fresh,
+      topK = 5, rerank = 50, maxQueries = 3)
+    assert(rep.queries == 3)
+    assert(rep.staleRecall >= 0.0 && rep.staleRecall <= 1.0)
+    assert(rep.refitRecall >= 0.0 && rep.refitRecall <= 1.0)
+    // the 8-cell fixture tier's 6/8 probe masks same-distribution
+    // appends (the ScaleSmoke stage owns the real drift signal); here
+    // the API contract is what's proven: bounded, deterministic, both
+    // recalls measured against the same exact ground truth
+    val rep2 = AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, queries = fresh,
+      topK = 5, rerank = 50, maxQueries = 3)
+    assert(rep == rep2, "driftCheck must be deterministic")
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, fresh, maxQueries = 0)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, fresh, maxQueries = 100)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, fresh, topK = 10, rerank = 5)
+    }
+  }
+
   test("ss8/ss9 entries serve from the persisted index memo deterministically") {
     // the first entry invocation builds + persists; the second must
-    // reproduce the identical result from the persisted table (and the
-    // memo must survive clearModelCache only by rebuilding — same bits
-    // either way, because fit/encode are deterministic)
+    // reproduce the identical result from the persisted table. After
+    // clearModelCache the entry re-resolves the path and REUSES the
+    // complete persisted index (round-8 semantics) — same bits either
+    // way, because fit/encode are deterministic and the path is keyed
+    // by a hash of the dir
     val first8 = topRows(Similarity.ss8PqTopk(spark, dir))
     val again8 = topRows(Similarity.ss8PqTopk(spark, dir))
     assert(first8 == again8, "ss8 must be stable across invocations")

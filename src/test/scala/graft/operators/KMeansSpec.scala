@@ -27,6 +27,31 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark0.stop()
 
+  test("two-level seeding (k > MaxFlatSeedCells): exactly k distinct seeds, deterministic") {
+    // pure driver-side math — a synthetic pool keeps it fast and lets k
+    // exceed the flat threshold without a giant fixture. Quality of the
+    // resulting FIT is the smoke's job (4096-cell tier recall bar);
+    // here the seeding CONTRACT is what's proven.
+    val rnd = new scala.util.Random(11)
+    val sample = Array.tabulate(4000)(i =>
+      ((i * 37 % 4000).toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val k = KMeans.MaxFlatSeedCells + 76 // forces the two-level walk
+    val s1 = KMeans.seedIndices(sample, k)
+    val s2 = KMeans.seedIndices(sample, k)
+    assert(s1 == s2, "two-level seeding must be deterministic")
+    assert(s1.length == k && s1.distinct.length == k,
+      s"expected $k distinct seeds, got ${s1.distinct.length}")
+    // flat path below the threshold: same contract
+    val f1 = KMeans.seedIndices(sample, 64)
+    assert(f1 == KMeans.seedIndices(sample, 64))
+    assert(f1.length == 64 && f1.distinct.length == 64)
+    // pool == k degenerates to "every point is a seed" on both paths
+    val tiny = sample.take(KMeans.MaxFlatSeedCells + 76)
+    val all = KMeans.seedIndices(tiny, tiny.length)
+    assert(all.sorted == tiny.indices.toSeq, "pool==k must seed every point")
+    intercept[IllegalArgumentException] { KMeans.seedIndices(sample.take(10), 11) }
+  }
+
   test("fit converges, is deterministic, and beats the 1-centroid baseline") {
     val e = graft.tables.Tables.embeddings(spark, dir)
     val m1 = KMeans.fit(e, k = 8, maxIters = 30)
