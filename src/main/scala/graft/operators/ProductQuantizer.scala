@@ -185,20 +185,28 @@ object ProductQuantizer {
       .join(codesFor(e, model), "vec_id")
       .select(col("vec_id"), col("codes"), col("nrm"))
 
+  /** The m×k ADC lookup table for one query: `lut(s)(code)` = the dot
+    * product of the query's s-th subvector with that code's codeword.
+    * The ONE place the LUT dot order lives — [[adcDot]] broadcasts this
+    * as a literal and [[IvfPq.topKBatch]] ships the flattened rows, so
+    * both paths score bit-identically. */
+  private[operators] def adcLut(model: Model, query: Array[Float]): Seq[Seq[Double]] = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != ${model.m}×${model.subDim}")
+    (0 until model.m).map { s =>
+      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map(c =>
+        qs.zip(c).map { case (a, b) => a.toDouble * b }.sum).toSeq
+    }
+  }
+
   /** ADC approximate dot-product EXPRESSION over a `codes` column: the
     * per-(subspace, code) dot products form a driver-computed m×k
     * lookup table broadcast as a literal, so scoring a row is m array
     * lookups + adds — no float vector is touched. Shared by [[adcScores]]
     * and [[IvfPq.topK]] (which adds the per-cell centroid term). */
   private[operators] def adcDot(model: Model, query: Array[Float]): Column = {
-    require(query.length == model.m * model.subDim,
-      s"query dim ${query.length} != ${model.m}×${model.subDim}")
-    val lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
-      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
-      model.codebooks(s).map(c =>
-        qs.zip(c).map { case (a, b) => a.toDouble * b }.sum).toSeq
-    }
-    val lutLit = typedLit(lut)
+    val lutLit = typedLit(adcLut(model, query))
     aggregate(
       sequence(lit(0), lit(model.m - 1)), lit(0.0),
       (acc, s) => acc + element_at(element_at(lutLit, s + 1),
