@@ -187,9 +187,12 @@ object ProductQuantizer {
 
   /** The m×k ADC lookup table for one query: `lut(s)(code)` = the dot
     * product of the query's s-th subvector with that code's codeword.
-    * The ONE place the LUT dot order lives — [[adcDot]] broadcasts this
-    * as a literal and [[IvfPq.topKBatch]] ships the flattened rows, so
-    * both paths score bit-identically. */
+    * [[adcDot]] broadcasts this as a driver-computed literal. The batch
+    * path [[pqTopKBatch]] does NOT call this — it rebuilds the same
+    * table in-plan (`flatten(transform(...))` over the codebook literal,
+    * subvector dots via `vec_dot` in the same s-then-code order);
+    * bit-identical scores across the two paths are proven by the
+    * AnnIndexSpec parity test, not enforced by shared code. */
   private[operators] def adcLut(model: Model, query: Array[Float]): Seq[Seq[Double]] = {
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != ${model.m}×${model.subDim}")

@@ -13,9 +13,11 @@ class GraftSessionSpec extends AnyFunSuite {
       spark.sparkContext.setLogLevel("WARN")
       GraftSession.registerTables(spark, "/root/testdata/sf0.001")
       assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) == 6000L)
-      // events view has the normalized µs timestamp type
+      // events view reads the fixture's native NTZ-µs timestamp type
+      // (post-regen parquet is timestamp[us]/isAdjustedToUTC=false; the
+      // ns→µs normalization branch is covered by TablesSpec directly)
       assert(spark.table("events").schema("ts").dataType ==
-        org.apache.spark.sql.types.TimestampType)
+        org.apache.spark.sql.types.TimestampNTZType)
       // extension functions reachable from SQL
       val d = spark.sql(
         "SELECT vec_dot(embedding, embedding) AS n2 FROM embeddings WHERE vec_id = 0")

@@ -41,10 +41,49 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fields("lineitem")("l_quantity") == DoubleType)
   }
 
-  test("events.ts normalizes to TimestampType despite ns-precision parquet") {
+  test("events.ts reads as NTZ µs-precision from the current fixtures") {
+    // Driver regen 2026-08-12 moved events.ts from parquet timestamp[ns]
+    // to timestamp[us] (isAdjustedToUTC=false), which Spark 4 reads
+    // natively as TimestampNTZType; Tables.events' ns branch must no-op.
     val f = fields("events")
-    assert(f("ts") == TimestampType) // would be LongType without the fix
+    assert(f("ts") == TimestampNTZType)
     assert(f("props") == StringType)
+  }
+
+  test("legacy ns-precision events parquet still normalizes to TimestampType") {
+    // The pre-regen fixtures carried timestamp[ns]; keep the ns→µs branch
+    // (Tables.scala events) from rotting by writing a tiny ns-typed
+    // parquet here with parquet-mr (Spark cannot write NANOS itself).
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ns-events").toFile
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .required(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(new java.io.File(tmp, "events.parquet").toURI.toString), conf)
+    val writer = ExampleParquetWriter.builder(out).withType(schema).withConf(conf).build()
+    val g = new SimpleGroupFactory(schema)
+    val nanos = 1500000123456789L // sub-µs digits nonzero: truncation is observable
+    writer.write(g.newGroup().append("event_id", 1L).append("ts", nanos).append("props", "{}"))
+    writer.close()
+    try {
+      val df = Tables.events(spark, tmp.getAbsolutePath)
+      assert(df.schema("ts").dataType == TimestampType) // LongType without the fix
+      val micros = df.select(org.apache.spark.sql.functions.unix_micros(df("ts"))).head().getLong(0)
+      assert(micros == nanos / 1000)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
   }
 
   test("embeddings and documents carry the LLM-op columns") {
