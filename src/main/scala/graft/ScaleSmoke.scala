@@ -273,6 +273,54 @@ object ScaleSmoke {
               topK = 10, rerank = 100).count()
           n
         }
+        // Batch serving on the SAME persisted index — the production
+        // batch shape for the index that matters: Q queries in ONE
+        // probed-partition pass (the driver-computed union of probed
+        // cells keeps file-level pruning; AnnIndexSpec owns row-level
+        // parity with per-query topK) vs the honest per-query loop
+        // including its per-job planning. Self-adjudicated like the
+        // flat-PQ batch stage: slower-than-loop breaks the premise.
+        locally {
+          val t0 = System.nanoTime()
+          try {
+            val (enc, m) =
+              graft.operators.AnnIndex.readIvfPq(spark, lake, "smoke9", "ivfpq")
+            val corpus = embs.where(col("vec_id") =!= 0)
+            val nProbe = graft.operators.Similarity.IvfNProbe
+            val qdf = embs.where(col("vec_id") % 1250 === 0)
+              .select(col("vec_id").as("qid"), col("embedding").as("qemb")).persist()
+            val qvecs = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            val nq = qvecs.length
+            // one throwaway query warms both code paths (JIT + codegen cache)
+            graft.operators.IvfPq.topK(corpus, enc, m, qvecs.head._2,
+              nProbe, 10, 100).count()
+            val tL0 = System.nanoTime()
+            var loopRows = 0L
+            qvecs.foreach { case (_, q) =>
+              loopRows += graft.operators.IvfPq.topK(corpus, enc, m, q,
+                nProbe, 10, 100).count()
+            }
+            val tLoop = (System.nanoTime() - tL0) / 1e9
+            val tB0 = System.nanoTime()
+            val batchRows = graft.operators.IvfPq.topKBatch(corpus, enc, m, qdf,
+              nProbe, topK = 10, rerank = 100).count()
+            val tBatch = (System.nanoTime() - tB0) / 1e9
+            qdf.unpersist()
+            assert(batchRows == nq.toLong * 10 && loopRows == batchRows,
+              s"batch must answer every query: $batchRows vs $loopRows rows for $nq queries")
+            println(f"ss9 ADC batch ${nq}q vs loop   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+              f"batch $tBatch%.1f s vs loop $tLoop%.1f s (x${tLoop / tBatch}%.1f)")
+            if (tBatch > tLoop) {
+              failed = true
+              println(f"ss9 batch serving slower than the per-query loop — adoption premise broken")
+            }
+          } catch {
+            case e: Throwable =>
+              failed = true
+              println(s"ss9 ADC batch FAILED: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(300))
+          }
+        }
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
       }
@@ -400,10 +448,80 @@ object ScaleSmoke {
           failed = true
           println(f"drift recall collapsed below the (.20 stale / .30 refit) bars")
         }
+        // the flip side of the clustered stage below: on an ISOTROPIC
+        // corpus any well-spread cell geometry is near-equivalent, so
+        // the refit decision at minGain=.15 must come back "don't"
+        // (measured gain ≈ +.04 at this operating point)
+        if (report.refitPays(0.15)) {
+          failed = true
+          println(f"refitPays(0.15) fired on the isotropic corpus — threshold too twitchy")
+        }
       } catch {
         case e: Throwable =>
           failed = true
           println(s"index drift FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
+    }
+    // The same driftCheck instrument pointed at a corpus where staleness
+    // ACTUALLY bites — the validation the isotropic fixture cannot give
+    // (its stale ≈ refit is physics, not a weak instrument). Synthetic
+    // clustered corpus: 16 tight Gaussian clusters (centers ~ N(0,1)^64,
+    // point noise σ=0.6 — wide enough that neighbor ranks are resolvable
+    // at the kernel's 3-decimal rounding), and the APPEND draws 16 NEW
+    // cluster centers — the corpus distribution moved, which is exactly
+    // the production drift story. Stale cells were fit before the new
+    // clusters existed, so appended rows carry huge residuals in
+    // directions the shared PQ codebook never saw → ADC ranking degrades
+    // for queries from the appended slice; a re-fit re-covers them.
+    // Deterministic: seeded driver-side synthesis, bit-deterministic
+    // fits, hash-ordered driftCheck sample. Measured at this exact
+    // configuration: stale .475 vs refit .738 → refitPays(0.15) must
+    // fire here, and must NOT fire on the isotropic stage above — the
+    // minGain threshold validated against a real gap and a real no-gap.
+    locally {
+      val t0 = System.nanoTime()
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-cdrift")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("cdrift")
+        val dim = 64; val nClusters = 16; val perCluster = 250
+        def clustered(seed: Int, idBase: Long): DataFrame = {
+          val rnd = new scala.util.Random(seed)
+          val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+          val rows: Seq[(Long, Seq[Float])] =
+            for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+              (idBase + c * perCluster + i,
+                centers(c).map(x => x + 0.6f * rnd.nextGaussian().toFloat).toSeq)
+            }
+          spark.createDataFrame(rows).toDF("vec_id", "embedding")
+            .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding"))
+            .repartition(cpus)
+        }
+        val base = clustered(11, 0L)
+        val drifted = clustered(97, 1000000L)
+        val staleModel = graft.operators.IvfPq.fit(base, cells = 64)
+        graft.operators.AnnIndex.writeIvfPq(lake, "cdrift", "drift", base, staleModel)
+        graft.operators.AnnIndex.appendIvfPq(lake, "cdrift", "drift", drifted)
+        val report = graft.operators.AnnIndex.driftCheck(lake, "cdrift", "drift",
+          corpus = base.unionByName(drifted), queries = drifted,
+          topK = 10, rerank = 100, maxQueries = 16)
+        println(f"index drift (clustered)      ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"stale ${report.staleRecall}%.2f vs refit ${report.refitRecall}%.2f " +
+          f"recall@10 (64c, ${report.queries} queries, " +
+          f"gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        if (!report.refitPays(0.15)) {
+          failed = true
+          println(f"refitPays(0.15) did NOT fire on the clustered-drift corpus — " +
+            f"the re-fit signal is broken (gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"index drift (clustered) FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)

@@ -95,6 +95,110 @@ object IvfPq {
     * (TakeOrderedAndProject — per-partition heap), and re-rank exactly
     * against only their full vectors. The full-vector table is touched
     * for `rerank` rows, not N; the coded table for ~nProbe/cells of N. */
+  /** Multi-query IVF-ADC top-k — the production BATCH serving shape for
+    * the index that matters at 100 TB (a cell-partitioned persisted
+    * coded table): Q queries are answered in ONE pass over the probed
+    * slice instead of one pass per query. The probe structure is
+    * driver-computed from the collected batch (bounded by the same
+    * contract as [[ProductQuantizer.pqTopKBatch]]'s broadcast —
+    * thousands of queries are fine, a second corpus is not):
+    *
+    *   - the UNION of all queries' probed cells becomes one STATIC
+    *     `cell IN (...)` predicate, so on a persisted index the scan
+    *     still prunes to probed-cell FILES (partition pruning survives
+    *     batching — AnnIndexSpec asserts the PartitionFilters);
+    *   - the probe sets explode to slim (qid, cell, cellDot) rows that
+    *     BROADCAST-HASH-JOIN the scan on `cell` — each coded row meets
+    *     exactly the queries that probe its cell (the minimal pair set;
+    *     a cross join would test every row against all Q probe sets) —
+    *     and a second broadcast join on `qid` attaches the query's
+    *     m×k ADC LUT and norm, stored ONCE per query, not per probe;
+    *   - all driver arithmetic is the single-query path's own code
+    *     ([[KMeans.assignCells]]' cosine + lower-id tie rule for the
+    *     probe pick; [[ProductQuantizer.adcLut]] verbatim, flattened),
+    *     so scores are bit-identical to [[topK]] by shared code, not by
+    *     parallel construction.
+    *
+    * Scoring a pair is two hash probes + m lookups + adds; per-query
+    * `rerank` shortlists come from [[graft.functions.TopKByScore]]
+    * (k-bounded map-side partials — the exchange carries ≤
+    * partitions×Q×rerank slim rows), and ONLY shortlist rows join their
+    * full vectors for exact cosine re-rank. Output (qid, vec_id, cos),
+    * best-first within each qid, row-for-row equal to per-query [[topK]]
+    * (AnnIndexSpec proves parity on the persisted index; ScaleSmoke
+    * measures batch-vs-loop).
+    *
+    * `queries` must be (qid, qemb) with distinct qids and nonzero
+    * norms — same fail-fast as [[topK]]'s zero-norm rule, applied
+    * per query. */
+  def topKBatch(e: DataFrame, encoded: DataFrame, model: Model,
+                queries: DataFrame, nProbe: Int, topK: Int, rerank: Int): DataFrame = {
+    require(nProbe >= 1, "IvfPq.topKBatch: nProbe must be >= 1")
+    require(topK >= 1, s"IvfPq.topKBatch: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"IvfPq.topKBatch: rerank ($rerank) must be >= topK ($topK)")
+    val spark = e.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    // bounded-batch contract: the rows are broadcast whole below anyway,
+    // so collecting them for the driver-side probe math adds no state a
+    // batch caller hasn't already signed up for
+    val qrows: Array[(Long, Array[Float])] = queries
+      .select(col("qid"), col("qemb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qrows.nonEmpty, "IvfPq.topKBatch: queries has no rows")
+    require(qrows.map(_._1).distinct.length == qrows.length,
+      "IvfPq.topKBatch: duplicate qid in the query batch")
+    val qside: Seq[(Long, Seq[Float], Double, Seq[Int], Seq[Double], Seq[Double])] =
+      qrows.toSeq.map { case (qid, q) =>
+        val qnorm = math.sqrt(dot(q, q))
+        require(qnorm > 0, s"IvfPq.topKBatch: query qid=$qid has zero norm")
+        val probed = model.centroids.zipWithIndex
+          .map { case (c, i) => (dot(q, c) / (qnorm * math.sqrt(dot(c, c))), i) }
+          .sortBy { case (score, i) => (-score, i) }
+          .take(math.min(nProbe, model.centroids.size)).map(_._2)
+        val cellDot = probed.map(c => dot(q, model.centroids(c)))
+        (qid, q.toSeq, qnorm, probed, cellDot,
+          ProductQuantizer.adcLut(model.pq, q).flatten)
+      }
+    val unionCells = qside.flatMap(_._4).distinct.sorted
+    val k = model.pq.k
+    val qdf = spark.createDataFrame(qside.map { case (qid, q, qn, _, _, lut) =>
+      (qid, q, qn, lut)
+    }).toDF("qid", "qemb", "qnorm", "lut")
+    val probeDf = spark.createDataFrame(qside.flatMap {
+      case (qid, _, _, probed, cellDot, _) =>
+        probed.zip(cellDot).map { case (c, cd) => (qid, c, cd) }
+    }).toDF("qid", "cell", "cellDot")
+    val shortlist = encoded
+      .where(col("cell").isin(unionCells: _*)) // static → partition pruning
+      .join(broadcast(probeDf), "cell") // BHJ: exactly the probed pairs
+      .join(broadcast(qdf.select(col("qid"), col("qnorm"), col("lut"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        try_divide(
+          col("cellDot") +
+            aggregate(sequence(lit(0), lit(model.pq.m - 1)), lit(0.0),
+              (acc, s) => acc + element_at(col("lut"),
+                s * k + element_at(col("codes"), s + 1) + 1)),
+          col("nrm") * col("qnorm")).as("approx_cos"))
+      .groupBy(col("qid"))
+      .agg(VectorFunctions.topkByScore(col("approx_cos"), col("vec_id"), rerank).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(qdf.select(col("qid"), col("qemb"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+      .groupBy(col("qid"))
+      .agg(VectorFunctions.topkByScore(col("cos"), col("vec_id"), topK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"), col("t.score").as("cos"))
+  }
+
   def topK(e: DataFrame, encoded: DataFrame, model: Model, query: Array[Float],
            nProbe: Int, topK: Int, rerank: Int): DataFrame = {
     require(nProbe >= 1, "IvfPq.topK: nProbe must be >= 1")

@@ -191,6 +191,46 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IvfPq.topKBatch equals per-query topK row-for-row on the persisted index, with pruning") {
+    // the production batch shape: per-query probe structure is driver-
+    // computed with the SAME arithmetic as topK (shared adcLut, shared
+    // cosine/tie rules), the union of probed cells is a static filter —
+    // so the batch must (a) keep partition pruning on the persisted
+    // coded table and (b) reproduce every single-query answer exactly
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val corpus = e.where(col("vec_id") =!= 0)
+    val model = IvfPq.fit(corpus, cells = 8)
+    AnnIndex.writeIvfPq(lake, Fs, "ivfpq_batch", corpus, model)
+    val (served, back) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_batch")
+    val queries = e.where(col("vec_id") % 37 === 0).orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val batchDf = IvfPq.topKBatch(corpus, served, back, queries,
+      nProbe = 4, topK = 10, rerank = 50)
+    // the static union-of-probed-cells predicate must prune the
+    // persisted table's cell partitions even in the batch plan
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected cell partition pruning on the batch scan:\n$plan")
+    val batch = batchDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq)
+      .toMap
+    val qrows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(batch.keySet == qrows.map(_._1).toSet, "every query must be answered")
+    qrows.foreach { case (qid, q) =>
+      val single = topRows(IvfPq.topK(corpus, served, back, q,
+        nProbe = 4, topK = 10, rerank = 50))
+      assert(batch(qid) == single,
+        s"batch result for qid=$qid must equal IvfPq.topK bit-for-bit")
+    }
+    intercept[IllegalArgumentException] {
+      IvfPq.topKBatch(corpus, served, back,
+        queries.unionAll(queries.limit(1)), nProbe = 4, topK = 10, rerank = 50)
+    }
+  }
+
   test("driftCheck reports stale-vs-refit recall through the operator API, deterministically") {
     VectorFunctions.ensureRegistered(spark)
     val e = embeddings
