@@ -229,6 +229,12 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       IvfPq.topKBatch(corpus, served, back,
         queries.unionAll(queries.limit(1)), nProbe = 4, topK = 10, rerank = 50)
     }
+    // a zero-norm query has no defined probe order — same fail-fast as topK
+    val zeroQ = spark.createDataFrame(Seq((99999L, Seq.fill(64)(0.0f))))
+      .toDF("qid", "qemb")
+    intercept[IllegalArgumentException] {
+      IvfPq.topKBatch(corpus, served, back, zeroQ, nProbe = 4, topK = 10, rerank = 50)
+    }
   }
 
   test("driftCheck reports stale-vs-refit recall through the operator API, deterministically") {
