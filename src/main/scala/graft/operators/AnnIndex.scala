@@ -187,8 +187,11 @@ object AnnIndex {
     * modified), each scored against exact brute-force ground truth.
     *
     * A MAINTENANCE operation, not a serving path: it runs the fresh fit
-    * plus 3 small jobs per query (exact / stale / refit top-k), so it is
-    * priced for a daily cadence on a sample, never per query. Driver
+    * plus 3 BATCHED jobs for the whole sample (exact / stale / refit
+    * top-k — the stale and refit answers come from [[IvfPq.topKBatch]]
+    * with `excludeSelf`, the exact truth from one brute-force pass with
+    * the same rounding + tie rules), so its job count is independent of
+    * the sample size and it is priced for a daily cadence. Driver
     * state is `maxQueries` vectors + the two models — bounded by
     * construction ([[ScaleSmoke]] measures it at 2× drifted growth:
     * on the isotropic fixture the gap is small — stale .37 vs refit
@@ -221,20 +224,37 @@ object AnnIndex {
       val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
       val freshEnc = IvfPq.encode(full, freshModel).persist(disk)
       val nProbe = Similarity.ivfNProbeFor(staleModel.centroids.size)
+      val spark2 = full.sparkSession
+      val qdf = spark2.createDataFrame(qs.toSeq.map { case (id, v) => (id, v.toSeq) })
+        .toDF("qid", "qemb")
+      def byQid(df: DataFrame): Map[Long, Set[Long]] = df
+        .select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      // exact ground truth for the whole sample in ONE brute-force pass:
+      // same 3-decimal rounding and (cos desc, lower id) tie rule as the
+      // per-query orderBy/limit form, so the top-k SETS are identical
+      val exactByQ = byQid(full.crossJoin(broadcast(qdf))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.VectorFunctions
+            .vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.VectorFunctions
+          .topkByScore(col("cos"), col("vec_id"), topK).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("vec_id")))
+      // stale + refit answers: one topKBatch pass each (excludeSelf is
+      // the batched form of the per-query `vec_id =!= qid` filters)
+      def got(enc: DataFrame, m: IvfPq.Model): Map[Long, Set[Long]] =
+        byQid(IvfPq.topKBatch(full, enc, m, qdf,
+          nProbe = nProbe, topK = topK, rerank = rerank, excludeSelf = true))
+      val staleByQ = got(staleEnc, staleModel)
+      val refitByQ = got(freshEnc, freshModel)
       var staleHits = 0L; var refitHits = 0L; var truth = 0L
-      qs.foreach { case (qid, q) =>
-        val rest = full.where(col("vec_id") =!= qid)
-        val exact = rest
-          .select(col("vec_id"), round(graft.functions.VectorFunctions
-            .vecCosine(col("embedding"), typedLit(q.toSeq)), 3).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(topK)
-          .collect().map(_.getLong(0)).toSet
-        def got(enc: DataFrame, m: IvfPq.Model): Set[Long] =
-          IvfPq.topK(rest, enc.where(col("vec_id") =!= qid), m, q,
-            nProbe = nProbe, topK = topK, rerank = rerank)
-            .collect().map(_.getLong(0)).toSet
-        staleHits += (got(staleEnc, staleModel) & exact).size
-        refitHits += (got(freshEnc, freshModel) & exact).size
+      qs.foreach { case (qid, _) =>
+        val exact = exactByQ.getOrElse(qid, Set.empty)
+        staleHits += (staleByQ.getOrElse(qid, Set.empty) & exact).size
+        refitHits += (refitByQ.getOrElse(qid, Set.empty) & exact).size
         truth += exact.size
       }
       freshEnc.unpersist(false)

@@ -87,14 +87,6 @@ object IvfPq {
       .select(col("vec_id"), col("cell"), col("codes"), col("nrm"))
   }
 
-  /** Two-stage IVF-ADC top-k: pick the query's `nProbe` nearest cells
-    * by pure driver arithmetic over the k centroids (same cosine +
-    * lower-id tie rule as [[KMeans.assignCells]]), ADC-score ONLY those
-    * cells' coded rows (the `cell` filter is an ordinary pushable
-    * predicate on the encoded table), keep `rerank` candidates
-    * (TakeOrderedAndProject — per-partition heap), and re-rank exactly
-    * against only their full vectors. The full-vector table is touched
-    * for `rerank` rows, not N; the coded table for ~nProbe/cells of N. */
   /** Multi-query IVF-ADC top-k — the production BATCH serving shape for
     * the index that matters at 100 TB (a cell-partitioned persisted
     * coded table): Q queries are answered in ONE pass over the probed
@@ -130,9 +122,13 @@ object IvfPq {
     *
     * `queries` must be (qid, qemb) with distinct qids and nonzero
     * norms — same fail-fast as [[topK]]'s zero-norm rule, applied
-    * per query. */
+    * per query. `excludeSelf` drops the pair `vec_id == qid` before
+    * shortlist selection — for corpus-member queries (kNN evaluation,
+    * [[AnnIndex.driftCheck]]) this equals per-query
+    * `encoded.where(vec_id =!= qid)` without Q per-query scans. */
   def topKBatch(e: DataFrame, encoded: DataFrame, model: Model,
-                queries: DataFrame, nProbe: Int, topK: Int, rerank: Int): DataFrame = {
+                queries: DataFrame, nProbe: Int, topK: Int, rerank: Int,
+                excludeSelf: Boolean = false): DataFrame = {
     require(nProbe >= 1, "IvfPq.topKBatch: nProbe must be >= 1")
     require(topK >= 1, s"IvfPq.topKBatch: topK must be >= 1 (got $topK)")
     require(rerank >= topK, s"IvfPq.topKBatch: rerank ($rerank) must be >= topK ($topK)")
@@ -173,9 +169,11 @@ object IvfPq {
       case (qid, _, _, probed, cellDot, _) =>
         probed.zip(cellDot).map { case (c, cd) => (qid, c, cd) }
     }).toDF("qid", "cell", "cellDot")
-    val shortlist = encoded
+    val paired = encoded
       .where(col("cell").isin(unionCells: _*)) // static → partition pruning
       .join(broadcast(probeDf), "cell") // BHJ: exactly the probed pairs
+    val shortlist = (if (excludeSelf) paired.where(col("vec_id") =!= col("qid"))
+                     else paired)
       .join(broadcast(qdf.select(col("qid"), col("qnorm"), col("lut"))), "qid")
       .select(col("qid"), col("vec_id"),
         try_divide(
@@ -199,6 +197,14 @@ object IvfPq {
       .select(col("qid"), col("t.id").as("vec_id"), col("t.score").as("cos"))
   }
 
+  /** Two-stage IVF-ADC top-k: pick the query's `nProbe` nearest cells
+    * by pure driver arithmetic over the k centroids (same cosine +
+    * lower-id tie rule as [[KMeans.assignCells]]), ADC-score ONLY those
+    * cells' coded rows (the `cell` filter is an ordinary pushable
+    * predicate on the encoded table), keep `rerank` candidates
+    * (TakeOrderedAndProject — per-partition heap), and re-rank exactly
+    * against only their full vectors. The full-vector table is touched
+    * for `rerank` rows, not N; the coded table for ~nProbe/cells of N. */
   def topK(e: DataFrame, encoded: DataFrame, model: Model, query: Array[Float],
            nProbe: Int, topK: Int, rerank: Int): DataFrame = {
     require(nProbe >= 1, "IvfPq.topK: nProbe must be >= 1")

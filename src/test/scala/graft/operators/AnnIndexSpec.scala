@@ -235,6 +235,25 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       IvfPq.topKBatch(corpus, served, back, zeroQ, nProbe = 4, topK = 10, rerank = 50)
     }
+    // excludeSelf must equal the per-query corpus-member formulation
+    // (encoded.where(vec_id =!= qid)) — the driftCheck shape
+    val memberQs = e.where(col("vec_id") % 41 === 1).orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exBatch = IvfPq.topKBatch(corpus, served, back, memberQs,
+      nProbe = 4, topK = 10, rerank = 50, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq)
+      .toMap
+    memberQs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .foreach { case (qid, q) =>
+        val single = topRows(IvfPq.topK(
+          corpus.where(col("vec_id") =!= qid),
+          served.where(col("vec_id") =!= qid), back, q,
+          nProbe = 4, topK = 10, rerank = 50))
+        assert(exBatch(qid) == single,
+          s"excludeSelf batch for qid=$qid must equal the filtered per-query path")
+      }
   }
 
   test("driftCheck reports stale-vs-refit recall through the operator API, deterministically") {
@@ -259,6 +278,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rep2 = AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, queries = fresh,
       topK = 5, rerank = 50, maxQueries = 3)
     assert(rep == rep2, "driftCheck must be deterministic")
+    // the batched internals (one exact pass + two topKBatch passes) must
+    // report EXACTLY what the per-query formulation computes — re-derive
+    // both recalls by hand with single-query jobs over the same sample
+    locally {
+      val (staleEnc, staleModel) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_dc")
+      val qs = fresh.select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val freshModel = IvfPq.fit(grown.select(col("vec_id"), col("embedding")),
+        cells = staleModel.centroids.size)
+      val freshEnc = IvfPq.encode(grown, freshModel)
+      val nProbe = Similarity.ivfNProbeFor(staleModel.centroids.size)
+      var staleHits = 0L; var refitHits = 0L; var truth = 0L
+      qs.foreach { case (qid, q) =>
+        val rest = grown.where(col("vec_id") =!= qid)
+        val exact = rest
+          .select(col("vec_id"), round(VectorFunctions
+            .vecCosine(col("embedding"), typedLit(q.toSeq)), 3).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        def got(enc: org.apache.spark.sql.DataFrame, m: IvfPq.Model): Set[Long] =
+          IvfPq.topK(rest, enc.where(col("vec_id") =!= qid), m, q,
+            nProbe = nProbe, topK = 5, rerank = 50)
+            .collect().map(_.getLong(0)).toSet
+        staleHits += (got(staleEnc, staleModel) & exact).size
+        refitHits += (got(freshEnc, freshModel) & exact).size
+        truth += exact.size
+      }
+      val t = math.max(truth, 1L).toDouble
+      assert(rep.staleRecall == staleHits / t && rep.refitRecall == refitHits / t,
+        s"batched driftCheck ($rep) must equal the per-query derivation " +
+          s"(stale ${staleHits / t}, refit ${refitHits / t})")
+    }
     intercept[IllegalArgumentException] {
       AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, fresh, maxQueries = 0)
     }
