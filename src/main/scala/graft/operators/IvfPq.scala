@@ -169,8 +169,13 @@ object IvfPq {
       case (qid, _, _, probed, cellDot, _) =>
         probed.zip(cellDot).map { case (c, cd) => (qid, c, cd) }
     }).toDF("qid", "cell", "cellDot")
-    val paired = encoded
-      .where(col("cell").isin(unionCells: _*)) // static → partition pruning
+    // static → partition pruning; when the union already covers every
+    // cell (small indexes, dense batches) the IN-list prunes nothing
+    // and at 4096 cells would only bloat the plan — skip it
+    val pruned =
+      if (unionCells.size == model.centroids.size) encoded
+      else encoded.where(col("cell").isin(unionCells: _*))
+    val paired = pruned
       .join(broadcast(probeDf), "cell") // BHJ: exactly the probed pairs
     val shortlist = (if (excludeSelf) paired.where(col("vec_id") =!= col("qid"))
                      else paired)

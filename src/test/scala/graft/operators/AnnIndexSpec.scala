@@ -208,8 +208,13 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batchDf = IvfPq.topKBatch(corpus, served, back, queries,
       nProbe = 4, topK = 10, rerank = 50)
     // the static union-of-probed-cells predicate must prune the
-    // persisted table's cell partitions even in the batch plan
-    val plan = batchDf.queryExecution.executedPlan.toString
+    // persisted table's cell partitions even in the batch plan; use a
+    // batch whose union is provably partial (2 queries × 2 probes ≤ 4
+    // of 8 cells) — a union covering EVERY cell legitimately skips the
+    // IN-list (nothing to prune)
+    val sparseBatch = IvfPq.topKBatch(corpus, served, back, queries.limit(2),
+      nProbe = 2, topK = 10, rerank = 50)
+    val plan = sparseBatch.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
       s"expected cell partition pruning on the batch scan:\n$plan")
     val batch = batchDf
