@@ -187,12 +187,12 @@ object ProductQuantizer {
 
   /** The m×k ADC lookup table for one query: `lut(s)(code)` = the dot
     * product of the query's s-th subvector with that code's codeword.
-    * [[adcDot]] broadcasts this as a driver-computed literal. The batch
-    * path [[pqTopKBatch]] does NOT call this — it rebuilds the same
-    * table in-plan (`flatten(transform(...))` over the codebook literal,
-    * subvector dots via `vec_dot` in the same s-then-code order);
-    * bit-identical scores across the two paths are proven by the
-    * AnnIndexSpec parity test, not enforced by shared code. */
+    * The ONE place the LUT dot order lives, for real this time:
+    * [[adcDot]] broadcasts it as a literal, and both batch paths —
+    * [[pqTopKBatch]] and [[IvfPq.topKBatch]] — compute each query's LUT
+    * on the driver through this method (flattened row-major), so
+    * cross-path score parity is shared code, with the AnnIndexSpec
+    * parity tests as the regression net. */
   private[operators] def adcLut(model: Model, query: Array[Float]): Seq[Seq[Double]] = {
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != ${model.m}×${model.subDim}")
@@ -228,11 +228,11 @@ object ProductQuantizer {
     * shape: `queries` (qid, qemb) are answered in ONE pass over the
     * encoded table instead of one pass per query, which at a
     * disk-resident 100 TB index divides the dominant cost — the coded
-    * scan — by the batch size. Each query row precomputes its m×k ADC
-    * lookup table ONCE on the Q-row side (`flatten(transform(...))`
-    * over the codebook literal — the same subDim dot products
-    * [[adcDot]] computes on the driver, evaluated in the same order, so
-    * scores are bit-identical); the broadcast cross join then attaches
+    * scan — by the batch size. Each query's m×k ADC lookup table is
+    * driver-computed through [[adcLut]] — the SAME method the
+    * single-query [[adcDot]] broadcasts, so cross-path score parity is
+    * shared code (an earlier cut rebuilt the table in-plan, a second
+    * copy of the dot order); the broadcast cross join then attaches
     * (qid, lut) to every encoded row and scoring stays m lookups + adds
     * per pair. Per-query `rerank` shortlists come from
     * [[graft.functions.TopKByScore]] — k-bounded buffers, map-side
@@ -246,20 +246,27 @@ object ProductQuantizer {
     *
     * Contract: `queries` is a BOUNDED batch (it is broadcast whole and
     * each row carries an m×k-double LUT — thousands of queries are
-    * fine, a second corpus is not). A zero-norm query scores NULL
-    * everywhere and drops out, the [[pqTopK]] convention. */
+    * fine, a second corpus is not; the driver additionally collects the
+    * batch to run adcLut, the same state the broadcast already holds).
+    * A zero-norm query scores NULL everywhere and drops out, the
+    * [[pqTopK]] convention. */
   def pqTopKBatch(e: DataFrame, encoded: DataFrame, model: Model,
                   queries: DataFrame, topK: Int, rerank: Int): DataFrame = {
     require(topK >= 1, s"pqTopKBatch: topK must be >= 1 (got $topK)")
     require(rerank >= topK, s"pqTopKBatch: rerank ($rerank) must be >= topK ($topK)")
-    VectorFunctions.ensureRegistered(e.sparkSession)
-    val (m, k, subDim) = (model.m, model.k, model.subDim)
-    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq))) // m × k × subDim
-    val withLut = queries.select(col("qid"), col("qemb"),
-      sqrt(VectorFunctions.vecDot(col("qemb"), col("qemb"))).as("qnorm"),
-      flatten(transform(cbLit, (cb, s) =>
-        transform(cb, cw => VectorFunctions.vecDot(
-          slice(col("qemb"), s * subDim + 1, lit(subDim)), cw)))).as("lut"))
+    val spark = e.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val (m, k) = (model.m, model.k)
+    val qrows: Array[(Long, Array[Float])] = queries
+      .select(col("qid"), col("qemb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // qnorm is the same driver expression pqTopK/adcScores uses;
+    // adcLut is the same LUT adcDot broadcasts — bit-parity by shared
+    // code, flattened row-major for the flat element_at below
+    val withLut = spark.createDataFrame(qrows.toSeq.map { case (qid, q) =>
+      (qid, q.toSeq, math.sqrt(q.map(x => x.toDouble * x).sum),
+        adcLut(model, q).flatten)
+    }).toDF("qid", "qemb", "qnorm", "lut")
     val shortlist = encoded.crossJoin(broadcast(withLut))
       .select(col("qid"),
         col("vec_id"),
@@ -274,7 +281,7 @@ object ProductQuantizer {
       .select(col("qid"), col("t.id").as("vec_id"))
     shortlist
       .join(e, "vec_id")
-      .join(broadcast(queries.select(col("qid"), col("qemb"))), "qid")
+      .join(broadcast(withLut.select(col("qid"), col("qemb"))), "qid")
       .select(col("qid"), col("vec_id"),
         round(VectorFunctions.vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
       .groupBy(col("qid"))
