@@ -224,8 +224,7 @@ object AnnIndex {
       val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
       val freshEnc = IvfPq.encode(full, freshModel).persist(disk)
       val nProbe = Similarity.ivfNProbeFor(staleModel.centroids.size)
-      val spark2 = full.sparkSession
-      val qdf = spark2.createDataFrame(qs.toSeq.map { case (id, v) => (id, v.toSeq) })
+      val qdf = spark.createDataFrame(qs.toSeq.map { case (id, v) => (id, v.toSeq) })
         .toDF("qid", "qemb")
       def byQid(df: DataFrame): Map[Long, Set[Long]] = df
         .select(col("qid"), col("vec_id")).collect()

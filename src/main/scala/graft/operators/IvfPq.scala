@@ -98,7 +98,9 @@ object IvfPq {
     *   - the UNION of all queries' probed cells becomes one STATIC
     *     `cell IN (...)` predicate, so on a persisted index the scan
     *     still prunes to probed-cell FILES (partition pruning survives
-    *     batching — AnnIndexSpec asserts the PartitionFilters);
+    *     batching — AnnIndexSpec asserts the PartitionFilters; when the
+    *     union covers every cell there is nothing to prune and the
+    *     IN-list is dropped rather than bloating the plan);
     *   - the probe sets explode to slim (qid, cell, cellDot) rows that
     *     BROADCAST-HASH-JOIN the scan on `cell` — each coded row meets
     *     exactly the queries that probe its cell (the minimal pair set;
