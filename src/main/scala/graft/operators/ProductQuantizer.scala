@@ -249,7 +249,12 @@ object ProductQuantizer {
     * fine, a second corpus is not; the driver additionally collects the
     * batch to run adcLut, the same state the broadcast already holds).
     * A zero-norm query scores NULL everywhere and drops out, the
-    * [[pqTopK]] convention. */
+    * [[pqTopK]] convention. A query whose dimension does not match the
+    * model's m×subDim fails fast on the driver with
+    * `IllegalArgumentException` for the whole batch — deliberately
+    * stricter than [[pqTopK]]'s silent NULL drop-out: in a batch, one
+    * malformed query is a caller bug worth surfacing, not a row to
+    * silently lose. */
   def pqTopKBatch(e: DataFrame, encoded: DataFrame, model: Model,
                   queries: DataFrame, topK: Int, rerank: Int): DataFrame = {
     require(topK >= 1, s"pqTopKBatch: topK must be >= 1 (got $topK)")
@@ -260,6 +265,10 @@ object ProductQuantizer {
     val qrows: Array[(Long, Array[Float])] = queries
       .select(col("qid"), col("qemb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    qrows.find(_._2.length != m * model.subDim).foreach { case (qid, q) =>
+      throw new IllegalArgumentException(
+        s"pqTopKBatch: query $qid has dim ${q.length}, model expects ${m * model.subDim}")
+    }
     // qnorm is the same driver expression pqTopK/adcScores uses;
     // adcLut is the same LUT adcDot broadcasts — bit-parity by shared
     // code, flattened row-major for the flat element_at below

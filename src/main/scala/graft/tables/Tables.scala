@@ -34,13 +34,22 @@ object Tables {
   /** `events.ts` is nanosecond-precision parquet (TESTDATA/FIXTURES.md),
     * which Spark 4's TimestampType (µs) rejects outright. Read nanos as
     * long via the legacy conf, then truncate to µs — the same truncation
-    * DuckDB's TIMESTAMP cast applies, so comparisons agree. */
+    * DuckDB's TIMESTAMP cast applies, so comparisons agree.
+    *
+    * The ns annotation is `isAdjustedToUTC=false`, i.e. NTZ semantics: the
+    * stored long IS the wall-clock micros×1000, so normalize to
+    * TimestampNTZType — the type the regenerated µs fixtures read natively —
+    * by adding the micros to the NTZ epoch with exact decimal interval
+    * arithmetic. A `timestamp_micros`/TimestampType intermediate would
+    * reinterpret the wall-clock value as an instant and shift it by the
+    * session timezone. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_ntz'1970-01-01 00:00:00' + " +
+          "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(26,0)) / 1000000)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = balanced(load(s, d, "documents"))

@@ -43,6 +43,17 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def topRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  /** A `PartitionFilters: [` substring proves nothing — every partitioned
+    * FileScan prints one, even with an empty list. Pruning is only proven
+    * by a non-empty predicate over `cell` INSIDE some scan's bracket. */
+  private def assertCellPruned(plan: String, what: String): Unit = {
+    val brackets = raw"PartitionFilters: \[([^\]]*)\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(brackets.exists(b => b.trim.nonEmpty && b.contains("cell")),
+      s"$what: expected a non-empty cell predicate inside PartitionFilters " +
+        s"(got ${brackets.mkString("[", "] [", "]")}):\n$plan")
+  }
+
   test("flat-PQ index round-trips: model bit-equal, served topK == in-memory topK") {
     VectorFunctions.ensureRegistered(spark)
     val e = embeddings
@@ -95,8 +106,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the probe's cell filter must prune the PERSISTED table's partitions
     // — this is the serving path itself, not a hand-built read
     val plan = qDisk.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
-      s"expected cell partition pruning on the served scan:\n$plan")
+    assertCellPruned(plan, "served scan")
     val qMem = IvfPq.topK(corpus, IvfPq.encode(corpus, model), model, q,
       nProbe = 6, topK = 10, rerank = 100)
     assert(topRows(qDisk) == topRows(qMem),
@@ -158,8 +168,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // prune layout intact: the probe filter still plans PartitionFilters
     val (enc, _) = AnnIndex.readIvfPq(spark, lake, Fs, "ivfpq_m")
     val plan = enc.where(col("cell").isin(0, 1)).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
-      s"cell pruning must survive compaction:\n$plan")
+    assertCellPruned(plan, "post-compaction scan")
   }
 
   test("pqTopKBatch equals per-query pqTopK row-for-row") {
@@ -189,6 +198,13 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch(qid) == single,
         s"batch result for qid=$qid must equal pqTopK bit-for-bit")
     }
+    // a wrong-dimension query fails fast for the whole batch (contract:
+    // batch callers get a loud driver-side error, not a silent drop-out)
+    val badDim = spark.createDataFrame(Seq((77L, Seq.fill(3)(0.1f)))).toDF("qid", "qemb")
+    val ex = intercept[IllegalArgumentException] {
+      ProductQuantizer.pqTopKBatch(corpus, enc, model, badDim, topK = 10, rerank = 50)
+    }
+    assert(ex.getMessage.contains("77"), "fail-fast must name the offending qid")
   }
 
   test("IvfPq.topKBatch equals per-query topK row-for-row on the persisted index, with pruning") {
@@ -215,8 +231,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sparseBatch = IvfPq.topKBatch(corpus, served, back, queries.limit(2),
       nProbe = 2, topK = 10, rerank = 50)
     val plan = sparseBatch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
-      s"expected cell partition pruning on the batch scan:\n$plan")
+    assertCellPruned(plan, "batch scan")
     val batch = batchDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view

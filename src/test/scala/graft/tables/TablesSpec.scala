@@ -50,10 +50,14 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f("props") == StringType)
   }
 
-  test("legacy ns-precision events parquet still normalizes to TimestampType") {
-    // The pre-regen fixtures carried timestamp[ns]; keep the ns→µs branch
+  test("legacy ns-precision events parquet normalizes to TimestampNTZType, TZ-independently") {
+    // The pre-regen fixtures carried timestamp[ns] (isAdjustedToUTC=false,
+    // i.e. NTZ wall-clock semantics); keep the ns→µs branch
     // (Tables.scala events) from rotting by writing a tiny ns-typed
     // parquet here with parquet-mr (Spark cannot write NANOS itself).
+    // The branch must yield the SAME type (TimestampNTZ) and the SAME
+    // wall-clock value as the regenerated µs fixtures would — under any
+    // session timezone.
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -77,10 +81,19 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     writer.write(g.newGroup().append("event_id", 1L).append("ts", nanos).append("props", "{}"))
     writer.close()
     try {
-      val df = Tables.events(spark, tmp.getAbsolutePath)
-      assert(df.schema("ts").dataType == TimestampType) // LongType without the fix
-      val micros = df.select(org.apache.spark.sql.functions.unix_micros(df("ts"))).head().getLong(0)
-      assert(micros == nanos / 1000)
+      val want = java.time.LocalDateTime.ofEpochSecond(
+        nanos / 1000000000L, ((nanos / 1000) % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC)
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        Seq("UTC", "America/Los_Angeles", "Asia/Tokyo").foreach { tz =>
+          spark.conf.set("spark.sql.session.timeZone", tz)
+          val df = Tables.events(spark, tmp.getAbsolutePath)
+          assert(df.schema("ts").dataType == TimestampNTZType) // LongType without the fix
+          val got = df.select(df("ts")).head().getAs[java.time.LocalDateTime](0)
+          assert(got == want, s"wall-clock value must not depend on session TZ ($tz)")
+        }
+      } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     } finally {
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
