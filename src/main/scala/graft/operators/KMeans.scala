@@ -355,6 +355,17 @@ object KMeans {
     }
   }
 
+  /** Upper bound on [[fit]]'s per-iteration driver collect: the Lloyd's
+    * step pulls k×dim slim (cell, dim, mean) rows back to repack the
+    * centroid table — model parameters, not data, but still linear in
+    * k×dim. 4096 cells × 64 dims = 262k rows is trivia; 4096 × 1024-dim
+    * embeddings would be ~4.2M rows (hundreds of MB of Row overhead)
+    * collected EVERY iteration — enough to wedge a busy driver. Fail
+    * loud at the documented bound instead; a corpus past it wants the
+    * means repacked aggregate-side (array_agg per cell → k rows of
+    * dim-length arrays) before the cap is raised. */
+  val MaxMeansDriverRows: Long = 1L << 21
+
   /** Lloyd's iterations until assignments stop changing (or maxIters).
     * Empty cells keep their previous centroid. */
   def fit(e0: DataFrame, k: Int = 8, maxIters: Int = 10): Model = {
@@ -386,6 +397,11 @@ object KMeans {
         s"need at least $k non-zero vectors to seed $k cells")
       require(sample.map(_._2.length).distinct.length == 1,
         "seed vectors disagree on dimensionality — mixed-dim input")
+      val dim = sample.head._2.length
+      require(k.toLong * dim <= MaxMeansDriverRows,
+        s"fit: k ($k) x dim ($dim) = ${k.toLong * dim} driver rows per " +
+          s"Lloyd's iteration exceeds MaxMeansDriverRows ($MaxMeansDriverRows); " +
+          "repack the means aggregate-side before raising the cap")
       var centroids: Seq[Array[Float]] = seedIndices(sample, k).map(i => sample(i)._2)
       var prev: Option[DataFrame] = None
       var iter = 0

@@ -103,6 +103,26 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells(-1L) == -1, "zero-norm row must be unassignable (cell -1)")
   }
 
+  test("fit fails loud when k x dim exceeds the documented driver-collect bound") {
+    import spark.implicits._
+    // the Lloyd's step collects k x dim (cell, dim, mean) driver rows per
+    // iteration; a 1024-dim corpus at a 4096-cell tier would be ~4.2M rows
+    // — over MaxMeansDriverRows. The require must fire BEFORE any
+    // iteration runs (no silent driver OOM mid-fit).
+    val dim = 70000 // 32 * 70000 = 2.24M > MaxMeansDriverRows (2^21)
+    val wide = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i + j) % 7 + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      KMeans.fit(wide, k = 32, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("MaxMeansDriverRows"),
+      s"must name the documented bound: ${ex.getMessage}")
+    assert(32L * dim > KMeans.MaxMeansDriverRows) // the test premise
+    assert(4096L * 64 <= KMeans.MaxMeansDriverRows,
+      "the production 4096-cell x 64-dim tier must stay under the cap")
+  }
+
   test("exploded argmax (large-k path) assigns identically to the when-chain") {
     // the k > MaxWhenChainCells assignment path must be bit-identical to
     // the literal when-chain it replaces (same arithmetic, same ties)
