@@ -223,7 +223,6 @@ object AnnIndex {
     try {
       val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
       val freshEnc = IvfPq.encode(full, freshModel).persist(disk)
-      val nProbe = Similarity.ivfNProbeFor(staleModel.centroids.size)
       val qdf = spark.createDataFrame(qs.toSeq.map { case (id, v) => (id, v.toSeq) })
         .toDF("qid", "qemb")
       def byQid(df: DataFrame): Map[Long, Set[Long]] = df
@@ -243,10 +242,13 @@ object AnnIndex {
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.id").as("vec_id")))
       // stale + refit answers: one topKBatch pass each (excludeSelf is
-      // the batched form of the per-query `vec_id =!= qid` filters)
+      // the batched form of the per-query `vec_id =!= qid` filters);
+      // the auto-tier overload reads nProbe from each model's own cell
+      // count — identical for stale and refit since the re-fit keeps
+      // the cell geometry
       def got(enc: DataFrame, m: IvfPq.Model): Map[Long, Set[Long]] =
         byQid(IvfPq.topKBatch(full, enc, m, qdf,
-          nProbe = nProbe, topK = topK, rerank = rerank, excludeSelf = true))
+          topK = topK, rerank = rerank, excludeSelf = true))
       val staleByQ = got(staleEnc, staleModel)
       val refitByQ = got(freshEnc, freshModel)
       var staleHits = 0L; var refitHits = 0L; var truth = 0L

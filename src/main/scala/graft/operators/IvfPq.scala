@@ -128,6 +128,21 @@ object IvfPq {
     * shortlist selection — for corpus-member queries (kNN evaluation,
     * [[AnnIndex.driftCheck]]) this equals per-query
     * `encoded.where(vec_id =!= qid)` without Q per-query scans. */
+  /** [[topKBatch]] with the probe depth read from the model's own cell
+    * count via [[Similarity.ivfNProbeFor]] — the same tier rule the
+    * single-query ss9 path applies. A batch caller that hard-codes a
+    * literal nProbe keeps it while the index grows across tiers and
+    * silently under-probes (48 cells' worth of neighborhood spread over
+    * 4096 cells, probed 4 deep); this overload cannot — the depth
+    * follows the geometry it probes. `excludeSelf` is explicit because
+    * Scala allows default arguments on only one overload. */
+  def topKBatch(e: DataFrame, encoded: DataFrame, model: Model,
+                queries: DataFrame, topK: Int, rerank: Int,
+                excludeSelf: Boolean): DataFrame =
+    topKBatch(e, encoded, model, queries,
+      nProbe = Similarity.ivfNProbeFor(model.centroids.size),
+      topK = topK, rerank = rerank, excludeSelf = excludeSelf)
+
   def topKBatch(e: DataFrame, encoded: DataFrame, model: Model,
                 queries: DataFrame, nProbe: Int, topK: Int, rerank: Int,
                 excludeSelf: Boolean = false): DataFrame = {

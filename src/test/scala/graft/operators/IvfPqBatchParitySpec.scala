@@ -89,4 +89,34 @@ class IvfPqBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("auto-tier topKBatch reads nProbe from the model's cell count, parity with topK") {
+    // the overload without nProbe must apply the exact single-query tier
+    // rule — parity against per-query topK run at ivfNProbeFor(cells),
+    // across geometries either side of a tier boundary
+    cases.take(4).foreach { case (seed, dim, n, cells, m, _, q, dupEvery) =>
+      val label = s"auto seed=$seed dim=$dim n=$n cells=$cells q=$q"
+      val e = corpus(seed, dim, n, dupEvery)
+      val model = IvfPq.fit(e, cells = cells, m = m, k = 8)
+      val enc = IvfPq.encode(e, model)
+      val tierProbe = Similarity.ivfNProbeFor(model.centroids.size)
+      val step = math.max(1, n / q)
+      val queries = e.where(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(q)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val batch = IvfPq.topKBatch(e, enc, model, queries,
+        topK = 3, rerank = 8, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq)
+        .toMap
+      queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .foreach { case (qid, qv) =>
+          val single = IvfPq.topK(e, enc, model, qv, nProbe = tierProbe,
+            topK = 3, rerank = 8)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(batch.getOrElse(qid, Seq.empty) == single,
+            s"[$label] auto-tier batch != single@tierProbe=$tierProbe for qid=$qid")
+        }
+    }
+  }
 }
