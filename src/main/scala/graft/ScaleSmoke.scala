@@ -45,6 +45,26 @@ object ScaleSmoke {
     val nVecs = embs.count()
     println(s"scale-smoke: $nDocs docs, $nVecs vectors (x$replicas)")
 
+    // Synthetic clustered corpus for the drift stages: `nClusters` tight
+    // Gaussian clusters (centers ~ N(0,1)^64), deterministic driver-side
+    // synthesis. σ=0.6 is wide enough that neighbor ranks resolve at the
+    // kernels' 3-decimal rounding.
+    def clustered(seed: Int, idBase: Long, nClusters: Int = 16,
+                  perCluster: Int = 250, sigma: Float = 0.6f): DataFrame = {
+      val dim = 64
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+      val rows: Seq[(Long, Seq[Float])] =
+        for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+          (idBase + c * perCluster + i,
+            centers(c).map(x => x + sigma * rnd.nextGaussian().toFloat).toSeq)
+        }
+      spark.createDataFrame(rows).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .repartition(cpus)
+    }
+
     var failed = false
     def timed(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -487,20 +507,6 @@ object ScaleSmoke {
       try {
         val lake = graft.lake.LakeClient.local(idxRoot.toString)
         lake.createFilesystem("cdrift")
-        val dim = 64; val nClusters = 16; val perCluster = 250
-        def clustered(seed: Int, idBase: Long): DataFrame = {
-          val rnd = new scala.util.Random(seed)
-          val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
-          val rows: Seq[(Long, Seq[Float])] =
-            for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
-              (idBase + c * perCluster + i,
-                centers(c).map(x => x + 0.6f * rnd.nextGaussian().toFloat).toSeq)
-            }
-          spark.createDataFrame(rows).toDF("vec_id", "embedding")
-            .select(col("vec_id"),
-              col("embedding").cast("array<float>").as("embedding"))
-            .repartition(cpus)
-        }
         val base = clustered(11, 0L)
         val drifted = clustered(97, 1000000L)
         val staleModel = graft.operators.IvfPq.fit(base, cells = 64)
@@ -522,6 +528,112 @@ object ScaleSmoke {
         case e: Throwable =>
           failed = true
           println(s"index drift (clustered) FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
+    }
+    // FLAT-PQ codebook drift — driftCheckPq validated against the drift
+    // shape where codebook staleness ACTUALLY bites, which measurement
+    // shows is DIFFERENT from the one that bites IVF geometry. Swept at
+    // this corpus (k ∈ {32,64,256}, rerank ∈ {10,32,100}): cluster-MOVE
+    // drift (the IVF killer above) never pays a flat-PQ refit — gains
+    // -0.17..+0.06 — because ADC is asymmetric (the query is never
+    // quantized) and the exact re-rank rescues any shortlist the stale
+    // codes still rank loosely; stale codes even dither new clusters
+    // across more codewords than a same-k refit concentrates them into.
+    // What DOES kill a stale codebook is DYNAMIC-RANGE drift: appends at
+    // ~10× the norm scale (a new embedding model / unnormalized feature
+    // source) land outside the codewords' span, every subvector maps to
+    // the few extreme codewords, ADC code diversity collapses, and true
+    // neighbors stop making the shortlist at all — measured stale .000
+    // vs refit .500 recall@10 at the shipped fit defaults (refit
+    // reallocates codewords to the new range; cosine truth is
+    // scale-invariant, so the instrument is clean). refitPays(0.15)
+    // must fire here.
+    locally {
+      val t0 = System.nanoTime()
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-pqdrift")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("pqdrift")
+        val base = clustered(11, 0L)
+        val drifted = clustered(97, 1000000L)
+          .select(col("vec_id"), transform(col("embedding"),
+            x => (x * 10.0f).cast("float")).as("embedding"))
+        val staleModel = graft.operators.ProductQuantizer.fit(base)
+        graft.operators.AnnIndex.writePq(lake, "pqdrift", "pq", base, staleModel)
+        graft.operators.AnnIndex.appendPq(lake, "pqdrift", "pq", drifted)
+        val report = graft.operators.AnnIndex.driftCheckPq(lake, "pqdrift", "pq",
+          corpus = base.unionByName(drifted), queries = drifted,
+          topK = 10, rerank = 100, maxQueries = 16)
+        println(f"pq codebook drift (range)    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"stale ${report.staleRecall}%.2f vs refit ${report.refitRecall}%.2f " +
+          f"recall@10 (${report.queries} queries, " +
+          f"gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        if (!report.refitPays(0.15)) {
+          failed = true
+          println(f"refitPays(0.15) did NOT fire on the range-drifted codebook — " +
+            f"the PQ re-fit signal is broken (gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        }
+        if (report.refitRecall < 0.3) {
+          failed = true
+          println(f"refit recall ${report.refitRecall}%.2f collapsed below the .30 bar — " +
+            "the refit itself no longer covers the drifted range")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"pq codebook drift FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
+      }
+    }
+    // The no-drift control for driftCheckPq, mirroring the isotropic IVF
+    // stage above: orthogonal drift (coordinate permutation + sign
+    // flips) preserves both the corpus' per-subspace statistics and
+    // every pairwise cosine, so the stale codebooks still cover the
+    // appended slice and the refit decision at minGain=.15 must come
+    // back "don't" (measured stale .57 vs refit .62, gain +.05, at the
+    // shipped fit defaults).
+    locally {
+      val t0 = System.nanoTime()
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-pqiso")
+      try {
+        val lake = graft.lake.LakeClient.local(idxRoot.toString)
+        lake.createFilesystem("pqiso")
+        val base = graft.tables.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val rnd = new scala.util.Random(3)
+        val perm = rnd.shuffle((0 until 64).toVector)
+        val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        val drifted = base.select((col("vec_id") + 10000000L).as("vec_id"),
+          array((0 until 64).map(i =>
+            (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
+            .as("embedding"))
+        val staleModel = graft.operators.ProductQuantizer.fit(base)
+        graft.operators.AnnIndex.writePq(lake, "pqiso", "pq", base, staleModel)
+        graft.operators.AnnIndex.appendPq(lake, "pqiso", "pq", drifted)
+        val report = graft.operators.AnnIndex.driftCheckPq(lake, "pqiso", "pq",
+          corpus = base.unionByName(drifted), queries = drifted,
+          topK = 10, rerank = 100, maxQueries = 16)
+        println(f"pq codebook drift (control)  ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"stale ${report.staleRecall}%.2f vs refit ${report.refitRecall}%.2f " +
+          f"recall@10 (${report.queries} queries, " +
+          f"gain ${report.refitRecall - report.staleRecall}%+.2f)")
+        if (report.refitPays(0.15)) {
+          failed = true
+          println(f"refitPays(0.15) fired on the isotropic PQ control — threshold too twitchy")
+        }
+        if (report.staleRecall < 0.3 || report.refitRecall < 0.3) {
+          failed = true
+          println(f"pq control recall collapsed below the .30 bars")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"pq codebook drift (control) FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)

@@ -206,31 +206,108 @@ object AnnIndex {
                  corpus: DataFrame, queries: DataFrame,
                  topK: Int = 10, rerank: Int = 100,
                  maxQueries: Int = 8): DriftReport = {
-    require(topK >= 1, s"driftCheck: topK must be >= 1 (got $topK)")
-    require(rerank >= topK, s"driftCheck: rerank ($rerank) must be >= topK ($topK)")
-    require(maxQueries >= 1 && maxQueries <= 64,
-      s"driftCheck: maxQueries must be in [1, 64] (got $maxQueries) — " +
-        "the bounded-sample contract; probe more queries in batches")
     val spark = corpus.sparkSession
     val (staleEnc, staleModel) = readIvfPq(spark, lake, filesystem, path)
+    driftReport(corpus, queries, topK, rerank, maxQueries, "driftCheck") {
+      (full, qdf) =>
+        // stale + refit answers: one topKBatch pass each (excludeSelf is
+        // the batched form of the per-query `vec_id =!= qid` filters);
+        // the auto-tier overload reads nProbe from each model's own cell
+        // count — identical for stale and refit since the re-fit keeps
+        // the cell geometry
+        val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
+        val freshEnc = IvfPq.encode(full, freshModel).persist(Disk)
+        try {
+          def got(enc: DataFrame, m: IvfPq.Model): Map[Long, Set[Long]] =
+            byQid(IvfPq.topKBatch(full, enc, m, qdf,
+              topK = topK, rerank = rerank, excludeSelf = true))
+          (got(staleEnc, staleModel), got(freshEnc, freshModel))
+        } finally { freshEnc.unpersist(false); () }
+    }
+  }
+
+  /** [[driftCheck]] for a FLAT-PQ index — the codebook-staleness face of
+    * the same re-fit signal. A flat-PQ index has no cell geometry to go
+    * stale; what drifts is the shared per-subspace CODEBOOK: appends
+    * land encoded under codewords fit before those rows existed
+    * ([[appendPq]]), so when the corpus distribution moves, appended
+    * rows quantize with growing residuals in directions the stale
+    * codebooks never allocated codewords to — ADC shortlists degrade for
+    * queries from the drifted slice (recall, not correctness: the exact
+    * re-rank still scores true cosines, but the true neighbors stop
+    * making the shortlist). Same contract and batched 3-job shape as the
+    * IVF-PQ form: exact truth in one brute-force pass, stale and refit
+    * answers via [[ProductQuantizer.pqTopKBatch]] with `excludeSelf`,
+    * the re-fit keeping the stale model's (m, k) geometry so the report
+    * isolates codebook staleness from a capacity change. Deterministic
+    * end-to-end; job count independent of the sample size.
+    *
+    * MEASURED PHYSICS (ScaleSmoke validates both directions): what goes
+    * stale for a flat-PQ codebook is NOT what goes stale for IVF cell
+    * geometry. Cluster-move drift — the shape that opens a +.26 gap for
+    * [[driftCheck]] — never pays a flat-PQ refit (swept gains
+    * -0.17..+0.06 across k ∈ {32,64,256} and rerank ∈ {10,32,100}):
+    * asymmetric ADC never quantizes the query and the exact re-rank
+    * rescues loosely-ranked shortlists. What DOES kill a stale codebook
+    * is DYNAMIC-RANGE drift — appends far outside the codewords' span
+    * (a new embedding model, an unnormalized feature source) collapse
+    * ADC code diversity and true neighbors stop making the shortlist:
+    * measured stale .000 vs refit .500 recall@10 at the fit defaults,
+    * where `refitPays` fires; the orthogonal-drift control stays
+    * silent (+.05). */
+  def driftCheckPq(lake: LakeClient, filesystem: String, path: String,
+                   corpus: DataFrame, queries: DataFrame,
+                   topK: Int = 10, rerank: Int = 100,
+                   maxQueries: Int = 8): DriftReport = {
+    val spark = corpus.sparkSession
+    val (staleEnc, staleModel) = readPq(spark, lake, filesystem, path)
+    driftReport(corpus, queries, topK, rerank, maxQueries, "driftCheckPq") {
+      (full, qdf) =>
+        val freshModel = ProductQuantizer.fit(full,
+          m = staleModel.m, k = staleModel.k)
+        val freshEnc = ProductQuantizer.encode(full, freshModel).persist(Disk)
+        try {
+          def got(enc: DataFrame, m: ProductQuantizer.Model): Map[Long, Set[Long]] =
+            byQid(ProductQuantizer.pqTopKBatch(full, enc, m, qdf,
+              topK = topK, rerank = rerank, excludeSelf = true))
+          (got(staleEnc, staleModel), got(freshEnc, freshModel))
+        } finally { freshEnc.unpersist(false); () }
+    }
+  }
+
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def byQid(df: DataFrame): Map[Long, Set[Long]] = df
+    .select(col("qid"), col("vec_id")).collect()
+    .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  /** The shared drift-probe skeleton both index kinds report through:
+    * bounded hash-ordered query sample, ONE brute-force exact pass for
+    * the whole sample (same 3-decimal rounding and (cos desc, lower id)
+    * tie rule as the per-query orderBy/limit form, so the top-k SETS
+    * are identical), then `answers(full, qdf)` → (staleByQ, refitByQ)
+    * supplies the two index-specific batched passes, and the recalls
+    * are scored against the shared truth. */
+  private def driftReport(corpus: DataFrame, queries: DataFrame,
+                          topK: Int, rerank: Int, maxQueries: Int,
+                          what: String)
+      (answers: (DataFrame, DataFrame) =>
+        (Map[Long, Set[Long]], Map[Long, Set[Long]])): DriftReport = {
+    require(topK >= 1, s"$what: topK must be >= 1 (got $topK)")
+    require(rerank >= topK, s"$what: rerank ($rerank) must be >= topK ($topK)")
+    require(maxQueries >= 1 && maxQueries <= 64,
+      s"$what: maxQueries must be in [1, 64] (got $maxQueries) — " +
+        "the bounded-sample contract; probe more queries in batches")
+    val spark = corpus.sparkSession
     val qs: Array[(Long, Array[Float])] = queries
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxQueries)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(qs.nonEmpty, "driftCheck: queries has no rows")
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val full = corpus.select(col("vec_id"), col("embedding")).persist(disk)
+    require(qs.nonEmpty, s"$what: queries has no rows")
+    val full = corpus.select(col("vec_id"), col("embedding")).persist(Disk)
     try {
-      val freshModel = IvfPq.fit(full, cells = staleModel.centroids.size)
-      val freshEnc = IvfPq.encode(full, freshModel).persist(disk)
       val qdf = spark.createDataFrame(qs.toSeq.map { case (id, v) => (id, v.toSeq) })
         .toDF("qid", "qemb")
-      def byQid(df: DataFrame): Map[Long, Set[Long]] = df
-        .select(col("qid"), col("vec_id")).collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      // exact ground truth for the whole sample in ONE brute-force pass:
-      // same 3-decimal rounding and (cos desc, lower id) tie rule as the
-      // per-query orderBy/limit form, so the top-k SETS are identical
       val exactByQ = byQid(full.crossJoin(broadcast(qdf))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
@@ -241,16 +318,7 @@ object AnnIndex {
           .topkByScore(col("cos"), col("vec_id"), topK).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.id").as("vec_id")))
-      // stale + refit answers: one topKBatch pass each (excludeSelf is
-      // the batched form of the per-query `vec_id =!= qid` filters);
-      // the auto-tier overload reads nProbe from each model's own cell
-      // count — identical for stale and refit since the re-fit keeps
-      // the cell geometry
-      def got(enc: DataFrame, m: IvfPq.Model): Map[Long, Set[Long]] =
-        byQid(IvfPq.topKBatch(full, enc, m, qdf,
-          topK = topK, rerank = rerank, excludeSelf = true))
-      val staleByQ = got(staleEnc, staleModel)
-      val refitByQ = got(freshEnc, freshModel)
+      val (staleByQ, refitByQ) = answers(full, qdf)
       var staleHits = 0L; var refitHits = 0L; var truth = 0L
       qs.foreach { case (qid, _) =>
         val exact = exactByQ.getOrElse(qid, Set.empty)
@@ -258,7 +326,6 @@ object AnnIndex {
         refitHits += (refitByQ.getOrElse(qid, Set.empty) & exact).size
         truth += exact.size
       }
-      freshEnc.unpersist(false)
       val t = math.max(truth, 1L).toDouble
       DriftReport(staleHits / t, refitHits / t, qs.length)
     } finally { full.unpersist(false); () }

@@ -254,9 +254,13 @@ object ProductQuantizer {
     * `IllegalArgumentException` for the whole batch — deliberately
     * stricter than [[pqTopK]]'s silent NULL drop-out: in a batch, one
     * malformed query is a caller bug worth surfacing, not a row to
-    * silently lose. */
+    * silently lose. `excludeSelf` drops the pair `vec_id == qid` before
+    * the shortlist — the batched form of the per-query corpus-member
+    * filters (the [[AnnIndex.driftCheckPq]] shape), mirroring
+    * [[IvfPq.topKBatch]]'s flag. */
   def pqTopKBatch(e: DataFrame, encoded: DataFrame, model: Model,
-                  queries: DataFrame, topK: Int, rerank: Int): DataFrame = {
+                  queries: DataFrame, topK: Int, rerank: Int,
+                  excludeSelf: Boolean = false): DataFrame = {
     require(topK >= 1, s"pqTopKBatch: topK must be >= 1 (got $topK)")
     require(rerank >= topK, s"pqTopKBatch: rerank ($rerank) must be >= topK ($topK)")
     val spark = e.sparkSession
@@ -276,7 +280,9 @@ object ProductQuantizer {
       (qid, q.toSeq, math.sqrt(q.map(x => x.toDouble * x).sum),
         adcLut(model, q).flatten)
     }).toDF("qid", "qemb", "qnorm", "lut")
-    val shortlist = encoded.crossJoin(broadcast(withLut))
+    val paired = encoded.crossJoin(broadcast(withLut))
+    val shortlist = (if (excludeSelf) paired.where(col("vec_id") =!= col("qid"))
+                     else paired)
       .select(col("qid"),
         col("vec_id"),
         try_divide(

@@ -205,6 +205,24 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       ProductQuantizer.pqTopKBatch(corpus, enc, model, badDim, topK = 10, rerank = 50)
     }
     assert(ex.getMessage.contains("77"), "fail-fast must name the offending qid")
+    // excludeSelf must equal the per-query corpus-member formulation
+    // (corpus/encoded filtered to vec_id =!= qid) — the driftCheckPq shape
+    val memberQs = e.where(col("vec_id") % 41 === 1).orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exBatch = ProductQuantizer.pqTopKBatch(corpus, enc, model, memberQs,
+      topK = 10, rerank = 50, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq)
+      .toMap
+    memberQs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .foreach { case (qid, q) =>
+        val single = topRows(ProductQuantizer.pqTopK(
+          corpus.where(col("vec_id") =!= qid),
+          enc.where(col("vec_id") =!= qid), model, q, 10, 50))
+        assert(exBatch(qid) == single,
+          s"excludeSelf batch for qid=$qid must equal the filtered per-query path")
+      }
   }
 
   test("IvfPq.topKBatch equals per-query topK row-for-row on the persisted index, with pruning") {
@@ -339,6 +357,68 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     intercept[IllegalArgumentException] {
       AnnIndex.driftCheck(lake, Fs, "ivfpq_dc", grown, fresh, topK = 10, rerank = 5)
+    }
+  }
+
+  test("driftCheckPq reports codebook stale-vs-refit recall, equal to the per-query derivation") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings
+    val base = e.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+    val fresh = e.where(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val model = ProductQuantizer.fit(base)
+    AnnIndex.writePq(lake, Fs, "pq_dc", base, model)
+    AnnIndex.appendPq(lake, Fs, "pq_dc", fresh)
+    val grown = base.unionByName(fresh)
+    val rep = AnnIndex.driftCheckPq(lake, Fs, "pq_dc", grown, queries = fresh,
+      topK = 5, rerank = 50, maxQueries = 3)
+    assert(rep.queries == 3)
+    assert(rep.staleRecall >= 0.0 && rep.staleRecall <= 1.0)
+    assert(rep.refitRecall >= 0.0 && rep.refitRecall <= 1.0)
+    val rep2 = AnnIndex.driftCheckPq(lake, Fs, "pq_dc", grown, queries = fresh,
+      topK = 5, rerank = 50, maxQueries = 3)
+    assert(rep == rep2, "driftCheckPq must be deterministic")
+    // the batched internals (one exact pass + two pqTopKBatch passes)
+    // must report EXACTLY what the per-query formulation computes; the
+    // re-fit must keep the stale model's (m, k) so only codebook
+    // staleness is measured
+    locally {
+      val (staleEnc, staleModel) = AnnIndex.readPq(spark, lake, Fs, "pq_dc")
+      val qs = fresh.select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val freshModel = ProductQuantizer.fit(
+        grown.select(col("vec_id"), col("embedding")),
+        m = staleModel.m, k = staleModel.k)
+      assert(freshModel.m == staleModel.m && freshModel.k == staleModel.k)
+      val freshEnc = ProductQuantizer.encode(grown, freshModel)
+      var staleHits = 0L; var refitHits = 0L; var truth = 0L
+      qs.foreach { case (qid, q) =>
+        val rest = grown.where(col("vec_id") =!= qid)
+        val exact = rest
+          .select(col("vec_id"), round(VectorFunctions
+            .vecCosine(col("embedding"), typedLit(q.toSeq)), 3).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        def got(enc: org.apache.spark.sql.DataFrame,
+                m: ProductQuantizer.Model): Set[Long] =
+          ProductQuantizer.pqTopK(rest, enc.where(col("vec_id") =!= qid), m, q,
+            topK = 5, rerank = 50)
+            .collect().map(_.getLong(0)).toSet
+        staleHits += (got(staleEnc, staleModel) & exact).size
+        refitHits += (got(freshEnc, freshModel) & exact).size
+        truth += exact.size
+      }
+      val t = math.max(truth, 1L).toDouble
+      assert(rep.staleRecall == staleHits / t && rep.refitRecall == refitHits / t,
+        s"batched driftCheckPq ($rep) must equal the per-query derivation " +
+          s"(stale ${staleHits / t}, refit ${refitHits / t})")
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftCheckPq(lake, Fs, "pq_dc", grown, fresh, maxQueries = 0)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftCheckPq(lake, Fs, "pq_dc", grown, fresh, topK = 10, rerank = 5)
     }
   }
 
