@@ -35,6 +35,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state lives in RocksDB, not the default HDFS-backed
+      // in-heap map: at 100 TB a stream-stream join's state must spill
+      // past executor heap, which the HDFS-backed provider structurally
+      // cannot (state = a JVM HashMap per partition). Also measured
+      // faster where it matters (StreamStateBench, 2M-event band join,
+      // local[32]): RocksDB+changelog 254 s vs HDFS 372 s at the 1 h
+      // watermark, 197 s vs 270 s at 10 min. Changelog checkpointing
+      // uploads per-batch change deltas instead of full SST snapshots —
+      // the production durability shape for high-churn state.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   def create(appName: String = "graft"): SparkSession = {

@@ -25,6 +25,12 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("streams-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine-default state store (GraftSession): every streaming
+      // test runs against the store production uses, not the in-heap one
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
