@@ -81,17 +81,58 @@ object ScaleSmoke {
     timed("dd2_hash (exact)") {
       graft.operators.Dedup.dd2From(docs).count()
     }
+    // dd4 pairs computed ONCE and shared by the dd4/dd6/dd3-recall
+    // stages (each used to recompute the full inverted-index join)
+    val dd4Pairs = graft.operators.Dedup.dd4From(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     timed("dd4_ngram_jaccard (exact)") {
-      graft.operators.Dedup.dd4From(docs).count()
+      dd4Pairs.count()
     }
+    val dd3Pairs = graft.operators.Dedup.dd3From(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     timed("dd3_minhash_lsh") {
-      graft.operators.Dedup.dd3From(docs).count()
+      dd3Pairs.count()
+    }
+    // dd3's scale contract is CONNECTIVITY, not pair enumeration (over-cap
+    // buckets chain-link instead of enumerating C(M,2)): measure the
+    // fraction of exact dd4 pairs whose endpoints land in one connected
+    // component of the dd3 edge set. This is the recall a dedup consumer
+    // (keep one doc per component) actually experiences — and the metric
+    // that exposed the pre-round-10 over-cap discard, which measured
+    // 752/1.25M pairs at 100× where chain linking recovers the cliques.
+    locally {
+      val t0 = System.nanoTime()
+      try {
+        val comp = graft.operators.Dedup.dd6ClusterFrom(
+          docs.select(col("doc_id")), dd3Pairs)
+          .select(col("doc_id"), col("cluster_rep"))
+        val truth = dd4Pairs.count()
+        val connected = dd4Pairs
+          .join(comp.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ca")), "doc_a")
+          .join(comp.select(col("doc_id").as("doc_b"), col("cluster_rep").as("cb")), "doc_b")
+          .where(col("ca") === col("cb")).count()
+        val recall = if (truth == 0) 1.0 else connected.toDouble / truth
+        println(f"recall: dd3 connectivity     ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"recall $recall%.3f ($connected/$truth dd4 pairs intra-component)")
+        if (recall < 0.9) {
+          failed = true
+          println(f"dd3 connectivity recall $recall%.3f below the .90 bar")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"recall: dd3 connectivity FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      }
     }
     timed("dd6_cluster (CC over dd4)") {
       graft.operators.Dedup.dd6ClusterFrom(
-        docs.select(col("doc_id")),
-        graft.operators.Dedup.dd4From(docs).select(col("doc_a"), col("doc_b"))).count()
+        docs.select(col("doc_id")), dd4Pairs).count()
     }
+    dd3Pairs.unpersist()
+    dd4Pairs.unpersist()
     timed("ss5_knn_join (routed: IVF)") {
       // 40k rows is past the home LSH tier, so this exercises the
       // knnJoinIvf route (seeded 64 cells, knnNProbeFor depth)

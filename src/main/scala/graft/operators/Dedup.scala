@@ -14,9 +14,11 @@ import graft.tables.Tables
   *   - MinHash/LSH turns the quadratic all-pairs problem into
   *     shuffle-on-band-bucket + candidate verification — the only join is
   *     between docs sharing a bucket, and buckets larger than
-  *     [[MaxBucketSize]] are excluded (a bucket that collects a constant
-  *     fraction of the corpus is both quadratic and useless as a
-  *     discriminator);
+  *     [[MaxBucketSize]] switch to linear chain linking (a degenerate
+  *     bucket that collects a constant fraction of the corpus must not go
+  *     quadratic, but a real mega-clique of near-duplicates must keep its
+  *     connectivity — its chain edges survive exact verification, a
+  *     degenerate bucket's die there at linear cost);
   *   - SimHash bands its 64 bits into 4×16 so any pair within Hamming
   *     distance 3 shares at least one band (pigeonhole) — again a bucket
   *     join, not a cross join;
@@ -47,9 +49,13 @@ object Dedup {
     * is 25) — it exists to bound join fan-out at corpus scale. */
   val MaxShingleDf = 100
 
-  /** LSH band-bucket size cap (dd3): buckets holding more members are
-    * excluded from candidate generation. A degenerate bucket (e.g. many
-    * near-empty documents hashing identically) otherwise goes quadratic. */
+  /** LSH band-bucket size cap (dd3): buckets holding more members switch
+    * from the quadratic self-join to linear chain linking (see the
+    * over-cap path in dd3FromParts). A degenerate bucket (e.g. many
+    * near-empty documents hashing identically) otherwise goes quadratic;
+    * a REAL mega-clique over the cap keeps its connectivity through the
+    * chain edges instead of being discarded (the pre-round-10 behavior,
+    * which collapsed dd3 recall at the 100× smoke). */
   val MaxBucketSize = 200
 
   /** Word 3-shingles (distinct), the unit for MinHash and Jaccard. */
@@ -131,10 +137,16 @@ object Dedup {
     * verified with exact Jaccard >= 0.8 on the discriminative
     * (df-cutoff) shingle sets — the same sets dd4 scores, so dd3 ⊆ dd4
     * by construction. Plan shape: per-row signature (codegen) ->
-    * posexplode 16 bands -> shuffle on (band, bucket) -> cap bucket size
-    * -> self-join within buckets, candidate pairs deduplicated AT the
-    * join by the first-surviving-collision rule (dd5's shape — no
-    * distinct shuffle of the candidate explosion) -> verify.
+    * posexplode 16 bands -> shuffle on (band, bucket) -> under-cap
+    * buckets self-join (candidate pairs deduplicated AT the join by the
+    * first-surviving-collision rule, dd5's shape — no distinct shuffle
+    * of the candidate explosion); over-cap buckets chain-link members in
+    * per-band hash order (linear, connectivity-preserving) -> verify.
+    * PAIR ENUMERATION is complete only for cliques whose buckets stay
+    * under [[MaxBucketSize]]; above it dd3 guarantees connectivity (each
+    * member reaches its clique through chain edges), which is what the
+    * dd6/dd7 component consumers need — C(M,2) pairs for a mega-clique
+    * is exactly the output no 100 TB pipeline can afford.
     * No oracle: LSH recall is ~.9998, not 1, so the exact-SQL answer can
     * differ — rows-only check; dd4 carries the exact-Jaccard oracle. */
   def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -181,15 +193,20 @@ object Dedup {
         shiftleft(element_at(col("bands"), i * 4 + g + 1).bitwiseAND(0xFFFFL), 16 * g)
       }.reduce((x, y) => x.bitwiseOR(y)).as(s"p_$i")
     }
-    val banded = minhashSigs(shingled)
+    // bmask (bands where the doc's bucket survived the cap) is computed
+    // BEFORE the cap filter so the over-cap chain path below sees each
+    // doc's full survival map; the A-path rows carry the identical value
+    // the post-filter window used to produce.
+    val banded0 = minhashSigs(shingled)
       .withColumn("bands", bandCol)
       .select((col("doc_id") +: packs) :+
         posexplode(col("bands")).as(Seq("band", "bucket")): _*)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bsz") <= maxBucket)
       .withColumn("bmask",
-        sum(expr("shiftleft(CAST(1 AS BIGINT), band)"))
+        sum(when(col("bsz") <= maxBucket,
+          expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
           .over(Window.partitionBy(col("doc_id"))))
+    val banded = banded0.where(col("bsz") <= maxBucket)
     val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
       col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
     val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
@@ -203,19 +220,56 @@ object Dedup {
     // codegen limits and fell back to interpreted eval inside the join
     // condition — measured 54 s vs 16.5 s for this flat form on the
     // same 13.5M joined rows at 20× (NOTES round-5).
-    val differs16 = (0 until 4).map { i =>
-      val xor = col(s"pa_$i").bitwiseXOR(col(s"pb_$i"))
+    def differsMask(pa: String, pb: String): Column = (0 until 4).map { i =>
+      val xor = col(s"$pa$i").bitwiseXOR(col(s"$pb$i"))
       (0 until 4).map { g =>
         when(shiftright(xor, 16 * g).bitwiseAND(0xFFFFL) =!= 0,
           lit(1L << (4 * i + g))).otherwise(0L)
       }.reduce((x, y) => x.bitwiseOR(y))
     }.reduce((x, y) => x.bitwiseOR(y))
+    val differs16 = differsMask("pa_", "pb_")
     val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - 1
-    val cand = a.join(b, Seq("band", "bucket"))
+    val candA = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .where(differs16.bitwiseOR(bitwise_not(col("bmask_a")))
         .bitwiseAND(earlierMask) === earlierMask)
       .select(col("doc_a"), col("doc_b"))
+    // OVER-CAP chain path: a bucket past the cap is either degenerate
+    // (constant boilerplate hashing identically — the case the cap was
+    // built for) or a REAL mega-clique of near-duplicates, and at corpus
+    // scale real cliques larger than any fixed cap are a certainty
+    // (measured: at the 100× smoke, replica cliques × near-dup base
+    // families put most true buckets over the cap, and discarding them
+    // collapsed dd3 to 752 of dd4's 1.25M pairs). Enumerating a
+    // mega-clique's C(M,2) pairs is exactly what cannot ship at 100 TB,
+    // and dedup doesn't need it: CONNECTIVITY is enough (dd6/dd7 run
+    // connected components over these edges). So over-cap buckets
+    // contribute a LINEAR candidate set instead of none: members are
+    // chained in per-band hash order (each doc links to its predecessor;
+    // ≤1 edge per member per band, the order de-correlated across bands
+    // so a true clique's members get ~16 independent chances at a
+    // same-clique neighbor), every chain edge still passes the exact
+    // Jaccard verification below, and a degenerate bucket's false edges
+    // die there at linear cost. The packed-lane pre-filter drops chain
+    // pairs that some surviving band already emits (cur side's bmask,
+    // the A-path's alias caveat applies); the left_anti join makes the
+    // A/B disjointness EXACT, so no duplicates are ever emitted even
+    // under lane aliasing.
+    val wChain = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col("band"), col("doc_id")), col("doc_id"))
+    val lagged = (0 until 4).foldLeft(
+      banded0.where(col("bsz") > maxBucket)
+        .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))) {
+      (df, i) => df.withColumn(s"pp_$i", lag(col(s"p_$i"), 1).over(wChain))
+    }.where(col("doc_p").isNotNull)
+    val candB = lagged
+      .where(differsMask("p_", "pp_").bitwiseOR(bitwise_not(col("bmask")))
+        .bitwiseAND(lit(0xFFFFL)) === lit(0xFFFFL))
+      .select(least(col("doc_id"), col("doc_p")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_p")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(candA, Seq("doc_a", "doc_b"), "left_anti")
+    val cand = candA.unionByName(candB)
     val keptSets = kept
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
     cand
@@ -265,9 +319,11 @@ object Dedup {
     * map-side combined).
     *
     * Scale-hardened like its dd3/ss5 siblings: band buckets larger than
-    * [[MaxBucketSize]] are excluded before the self-join (a degenerate
-    * chunk — e.g. near-empty docs all voting to 0 — is otherwise
-    * quadratic AND useless as a discriminator), and multi-band candidate
+    * [[MaxBucketSize]] switch from the quadratic self-join to linear
+    * chain linking (a degenerate chunk — e.g. near-empty docs all voting
+    * to 0 — must not go quadratic, but its members with hamming ≤ 3 are
+    * genuine sketch positives and keep their connectivity through the
+    * chain edges instead of being discarded), and multi-band candidate
     * dedup happens AT the join via the first-colliding-band rule — the
     * bands ARE 16-bit chunks of the signature both sides already carry,
     * so "no earlier band collides" is a handful of codegen'd integer ops
@@ -294,18 +350,21 @@ object Dedup {
     // buffer per doc per partition
     val sig = tok.groupBy(col("doc_id"))
       .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
-    // bucket cap, then each doc's SURVIVING-band mask: the first-collision
-    // rule below may only consult bands that actually joined. Survival at
-    // a COLLIDING band is a property of the shared bucket (equal chunks =
-    // same bucket), so one side's mask bit is authoritative for the pair.
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    // each doc's SURVIVING-band mask, computed BEFORE the cap filter so
+    // the over-cap chain path sees the full survival map; the
+    // first-collision rule below may only consult bands that actually
+    // joined. Survival at a COLLIDING band is a property of the shared
+    // bucket (equal chunks = same bucket), so one side's mask bit is
+    // authoritative for the pair.
+    val banded0 = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
-      .where(col("bsz") <= maxBucket)
       .withColumn("bmask",
-        sum(expr("shiftleft(CAST(1 AS BIGINT), band)"))
+        sum(when(col("bsz") <= maxBucket,
+          expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
           .over(Window.partitionBy(col("doc_id"))))
+    val banded = banded0.where(col("bsz") <= maxBucket)
       .select(col("doc_id"), col("simhash"), col("band"), col("chunk"), col("bmask"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("chunk"), col("bmask").as("bmask_a"))
@@ -331,12 +390,66 @@ object Dedup {
       .reduce((x, y) => x.bitwiseOR(y))
     val earlierMask = groupBits.bitwiseAND(
       expr("shiftleft(CAST(1 AS BIGINT), band * 16)") - 1)
-    a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
+    val candA = a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
       .where(collapsed.bitwiseOR(bitwise_not(spreadMask))
         .bitwiseAND(earlierMask) === earlierMask)
       .withColumn("hamming", bit_count(xorSig))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // OVER-CAP path: a chunk bucket past the cap is either a mega-group
+    // of documents with IDENTICAL SimHash (boilerplate/near-empty docs —
+    // the production case) or a degenerate chunk value collecting
+    // mutually-dissimilar docs. Discarding it (the pre-round-10
+    // behavior) silently dropped every sketch-positive pair those docs
+    // had. Unlike dd3 — whose 64-bit band hash makes buckets clique-ish,
+    // so hash-order CHAINS verify — a 16-bit chunk bucket's members are
+    // NOT mutually similar, so the rescue collapses structure instead:
+    // identical-signature groups link to their min-doc representative
+    // (hamming-0 star edges, linear), and the bucket's DISTINCT
+    // signatures join at rep level, capped at maxBucket distinct sigs
+    // (the fan-out the raw cap was actually guarding). Every
+    // sketch-positive pair whose shared bucket has ≤ maxBucket distinct
+    // sigs is then guaranteed intra-component: member→rep star, rep→rep
+    // join, rep→member star. A-membership exclusion is EXACT here: chunk
+    // equality is a 16-bit group of the full XOR both sides carry (no
+    // truncation), survival at a true collision is shared, and identical
+    // sigs share their full bmask — so no anti-join is needed.
+    val over = banded0.where(col("bsz") > maxBucket)
+      .withColumn("rep", min(col("doc_id"))
+        .over(Window.partitionBy(col("band"), col("chunk"), col("simhash"))))
+    // B1: hamming-0 stars within each identical-sig group, emitted only
+    // when NO band survived the cap (bmask=0 ⟺ the pair is not in A;
+    // identical sigs sit in the same bucket at every band, so the whole
+    // group shares one bmask)
+    val stars = over
+      .where(col("doc_id") =!= col("rep") && col("bmask") === 0L)
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+    // B2: distinct signatures join at rep level, capped on the DISTINCT
+    // count; exclusion from A per pair via the exact chunk/bmask test
+    // (all four bands must either differ or be cap-excluded)
+    val reps = over.where(col("doc_id") === col("rep"))
+      .withColumn("dsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("chunk"))))
+      .where(col("dsz") <= maxBucket)
+    val rl = reps.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("chunk"), col("bmask").as("bmask_a"))
+    val rr = reps.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("chunk"))
+    val xorR = col("sh_a").bitwiseXOR(col("sh_b"))
+    val collapsedR = Seq(1, 2, 4, 8)
+      .foldLeft(xorR)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
+      .bitwiseAND(groupBits)
+    val repPairs = rl.join(rr, Seq("band", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(collapsedR.bitwiseOR(bitwise_not(spreadMask))
+        .bitwiseAND(groupBits) === groupBits)
+      .withColumn("hamming", bit_count(xorR))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+    candA.unionByName(stars).unionByName(repPairs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

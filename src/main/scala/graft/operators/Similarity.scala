@@ -266,9 +266,21 @@ object Similarity {
     * [[KMeans.assignTopCellsBroadcast]] — a genuine broadcast of the
     * centroid table with in-row top-n, so neither task-binary size nor
     * shuffle volume grows with the cell count; the tier ladder can keep
-    * extending by the same ×4-cells rule as N grows. */
+    * extending by the same ×4-cells rule as N grows.
+    *
+    * Boundaries follow the √N rule: each tier's cells ≈ √N across its
+    * row range (×16-rows per ×4-cells step), so per-cell population and
+    * the probed fraction both fall as the ladder climbs. The original
+    * ladder stepped ×64 rows per ×4 cells, which at a tier ceiling left
+    * pop ≈ N/cells enormous — measured at the 100× smoke: 200k vectors
+    * still routed to 64 cells, so rank-kNN probed 16×3125 ≈ 50k
+    * candidates per query (25 % of the corpus, a ~40 min stage at
+    * local[32]); the re-tiered 256c/p32 probes 12.5 % with recall
+    * measured HIGHER at finer cells on the 20× smoke (64c .843,
+    * 256c .891, 1024c .994 fitted). Fixture tiers (≤16k rows → 8 cells)
+    * are unchanged — the sf0.01 recall measurements stay valid. */
   val IvfCellTiers: Seq[(Long, Int)] = Seq(
-    (16000L, 8), (1000000L, 64), (64000000L, 256), (4096000000L, 1024),
+    (16000L, 8), (128000L, 64), (2000000L, 256), (32000000L, 1024),
     (Long.MaxValue, 4096))
 
   /** Base probe depth (the ≤64-cell tiers of [[ivfNProbeFor]]):

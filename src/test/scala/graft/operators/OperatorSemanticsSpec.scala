@@ -93,17 +93,39 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == gotPairs.size, "duplicate pairs escaped the join-time dedup")
   }
 
-  test("dd3 with an ACTIVE bucket cap still equals the capped naive distinct form") {
-    // cap=2 forcibly excludes band buckets on the real fixture: pairs
-    // whose FIRST colliding band is cap-excluded must still surface via
-    // a later surviving band (the bmask veto-lift)
+  test("dd3 with an ACTIVE bucket cap: self-join pairs preserved, over-cap cliques chained") {
+    // cap=2 forces band buckets over the cap on the real fixture. The
+    // A path (under-cap self-join) must still produce exactly the
+    // capped naive set — pairs whose FIRST colliding band is
+    // cap-excluded surface via a later surviving band (the bmask
+    // veto-lift). The B path (over-cap chain linking) may ADD pairs,
+    // but only verified banded ones (⊆ the uncapped naive set), never
+    // duplicates, and it must RECONNECT what the cap hides: every
+    // uncapped-naive pair must land in one connected component of the
+    // emitted edge set (connectivity is dd3's over-cap contract — the
+    // dd6/dd7 consumers need components, not C(M,2) enumeration).
     val cap = 2
-    val expected = pairs(dd3Naive(cap), "doc_a", "doc_b")
-    val capped = Dedup.dd3FromWithCap(graft.tables.Tables.documents(spark, dir), cap)
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val underCap = pairs(dd3Naive(cap), "doc_a", "doc_b")
+    val uncapped = pairs(dd3Naive(Int.MaxValue), "doc_a", "doc_b")
+    val capped = Dedup.dd3FromWithCap(docs, cap)
     val got = pairs(capped, "doc_a", "doc_b")
-    assert(got == expected,
-      s"capped dd3 diverged from naive: missing ${expected -- got}, extra ${got -- expected}")
-    assert(capped.count() == got.size, "duplicate pairs escaped the join-time dedup")
+    assert(underCap.subsetOf(got),
+      s"chain path lost under-cap self-join pairs: missing ${underCap -- got}")
+    assert(got.subsetOf(uncapped),
+      s"chain path invented pairs outside the banded+verified set: ${got -- uncapped}")
+    assert(capped.count() == got.size, "duplicate pairs escaped the A/B candidate dedup")
+    // connectivity: union-find over the emitted edges, then check every
+    // uncapped pair is intra-component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val disconnected = uncapped.filterNot { case (a, b) => find(a) == find(b) }
+    assert(disconnected.isEmpty,
+      s"over-cap chain linking failed to reconnect: $disconnected")
   }
 
   test("ANN candidates (ss2 LSH, ss4 IVF) are subsets of the exact pair set (ss3)") {
@@ -197,39 +219,118 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("dd5 with an ACTIVE bucket cap still equals the capped naive distinct form") {
+  test("dd5 with an ACTIVE bucket cap: self-join pairs preserved, over-cap buckets rep-linked") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // cap=2 forcibly excludes every band bucket of size > 2 on the real
-    // fixture, so pairs whose FIRST colliding band is cap-excluded must
-    // still surface via a later surviving band (the naive reference:
-    // cap filter + join + dropDuplicates)
+    // cap=2 forces band buckets of size > 2 over the cap on the real
+    // fixture. The A path must still produce exactly the capped naive
+    // set (pairs whose FIRST colliding band is cap-excluded surface via
+    // a later surviving band); the over-cap chain path may ADD pairs,
+    // but only true sketch positives (hamming <= 3 — by pigeonhole, the
+    // uncapped naive set), never duplicates, and the chains must
+    // reconnect every uncapped pair into one component.
     val cap = 2
-    val sig = graft.tables.Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    def naiveAt(c: Int) = {
+      val sig = graft.tables.Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+        .where(col("bsz") <= c)
+      val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("band"), col("chunk"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("band"), col("chunk"))
+      a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .where(col("hamming") <= 3)
+    }
+    val underCap = pairs(naiveAt(cap), "doc_a", "doc_b")
+    val uncapped = pairs(naiveAt(Int.MaxValue), "doc_a", "doc_b")
+    val capped = Dedup.dd5FromWithCap(graft.tables.Tables.documents(spark, dir), cap)
+    val got = pairs(capped, "doc_a", "doc_b")
+    assert(underCap.subsetOf(got),
+      s"over-cap path lost under-cap self-join pairs: missing ${underCap -- got}")
+    assert(got.subsetOf(uncapped),
+      s"over-cap path invented non-sketch-positive pairs: ${got -- uncapped}")
+    assert(capped.count() == got.size, "duplicate pairs escaped the A/B candidate dedup")
+    // connectivity contract: a sketch-positive pair is GUARANTEED
+    // intra-component iff it shares >= 1 band whose bucket is under the
+    // raw cap (A path) or holds <= cap DISTINCT sigs (rep join); pairs
+    // only reachable through buckets degenerate in BOTH senses may drop
+    val sigRows = graft.tables.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.VectorFunctions.simhashAgg(col("h")).as("simhash"))
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
-      .where(col("bsz") <= cap)
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("band"), col("chunk"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-      col("band"), col("chunk"))
-    val naive = a.join(b, Seq("band", "chunk")).where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .where(col("hamming") <= 3)
-    val expected = pairs(naive, "doc_a", "doc_b")
-    val capped = Dedup.dd5FromWithCap(graft.tables.Tables.documents(spark, dir), cap)
-    val got = pairs(capped, "doc_a", "doc_b")
-    assert(got == expected,
-      s"capped dd5 diverged from naive: missing ${expected -- got}, extra ${got -- expected}")
-    assert(capped.count() == got.size, "duplicate pairs escaped the join-time dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigOf = sigRows.toMap
+    val raw = scala.collection.mutable.Map[(Int, Long), Int]().withDefaultValue(0)
+    val dsig = scala.collection.mutable.Map[(Int, Long), Set[Long]]().withDefaultValue(Set.empty)
+    for ((_, sh) <- sigRows; band <- 0 until 4) {
+      val k = (band, (sh >>> (band * 16)) & 0xFFFFL)
+      raw(k) += 1; dsig(k) = dsig(k) + sh
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (x, y) => parent(find(x)) = find(y) }
+    val guaranteed = uncapped.filter { case (x, y) =>
+      (0 until 4).exists { band =>
+        val cx = (sigOf(x) >>> (band * 16)) & 0xFFFFL
+        val cy = (sigOf(y) >>> (band * 16)) & 0xFFFFL
+        cx == cy && {
+          val k = (band, cx)
+          raw(k) <= cap || dsig(k).size <= cap
+        }
+      }
+    }
+    val disconnected = guaranteed.filterNot { case (x, y) => find(x) == find(y) }
+    assert(disconnected.isEmpty,
+      s"over-cap rep linking failed to reconnect guaranteed pairs: $disconnected")
+  }
+
+  test("dd5 mega-group of identical signatures survives the bucket cap via rep linking") {
+    import org.apache.spark.sql.functions._
+    // 300 verbatim copies of one document (distinct doc_ids, identical
+    // SimHash) blow the DEFAULT raw cap (200) in every band bucket they
+    // touch, while the distinct-sig count stays tiny. Pre-round-10 dd5
+    // discarded those buckets wholesale — every copy silently lost its
+    // sketch-positive pairs. Now the copies must form ONE connected
+    // component through star + rep edges, with no duplicates and no
+    // invented pairs.
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val copies = docs.where(col("doc_id") === 0)
+      .crossJoin(spark.range(300).select((col("id") + 100000).as("new_id")))
+      .select(col("new_id").as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).union(copies)
+    val out = Dedup.dd5From(corpus)
+    val got = pairs(out, "doc_a", "doc_b")
+    assert(out.count() == got.size, "duplicate pairs escaped the A/B candidate dedup")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (x, y) => parent(find(x)) = find(y) }
+    val copyIds = (0 until 300).map(i => 100000L + i)
+    val root = find(copyIds.head)
+    assert(copyIds.forall(find(_) == root),
+      "identical-sig mega-group must stay one component under the cap")
+    assert(find(0L) == root, "the original doc must join its copies' component")
+    // hamming-0 pairs among copies must never exceed linear star growth
+    val amongCopies = got.count { case (x, y) => x >= 100000L && y >= 100000L }
+    assert(amongCopies <= 2 * 300,
+      s"mega-group emitted $amongCopies pairs — over-cap output must stay linear")
   }
 
   test("semanticEdges: exact below the byte cap, LSH plan above it") {
