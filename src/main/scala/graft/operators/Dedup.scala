@@ -24,12 +24,15 @@ import graft.tables.Tables
   *     join, not a cross join;
   *   - exact n-gram Jaccard uses an inverted-index join (shingle → doc)
   *     restricted to discriminative shingles: document frequency ≤
-  *     [[MaxShingleDf]]. A stop-shingle with df=d contributes d²/2
-  *     candidate pairs, so without the cutoff one hot shingle makes the
-  *     self-join quadratic in corpus size — the cutoff is what makes the
-  *     inverted-index join linear-ish at 100 TB. (Clusters of >MaxShingleDf
-  *     verbatim copies are exact duplicates and belong to dd1/dd2, which
-  *     run first in a real pipeline.)
+  *     [[shingleDfCap]] — 0.1 % of estimated corpus docs, floored at
+  *     [[MaxShingleDf]] and ceilinged at [[MaxShingleDfCeiling]]. A
+  *     stop-shingle with df=d contributes d²/2 candidate pairs, so
+  *     without the cutoff one hot shingle makes the self-join quadratic
+  *     in corpus size; an ABSOLUTE cutoff instead degenerates when the
+  *     duplication factor reaches it (the 100× smoke measurement on
+  *     [[shingleDfCap]]). (Clusters of > ceiling verbatim copies are
+  *     exact duplicates and belong to dd1/dd2, which run first in a
+  *     real pipeline.)
   * All signatures are built from `xxhash64` column expressions — fully
   * codegen'd, no UDFs, no driver-side state. The MinHash kernel hashes
   * each shingle string ONCE and derives the 64 per-function values by
@@ -48,6 +51,37 @@ object Dedup {
     * exact. Inactive at the test scale factors (max observed df at sf0.1
     * is 25) — it exists to bound join fan-out at corpus scale. */
   val MaxShingleDf = 100
+
+  /** Hard ceiling for the corpus-scaled df cutoff ([[shingleDfCap]]): a
+    * shingle at the cap contributes ≤ cap²/2 ≈ 500k candidate pairs to
+    * the dd4 inverted-index join, bounded regardless of corpus size. A
+    * corpus whose near-verbatim duplication factor exceeds this ceiling
+    * degenerates the discriminative-shingle universe again — run dd1/dd2
+    * first (verbatim mega-clusters are exact duplicates), as a real
+    * pipeline does. */
+  val MaxShingleDfCeiling = 1000
+
+  /** Corpus-scaled document-frequency cutoff: a shingle is a
+    * stop-shingle when it appears in more than 0.1 % of documents, never
+    * below [[MaxShingleDf]] (so every fixture-scale measurement and the
+    * DuckDB oracle's literal 100 are unchanged — the scaling only
+    * engages above 100k docs) and never above [[MaxShingleDfCeiling]].
+    * An ABSOLUTE cutoff degenerates at scale — measured at the 100×
+    * smoke (500k docs, duplication factor 100 = the old cutoff): every
+    * content shingle hit df ≥ 100, kept sets collapsed to 1-2 suffix
+    * shingles per doc (median 1), and "Jaccard ≥ .8 over kept sets"
+    * became an all-or-nothing test on near-empty sets — dd4 reported
+    * 1.25M pairs that were ALL cross-clique coincidences while the 24.7M
+    * real near-dup pairs measured J < 0.5. Estimated rows come from plan
+    * statistics (stats.rowCount, else sizeInBytes/300 — the
+    * [[Similarity]] estimator convention): no job at construction. */
+  private[operators] def shingleDfCap(docs: DataFrame): Long = {
+    val stats = docs.queryExecution.optimizedPlan.stats
+    val est = stats.rowCount.getOrElse(stats.sizeInBytes / 300)
+      .min(BigInt(Long.MaxValue)).toLong
+    math.max(MaxShingleDf.toLong,
+      math.min(est / 1000, MaxShingleDfCeiling.toLong))
+  }
 
   /** LSH band-bucket size cap (dd3): buckets holding more members switch
     * from the quadratic self-join to linear chain linking (see the
@@ -72,14 +106,14 @@ object Dedup {
       .withColumn("shingles", shingleCol)
 
   /** Exploded (doc_id, shingle) pairs restricted to discriminative
-    * shingles (df ≤ [[MaxShingleDf]]). The df filter is a whole-partition
-    * window count, so the output is already hash-partitioned on `sh` —
-    * the downstream inverted-index self-join reuses that exchange instead
-    * of shuffling again. */
-  private def keptShingles(shingled: DataFrame): DataFrame =
+    * shingles (df ≤ `dfCap`, the [[shingleDfCap]] of the source corpus).
+    * The df filter is a whole-partition window count, so the output is
+    * already hash-partitioned on `sh` — the downstream inverted-index
+    * self-join reuses that exchange instead of shuffling again. */
+  private def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame =
     shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .where(col("df") <= MaxShingleDf)
+      .where(col("df") <= dfCap)
       .select(col("doc_id"), col("sh"))
 
   /** dd1_exact — exact duplicate groups by full-text equality: one
@@ -163,7 +197,7 @@ object Dedup {
     * [[MaxBucketSize]]). */
   private[operators] def dd3FromWithCap(docs: DataFrame, maxBucket: Int): DataFrame = {
     val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
-    dd3FromParts(shingled, keptShingles(shingled), maxBucket)
+    dd3FromParts(shingled, keptShingles(shingled, shingleDfCap(docs)), maxBucket)
   }
 
   private def dd3FromParts(shingled: DataFrame, kept: DataFrame,
@@ -284,17 +318,19 @@ object Dedup {
   }
 
   /** dd4_ngram_jaccard — exact near-dup pairs by word-3-shingle Jaccard
-    * >= 0.8 over discriminative shingles (df ≤ [[MaxShingleDf]]) via
+    * >= 0.8 over discriminative shingles (df ≤ [[shingleDfCap]]) via
     * inverted-index join: explode (doc, shingle), drop hot shingles,
     * self-join on shingle, count common shingles per pair, Jaccard from
     * per-doc kept-set sizes. This is the exact ground truth dd3
-    * approximates; the DuckDB oracle mirrors it including the cutoff. */
+    * approximates; the DuckDB oracle mirrors it including the cutoff
+    * (literal 100 = the cap at fixture scale, where the relative term
+    * never engages). */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     dd4FromKept(cachedKeptShingles(s, dir))
 
   /** dd4 over an arbitrary documents DataFrame (`doc_id`, `text`). */
   def dd4From(docs: DataFrame): DataFrame =
-    dd4FromKept(keptShingles(withShingles(docs)))
+    dd4FromKept(keptShingles(withShingles(docs), shingleDfCap(docs)))
 
   private def dd4FromKept(kept: DataFrame): DataFrame = {
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -532,7 +568,8 @@ object Dedup {
   private def cachedKeptShingles(s: SparkSession, dir: String): DataFrame = {
     sweepAndHook(s)
     shingleCache.computeIfAbsent((s, dir), { _ =>
-      keptShingles(withShingles(Tables.documents(s, dir)))
+      val docs = Tables.documents(s, dir)
+      keptShingles(withShingles(docs), shingleDfCap(docs))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
@@ -757,7 +794,9 @@ object Dedup {
   )
 
   /** Shared oracle CTE: exploded discriminative shingles — the DuckDB
-    * mirror of [[keptShingles]], cutoff literal included. */
+    * mirror of [[keptShingles]]. The cutoff literal 100 is
+    * [[shingleDfCap]] at fixture scale (≤ 100k docs, where the relative
+    * 0.1 % term never exceeds the [[MaxShingleDf]] floor). */
   private val keptCte =
     """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -299,6 +299,22 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"over-cap rep linking failed to reconnect guaranteed pairs: $disconnected")
   }
 
+  test("shingleDfCap: floor at fixture scale, 0.1% of docs above, hard ceiling") {
+    // without CBO, plan stats carry only sizeInBytes (8 B/row for range
+    // plans), and the estimator divides by the house ~300 B/row — the
+    // cap is exercised through exactly that path, lazily (no jobs)
+    def capAtBytes(rows: Long) = Dedup.shingleDfCap(spark.range(rows).toDF("doc_id"))
+    assert(capAtBytes(500) == 100,
+      "fixture scale must keep the MaxShingleDf floor (oracle literal 100)")
+    assert(capAtBytes(3750000) == 100, "est 100k docs — floor still binds")
+    assert(capAtBytes(18750000) == 500,
+      "est 500k docs (the 100x smoke corpus) must keep content shingles")
+    assert(capAtBytes(150000000) == 1000,
+      "the ceiling bounds the inverted-index join fan-out at any scale")
+    // the fixture documents table itself must stay on the floor
+    assert(Dedup.shingleDfCap(graft.tables.Tables.documents(spark, dir)) == 100)
+  }
+
   test("dd5 mega-group of identical signatures survives the bucket cap via rep linking") {
     import org.apache.spark.sql.functions._
     // 300 verbatim copies of one document (distinct doc_ids, identical
