@@ -33,7 +33,13 @@ object StreamStateBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     val providers = Seq(
-      "hdfs" -> None,
+      // explicit class, NOT None: GraftSession.builder now defaults the
+      // provider to RocksDB (the round-10 adoption this bench justified),
+      // so an unset cell would silently measure RocksDB twice and the
+      // HDFS-vs-RocksDB comparison this bench exists for would be
+      // unreproducible from the committed code
+      "hdfs" -> Some(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
       "rocksdb" -> Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
       "rocksdb-changelog" -> Some(

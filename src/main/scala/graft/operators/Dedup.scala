@@ -76,12 +76,49 @@ object Dedup {
     * statistics (stats.rowCount, else sizeInBytes/300 — the
     * [[Similarity]] estimator convention): no job at construction. */
   private[operators] def shingleDfCap(docs: DataFrame): Long = {
+    if (statsUnmaterialized(docs))
+      log.warn("shingleDfCap: plan reads a cached-but-unmaterialized " +
+        "relation — statistics are the pre-cache estimate and probing " +
+        "them now PINS that estimate on the shared relation " +
+        "(LogicalPlan.statsCache); materialize the cache first (count()) " +
+        "or pass the document count explicitly (shingleDfCap(nDocs) / " +
+        "dd3From/dd4From(docs, nDocs)) — a tiny pinned estimate drags " +
+        "the cutoff to the floor, the degenerate regime of the 100x " +
+        "smoke's dd4 collapse")
     val stats = docs.queryExecution.optimizedPlan.stats
     val est = stats.rowCount.getOrElse(stats.sizeInBytes / 300)
       .min(BigInt(Long.MaxValue)).toLong
-    math.max(MaxShingleDf.toLong,
-      math.min(est / 1000, MaxShingleDfCeiling.toLong))
+    val cap = shingleDfCap(est)
+    // estimate + chosen cap are logged so a stale/skewed estimate is
+    // visible in the driver log instead of silently reproducing the
+    // degeneration (ADVICE round-10)
+    log.info(s"shingleDfCap: estimated $est docs -> df cutoff $cap")
+    cap
   }
+
+  /** [[shingleDfCap]] from an EXPLICIT document count — the overload for
+    * callers that know the corpus size (the scale smoke counts its
+    * corpus before building), bypassing plan statistics and the
+    * statsCache trap entirely. */
+  def shingleDfCap(nDocs: Long): Long =
+    math.max(MaxShingleDf.toLong,
+      math.min(nDocs / 1000, MaxShingleDfCeiling.toLong))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when `docs`' plan reads a cached-but-NOT-yet-materialized
+    * in-memory relation: its statistics are still the pre-cache estimate,
+    * and because statistics memoize on the shared relation object
+    * (LogicalPlan.statsCache), probing them before the first
+    * materialization pins that estimate for the relation's lifetime —
+    * the trap NOTES documents for estimator-driven tiering. Detection
+    * makes the trap LOUD at the estimator call sites instead of a
+    * silently degenerate cutoff. */
+  private[operators] def statsUnmaterialized(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if !r.cacheBuilder.isCachedColumnBuffersLoaded => r
+    }.nonEmpty
 
   /** LSH band-bucket size cap (dd3): buckets holding more members switch
     * from the quadratic self-join to linear chain linking (see the
@@ -91,6 +128,16 @@ object Dedup {
     * chain edges instead of being discarded (the pre-round-10 behavior,
     * which collapsed dd3 recall at the 100× smoke). */
   val MaxBucketSize = 200
+
+  /** Target members per over-cap chain SEGMENT (dd3): the chain path's
+    * lag window partitions by (band, bucket, seg) with seg =
+    * hash(band, doc_id) mod ceil(bsz / this), so no single task ever
+    * sorts more than ~this many rows however degenerate the bucket —
+    * a bucket collecting a constant fraction of a 100 TB corpus becomes
+    * bsz/4096 bounded sorts instead of one O(n log n) straggler. Chosen
+    * well above any test/fixture bucket (their chains are unchanged,
+    * nseg = 1) and far below task-memory limits (~50 B/row × 4096). */
+  val ChainSegmentRows = 4096
 
   /** Word 3-shingles (distinct), the unit for MinHash and Jaccard. */
   private def shingleCol: Column = array_distinct(expr(
@@ -107,14 +154,33 @@ object Dedup {
 
   /** Exploded (doc_id, shingle) pairs restricted to discriminative
     * shingles (df ≤ `dfCap`, the [[shingleDfCap]] of the source corpus).
-    * The df filter is a whole-partition window count, so the output is
-    * already hash-partitioned on `sh` — the downstream inverted-index
-    * self-join reuses that exchange instead of shuffling again. */
-  private def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame =
-    shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .where(col("df") <= dfCap)
+    *
+    * The df filter is a map-side-combined `groupBy(sh).count()` whose
+    * over-cap keys anti-join back — NOT a `count over (partition by sh)`
+    * window (the pre-round-11 form): window functions have no partial
+    * aggregation, so a true stop-shingle ("of the", df ≈ a constant
+    * fraction of the corpus) shuffled its ENTIRE population to one task
+    * just to be counted before the filter dropped it — a straggler/OOM
+    * at web scale that the df cutoff itself cannot bound (it bounds join
+    * fan-out, not counting skew). With the aggregate, a hot shingle
+    * arrives at the reducer as ~one partial row per map partition, and
+    * the over-cap key SET is small by construction (≤ total shingle
+    * occurrences / dfCap, concentrated by the Zipf head), so AQE turns
+    * the anti-join into a broadcast — hot shingles are then dropped
+    * map-side before any full-row shuffle. If a pathological corpus ever
+    * produced an unbroadcastable hot set, the fallback is a shuffled
+    * anti-join whose skewed left partitions AQE splits — a mitigation
+    * windows don't have. Fixture-scale cost was re-measured at this
+    * change (NOTES round-11): the round-3 "semi-join 15 % slower"
+    * negative does not apply to this anti-join form. */
+  private def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hot = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap)
+      .select(col("sh"))
+    exploded.join(hot, Seq("sh"), "left_anti")
       .select(col("doc_id"), col("sh"))
+  }
 
   /** dd1_exact — exact duplicate groups by full-text equality: one
     * shuffle keyed on text (at scale: key on sha2 first, q.v. dd2). */
@@ -136,11 +202,26 @@ object Dedup {
   /** dd2's keep rule over an arbitrary documents DataFrame: the input
     * columns plus `content_hash` and `keep` — the SINGLE definition of
     * "first doc_id per sha256 survives" that dd2_hash, CorpusPipeline and
-    * the scale smoke all apply. */
+    * the scale smoke all apply.
+    *
+    * keep = `doc_id === min(doc_id) per content_hash` via a map-side
+    * combined aggregate joined back — equivalent to the pre-round-11
+    * `row_number() over (partition by hash order by doc_id) === 1`
+    * (doc_id is the primary key) but skew-proof: a mega-group of
+    * identical documents reaches the window's single task as its full
+    * population and serializes there, while the aggregate reduces it to
+    * ~one partial row per map partition and the join back is 1-row on
+    * the build side per group (AQE splits a skewed probe partition —
+    * windows get no such mitigation). sha2 is computed once: the
+    * aggregate's exchange on content_hash is the same subtree the join's
+    * probe side needs, so Catalyst reuses it (ReusedExchange). */
   def dd2From(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    docs.withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("keep", row_number().over(w) === 1)
+    val hashed = docs.withColumn("content_hash", sha2(col("text"), 256))
+    val firsts = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("__dd2_first"))
+    hashed.join(firsts, Seq("content_hash"))
+      .withColumn("keep", col("doc_id") === col("__dd2_first"))
+      .select(docs.columns.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
   }
 
   /** MinHash signatures via explode + 64-way min aggregation. Each
@@ -192,6 +273,14 @@ object Dedup {
   /** dd3 over an arbitrary documents DataFrame (`doc_id`, `text`). */
   def dd3From(docs: DataFrame): DataFrame = dd3FromWithCap(docs, MaxBucketSize)
 
+  /** dd3 with an EXPLICIT document count for the df cutoff — bypasses
+    * plan statistics (and the statsCache trap) for callers that know the
+    * corpus size. */
+  def dd3From(docs: DataFrame, nDocs: Long): DataFrame = {
+    val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
+    dd3FromParts(shingled, keptShingles(shingled, shingleDfCap(nDocs)))
+  }
+
   /** dd3 with an explicit bucket cap (tests exercise tiny caps to force
     * the cap/first-collision interaction; the public entries bind
     * [[MaxBucketSize]]). */
@@ -231,16 +320,36 @@ object Dedup {
     // BEFORE the cap filter so the over-cap chain path below sees each
     // doc's full survival map; the A-path rows carry the identical value
     // the post-filter window used to produce.
-    val banded0 = minhashSigs(shingled)
+    //
+    // Over-cap buckets are detected with a map-side-combined
+    // `groupBy(band, bucket).count()` joined back — NOT the pre-round-11
+    // `count over (partition by band, bucket)` window: a degenerate
+    // bucket holding a constant fraction of the corpus shuffled its full
+    // population to ONE task just to be counted, while the aggregate
+    // reduces it to ~one partial row per map partition. The over-cap key
+    // set is small by construction (≤ banded rows / maxBucket), so AQE
+    // broadcasts the join and the flagging never re-shuffles the banded
+    // rows; the signature subtree is shared with the main branch through
+    // the minhash aggregation's exchange (ReusedExchange). The per-doc
+    // bmask window stays a window on purpose — its partitions are
+    // exactly NumBands rows (doc_id is unique), so it has no hot key,
+    // and the doc_id partitioning from the signature aggregation
+    // satisfies it without a new exchange on the broadcast path.
+    val preBand = minhashSigs(shingled)
       .withColumn("bands", bandCol)
       .select((col("doc_id") +: packs) :+
         posexplode(col("bands")).as(Seq("band", "bucket")): _*)
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val overBuckets = preBand.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+    val banded0 = preBand
+      .join(overBuckets, Seq("band", "bucket"), "left_outer")
+      .withColumn("over", col("bsz").isNotNull)
       .withColumn("bmask",
-        sum(when(col("bsz") <= maxBucket,
+        sum(when(!col("over"),
           expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
           .over(Window.partitionBy(col("doc_id"))))
-    val banded = banded0.where(col("bsz") <= maxBucket)
+    val banded = banded0.where(!col("over"))
     val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
       col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
     val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
@@ -289,10 +398,26 @@ object Dedup {
     // the A-path's alias caveat applies); the left_anti join makes the
     // A/B disjointness EXACT, so no duplicates are ever emitted even
     // under lane aliasing.
-    val wChain = Window.partitionBy(col("band"), col("bucket"))
+    // The chain's lag window genuinely needs an order, so it stays a
+    // window — but its partition is (band, bucket, seg), not
+    // (band, bucket): a degenerate bucket holding a constant fraction of
+    // the corpus would otherwise sort its whole population in ONE task
+    // (O(n log n) straggler/spill at 100 TB). Buckets are salted into
+    // segments of ~[[ChainSegmentRows]] expected members (seg count from
+    // the bsz the over-bucket join carried back), chained segment-locally;
+    // buckets under the target keep nseg = 1, i.e. exactly the
+    // pre-round-11 chains — only degenerate giants split. Cross-segment
+    // connectivity comes from the other bands: the segment hash is
+    // salted per band, so 16 de-correlated segmentations each contribute
+    // chains, and a true mega-clique's members stay one component
+    // through edges that all still pass the exact verification below
+    // (measured at the 100×-smoke connectivity bar).
+    val nseg = greatest(lit(1L), ceil(col("bsz") / lit(ChainSegmentRows.toDouble)).cast("long"))
+    val wChain = Window.partitionBy(col("band"), col("bucket"), col("seg"))
       .orderBy(xxhash64(col("band"), col("doc_id")), col("doc_id"))
     val lagged = (0 until 4).foldLeft(
-      banded0.where(col("bsz") > maxBucket)
+      banded0.where(col("over"))
+        .withColumn("seg", pmod(xxhash64(lit(0x5e9), col("band"), col("doc_id")), nseg))
         .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))) {
       (df, i) => df.withColumn(s"pp_$i", lag(col(s"p_$i"), 1).over(wChain))
     }.where(col("doc_p").isNotNull)
@@ -331,6 +456,12 @@ object Dedup {
   /** dd4 over an arbitrary documents DataFrame (`doc_id`, `text`). */
   def dd4From(docs: DataFrame): DataFrame =
     dd4FromKept(keptShingles(withShingles(docs), shingleDfCap(docs)))
+
+  /** dd4 with an EXPLICIT document count for the df cutoff — bypasses
+    * plan statistics (and the statsCache trap) for callers that know the
+    * corpus size. */
+  def dd4From(docs: DataFrame, nDocs: Long): DataFrame =
+    dd4FromKept(keptShingles(withShingles(docs), shingleDfCap(nDocs)))
 
   private def dd4FromKept(kept: DataFrame): DataFrame = {
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -392,15 +523,29 @@ object Dedup {
     // joined. Survival at a COLLIDING band is a property of the shared
     // bucket (equal chunks = same bucket), so one side's mask bit is
     // authoritative for the pair.
-    val banded0 = sig.select(col("doc_id"), col("simhash"),
+    // Over-cap chunk buckets detected by a map-side-combined
+    // `groupBy(band, chunk).count()` joined back (the dd3 shape, q.v.):
+    // the pre-round-11 `count over (partition by band, chunk)` window
+    // put a degenerate chunk's full population on one task just to be
+    // counted. The over-cap key set is ≤ rows / maxBucket — AQE
+    // broadcasts it; the per-doc bmask window keeps exactly 4 rows per
+    // partition (no hot key) and reuses the signature aggregation's
+    // doc_id partitioning.
+    val preBand = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+    val overChunks = preBand.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .select(col("band"), col("chunk"), lit(true).as("over"))
+    val banded0 = preBand
+      .join(overChunks, Seq("band", "chunk"), "left_outer")
+      .withColumn("over", coalesce(col("over"), lit(false)))
       .withColumn("bmask",
-        sum(when(col("bsz") <= maxBucket,
+        sum(when(!col("over"),
           expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
           .over(Window.partitionBy(col("doc_id"))))
-    val banded = banded0.where(col("bsz") <= maxBucket)
+    val banded = banded0.where(!col("over"))
       .select(col("doc_id"), col("simhash"), col("band"), col("chunk"), col("bmask"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("chunk"), col("bmask").as("bmask_a"))
@@ -450,28 +595,46 @@ object Dedup {
     // equality is a 16-bit group of the full XOR both sides carry (no
     // truncation), survival at a true collision is shared, and identical
     // sigs share their full bmask — so no anti-join is needed.
-    val over = banded0.where(col("bsz") > maxBucket)
-      .withColumn("rep", min(col("doc_id"))
-        .over(Window.partitionBy(col("band"), col("chunk"), col("simhash"))))
+    val over = banded0.where(col("over"))
+    // Group-level collapse as AGGREGATION, not windows (round-11): one
+    // row per (band, chunk, simhash) carrying the min-doc representative
+    // and the group's bmask (uniform — identical sigs share every bucket,
+    // hence every over flag; min is a reduction of equal values). The
+    // pre-round-11 `min over (partition by band, chunk, simhash)` window
+    // put a mega identical-sig group's full population on one task; the
+    // aggregate is map-side combined.
+    val repMap = over.groupBy(col("band"), col("chunk"), col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), min(col("bmask")).as("gmask"))
     // B1: hamming-0 stars within each identical-sig group, emitted only
     // when NO band survived the cap (bmask=0 ⟺ the pair is not in A;
     // identical sigs sit in the same bucket at every band, so the whole
-    // group shares one bmask)
-    val stars = over
-      .where(col("doc_id") =!= col("rep") && col("bmask") === 0L)
+    // group shares one bmask). Band 0 suffices: bmask=0 means every band
+    // is over-cap and the representative is band-independent, so the
+    // per-band emissions the old form dropDuplicates'd are one emission
+    // here. Members meet their group rep through a join whose build side
+    // is one row per distinct sig — a mega group arrives at the
+    // aggregate as partial rows and AQE splits the skewed probe side,
+    // mitigations the min-window had no analogue of.
+    val stars = over.where(col("bmask") === 0L && col("band") === 0)
+      .select(col("doc_id"), col("simhash"))
+      .join(repMap.where(col("band") === 0)
+        .select(col("simhash"), col("rep")), Seq("simhash"))
+      .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
         lit(0).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
     // B2: distinct signatures join at rep level, capped on the DISTINCT
-    // count; exclusion from A per pair via the exact chunk/bmask test
-    // (all four bands must either differ or be cap-excluded)
-    val reps = over.where(col("doc_id") === col("rep"))
-      .withColumn("dsz", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("chunk"))))
-      .where(col("dsz") <= maxBucket)
-    val rl = reps.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("band"), col("chunk"), col("bmask").as("bmask_a"))
-    val rr = reps.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+    // count (a map-side-combined count over repMap; the over-cap key set
+    // is tiny — ≤ distinct sigs / maxBucket — and anti-joins back);
+    // exclusion from A per pair via the exact chunk/bmask test (all four
+    // bands must either differ or be cap-excluded)
+    val dszOver = repMap.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("dsz"))
+      .where(col("dsz") > maxBucket)
+      .select(col("band"), col("chunk"))
+    val reps = repMap.join(dszOver, Seq("band", "chunk"), "left_anti")
+    val rl = reps.select(col("rep").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("chunk"), col("gmask").as("bmask_a"))
+    val rr = reps.select(col("rep").as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("chunk"))
     val xorR = col("sh_a").bitwiseXOR(col("sh_b"))
     val collapsedR = Seq(1, 2, 4, 8)

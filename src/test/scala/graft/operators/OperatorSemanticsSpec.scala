@@ -299,6 +299,115 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"over-cap rep linking failed to reconnect guaranteed pairs: $disconnected")
   }
 
+  test("agg+join hot-key forms are bit-identical to the window forms under skew") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Adversarial corpus for the round-11 no-partial-agg rework: one
+    // boilerplate shingle in EVERY doc (df far over the cutoff), a
+    // 120-copy identical-text mega-group (one content_hash), plus the
+    // real fixture docs for ordinary structure. The reworked operators
+    // (groupBy-aggregate + join-back) must reproduce the old window
+    // forms row for row.
+    val base = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), lit(" common boiler plate tail")).as("text"))
+    val mega = spark.range(300)
+      .select((col("id") + 500000).as("doc_id"),
+        lit("identical mega group document common boiler plate tail").as("text"))
+    val corpus = base.union(mega)
+
+    // dd2: keep = min-doc-per-hash (agg+join) vs row_number window
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val winDd2 = corpus.withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("content_hash"), col("keep"))
+    val newDd2 = Dedup.dd2From(corpus)
+      .select(col("doc_id"), col("content_hash"), col("keep"))
+    assert(newDd2.collect().toSet == winDd2.collect().toSet,
+      "dd2 agg+join keep rule diverged from the row_number window form")
+
+    // dd4 (through keptShingles' df cutoff): anti-join form vs window form
+    val shingled = corpus.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val winKept = shingled
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("df") <= Dedup.MaxShingleDf)
+      .select(col("doc_id"), col("sh"))
+    val sizes = winKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val winDd4 = winKept.as("x").join(winKept.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the boilerplate shingle is in all ~620 docs — far over the cap, so
+    // the cutoff is ACTIVE in this comparison; the mega group's shingles
+    // are all over the cap too (300 > 100), so its docs have empty kept
+    // sets under both forms
+    assert(rows3(Dedup.dd4From(corpus)) == rows3(winDd4),
+      "dd4 over anti-join keptShingles diverged from the df-window form")
+
+    // dd3/dd5 over the same skewed corpus: over-cap flags via agg+join
+    // must keep the operator contracts (subset of exact, no duplicates);
+    // their full pair-set equivalence vs the naive window forms is
+    // covered by the fixture tests above
+    val dd3 = Dedup.dd3From(corpus)
+    val dd3Pairs = pairs(dd3, "doc_a", "doc_b")
+    assert(dd3.count() == dd3Pairs.size, "dd3 emitted duplicates under skew")
+    assert(dd3Pairs.subsetOf(rows3(winDd4).map(t => (t._1, t._2))),
+      "dd3 invented pairs under skew")
+    val dd5 = Dedup.dd5From(corpus)
+    assert(dd5.count() == pairs(dd5, "doc_a", "doc_b").size,
+      "dd5 emitted duplicates under skew")
+    // the 300-copy mega group (over the 200 bucket cap) must stay one dd5 component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs(dd5, "doc_a", "doc_b").foreach { case (x, y) => parent(find(x)) = find(y) }
+    val megaIds = (0 until 300).map(i => 500000L + i)
+    assert(megaIds.map(find).toSet.size == 1,
+      "dd5 mega identical-sig group fragmented under the agg+join rework")
+  }
+
+  test("statsCache trap is detected: cached-unmaterialized plans flag loud") {
+    import org.apache.spark.sql.functions._
+    // The trap (NOTES round-10): df.cache() then probing .stats BEFORE
+    // the first materialization reads the pre-cache estimate and PINS it
+    // on the shared InMemoryRelation (LogicalPlan.statsCache). The
+    // round-11 detector must flag exactly the cached-but-unmaterialized
+    // window — and the explicit-count overloads must bypass statistics
+    // entirely.
+    // NOTE each probe builds a FRESH DataFrame: queryExecution memoizes
+    // per DataFrame instance, so probing the same object before caching
+    // would pin a plan without the cache substitution — the same class
+    // of trap the detector exists for
+    def docs = spark.range(5000)
+      .select(col("id").as("doc_id"), concat(lit("doc text "), col("id")).as("text"))
+    assert(!Dedup.statsUnmaterialized(docs.where(col("doc_id") >= 0)),
+      "uncached plan must not flag")
+    val cached = docs.cache()
+    try {
+      assert(Dedup.statsUnmaterialized(cached.where(col("doc_id") >= 0)),
+        "cached-but-unmaterialized plan must flag the trap (shingleDfCap warns)")
+      Dedup.shingleDfCap(cached.where(col("doc_id") >= 0)) // loud path: warns, still returns
+      cached.count() // materialize
+      assert(!Dedup.statsUnmaterialized(cached.where(col("doc_id") >= 0)),
+        "materialized cache must not flag — statistics are now real")
+    } finally { cached.unpersist(); () }
+    // explicit-count overload: pure arithmetic, no plan probe at all
+    assert(Dedup.shingleDfCap(500L) == 100)
+    assert(Dedup.shingleDfCap(500000L) == 500)
+    assert(Dedup.shingleDfCap(5000000L) == 1000)
+  }
+
   test("shingleDfCap: floor at fixture scale, 0.1% of docs above, hard ceiling") {
     // without CBO, plan stats carry only sizeInBytes (8 B/row for range
     // plans), and the estimator divides by the house ~300 B/row — the
