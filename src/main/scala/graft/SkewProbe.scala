@@ -57,6 +57,22 @@ object SkewProbe {
       ex.join(hot, Seq("sh"), "left_anti").select(col("doc_id"), col("sh"))
     }
 
+    // candidate 3: SINGLE-scan bounded-collect — count + k-bounded id
+    // list in one map-side-combined aggregation (TopKByScore with a
+    // constant score; buffer ≤ cap+1 entries, so a stop-shingle never
+    // materializes its population anywhere), then explode the ids of
+    // under-cap shingles. One scan, no hot-key row shuffle, and the
+    // output is partitioned on sh like the window form (the dd4
+    // self-join's exchange-reuse position).
+    def keptBounded(ex: DataFrame, cap: Long): DataFrame = ex
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.VectorFunctions
+          .topkByScore(lit(0.0), col("doc_id"), (cap + 1).toInt).as("ids"))
+      .where(col("df") <= cap)
+      .select(explode(col("ids")).as("t"), col("sh"))
+      .select(col("t.id").as("doc_id"), col("sh"))
+
     def dd2Window(docs: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
       docs.withColumn("content_hash", sha2(col("text"), 256))
@@ -65,6 +81,19 @@ object SkewProbe {
     }
     def dd2AggJoin(docs: DataFrame): DataFrame =
       graft.operators.Dedup.dd2From(docs).where(col("keep")).select(col("doc_id"))
+    // candidate 3: join only the DUPLICATED groups back — hashes with one
+    // member (the vast majority of any corpus) need no information at all
+    // (keep = true); the dup-min frame is corpus-dedup-rate-sized and
+    // usually broadcastable, so the corpus itself never shuffles.
+    def dd2DupJoin(docs: DataFrame): DataFrame = {
+      val hashed = docs.withColumn("content_hash", sha2(col("text"), 256))
+      val dupMins = hashed.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
+        .where(col("c") > 1).select(col("content_hash"), col("m"))
+      hashed.join(dupMins, Seq("content_hash"), "left_outer")
+        .withColumn("keep", col("m").isNull || col("doc_id") === col("m"))
+        .where(col("keep")).select(col("doc_id"))
+    }
 
     def timed(name: String)(body: => Long): Long = {
       // warm + 2 samples; min reported (JIT/IO warmup in the discard)
@@ -85,7 +114,10 @@ object SkewProbe {
     val n2 = timed("fixture dd4 via AGG+JOIN df") {
       dd4Over(keptAggJoin(shingled(docs), 100)).count()
     }
-    assert(n1 == n2, s"forms disagree at fixture scale: $n1 vs $n2")
+    val n3 = timed("fixture dd4 via BOUNDED-COLLECT") {
+      dd4Over(keptBounded(shingled(docs), 100)).count()
+    }
+    assert(n1 == n2 && n1 == n3, s"forms disagree at fixture scale: $n1 / $n2 / $n3")
 
     // --- adversarial skew (the 100 TB failure shape, scaled down) ---
     val nAdv = 2000000L
@@ -103,10 +135,14 @@ object SkewProbe {
     val k2 = timed("skew keptShingles AGG+JOIN") {
       keptAggJoin(shingled(adv), cap).count()
     }
-    assert(k1 == k2, s"kept forms disagree under skew: $k1 vs $k2")
+    val k3 = timed("skew keptShingles BOUNDED") {
+      keptBounded(shingled(adv), cap).count()
+    }
+    assert(k1 == k2 && k1 == k3, s"kept forms disagree under skew: $k1 / $k2 / $k3")
     val m1 = timed("skew dd2 WINDOW") { dd2Window(adv).count() }
     val m2 = timed("skew dd2 AGG+JOIN") { dd2AggJoin(adv).count() }
-    assert(m1 == m2, s"dd2 forms disagree under skew: $m1 vs $m2")
+    val m3 = timed("skew dd2 DUP-JOIN") { dd2DupJoin(adv).count() }
+    assert(m1 == m2 && m1 == m3, s"dd2 forms disagree under skew: $m1 / $m2 / $m3")
     spark.stop()
   }
 }

@@ -155,31 +155,36 @@ object Dedup {
   /** Exploded (doc_id, shingle) pairs restricted to discriminative
     * shingles (df ≤ `dfCap`, the [[shingleDfCap]] of the source corpus).
     *
-    * The df filter is a map-side-combined `groupBy(sh).count()` whose
-    * over-cap keys anti-join back — NOT a `count over (partition by sh)`
-    * window (the pre-round-11 form): window functions have no partial
-    * aggregation, so a true stop-shingle ("of the", df ≈ a constant
-    * fraction of the corpus) shuffled its ENTIRE population to one task
-    * just to be counted before the filter dropped it — a straggler/OOM
-    * at web scale that the df cutoff itself cannot bound (it bounds join
-    * fan-out, not counting skew). With the aggregate, a hot shingle
-    * arrives at the reducer as ~one partial row per map partition, and
-    * the over-cap key SET is small by construction (≤ total shingle
-    * occurrences / dfCap, concentrated by the Zipf head), so AQE turns
-    * the anti-join into a broadcast — hot shingles are then dropped
-    * map-side before any full-row shuffle. If a pathological corpus ever
-    * produced an unbroadcastable hot set, the fallback is a shuffled
-    * anti-join whose skewed left partitions AQE splits — a mitigation
-    * windows don't have. Fixture-scale cost was re-measured at this
-    * change (NOTES round-11): the round-3 "semi-join 15 % slower"
-    * negative does not apply to this anti-join form. */
+    * ONE map-side-combined aggregation per shingle — `count` plus a
+    * k-BOUNDED id collect ([[graft.functions.TopKByScore]] under a
+    * constant score, buffer ≤ dfCap+1 entries at every stage) — then the
+    * ids of under-cap shingles explode back out. Replaces the
+    * pre-round-11 `count over (partition by sh)` window: windows have no
+    * partial aggregation, so a true stop-shingle ("of the", df ≈ a
+    * constant fraction of the corpus) shuffled its ENTIRE population to
+    * one task just to be counted before the filter dropped it — a
+    * straggler/OOM at web scale that the df cutoff itself cannot bound
+    * (it bounds join fan-out, not counting skew). With the bounded
+    * collect, a hot shingle crosses the exchange as one ≤(dfCap+1)-entry
+    * buffer per map partition and is dropped at the reducer; an
+    * under-cap shingle's list is complete by construction (total ≤ dfCap
+    * < the truncation bound, so no eviction ever fired). Exactly one
+    * scan of the corpus (a counts-then-anti-join formulation measured
+    * 1.8× slower at 2M docs — the second tokenize+explode pass — while
+    * this form measured within 9 % of the window under skew and 6 % at
+    * fixture scale, NOTES round-11), and the output keeps the window
+    * form's hash-partitioning on `sh`, preserving the dd4 self-join's
+    * exchange-reuse position. */
   private def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val hot = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > dfCap)
-      .select(col("sh"))
-    exploded.join(hot, Seq("sh"), "left_anti")
-      .select(col("doc_id"), col("sh"))
+    graft.functions.VectorFunctions.ensureRegistered(shingled.sparkSession)
+    shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.VectorFunctions
+          .topkByScore(lit(0.0), col("doc_id"), (dfCap + 1).toInt).as("ids"))
+      .where(col("df") <= dfCap)
+      .select(explode(col("ids")).as("t"), col("sh"))
+      .select(col("t.id").as("doc_id"), col("sh"))
   }
 
   /** dd1_exact — exact duplicate groups by full-text equality: one
@@ -204,23 +209,31 @@ object Dedup {
     * "first doc_id per sha256 survives" that dd2_hash, CorpusPipeline and
     * the scale smoke all apply.
     *
-    * keep = `doc_id === min(doc_id) per content_hash` via a map-side
-    * combined aggregate joined back — equivalent to the pre-round-11
-    * `row_number() over (partition by hash order by doc_id) === 1`
-    * (doc_id is the primary key) but skew-proof: a mega-group of
-    * identical documents reaches the window's single task as its full
-    * population and serializes there, while the aggregate reduces it to
-    * ~one partial row per map partition and the join back is 1-row on
-    * the build side per group (AQE splits a skewed probe partition —
-    * windows get no such mitigation). sha2 is computed once: the
-    * aggregate's exchange on content_hash is the same subtree the join's
-    * probe side needs, so Catalyst reuses it (ReusedExchange). */
+    * keep = `doc_id === min(doc_id) per content_hash`, with ONLY the
+    * DUPLICATED groups' minima joined back — equivalent to the
+    * pre-round-11 `row_number() over (partition by hash order by
+    * doc_id) === 1` (doc_id is the primary key) but skew-proof: a
+    * mega-group of identical documents reached the window's single task
+    * as its full population (text payload included) and serialized
+    * there, while here it reduces to ~one partial (min, count) row per
+    * map partition. Hashes with a single member — the vast majority of
+    * any corpus — need no information at all (keep = true), so the
+    * joined-back frame is dedup-rate-sized: usually broadcast by AQE,
+    * meaning the corpus rows never shuffle at all; a heavily-duplicated
+    * corpus degrades to a shuffled join whose skewed partitions AQE
+    * splits — a mitigation windows don't have. Measured at the 2M-doc
+    * skew probe: 1.06 s vs the window's 0.67 s and a full min-map
+    * join's 1.55 s (NOTES round-11) — the small premium buys away the
+    * unbounded single-task shape. */
   def dd2From(docs: DataFrame): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col("text"), 256))
-    val firsts = hashed.groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("__dd2_first"))
-    hashed.join(firsts, Seq("content_hash"))
-      .withColumn("keep", col("doc_id") === col("__dd2_first"))
+    val dupFirsts = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("__dd2_first"), count(lit(1)).as("__dd2_n"))
+      .where(col("__dd2_n") > 1)
+      .select(col("content_hash"), col("__dd2_first"))
+    hashed.join(dupFirsts, Seq("content_hash"), "left_outer")
+      .withColumn("keep",
+        col("__dd2_first").isNull || col("doc_id") === col("__dd2_first"))
       .select(docs.columns.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
   }
 
