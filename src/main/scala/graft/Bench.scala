@@ -53,7 +53,8 @@ object Bench {
     }
     def calSpark(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0, 50000000L, 1, 32).selectExpr("sum(xxhash64(id))").collect()
+      // mod keeps the ANSI sum far from long overflow (50M × ±512)
+      spark.range(0, 50000000L, 1, 32).selectExpr("sum(xxhash64(id) % 1024)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     def cal3(f: () => Double): Double = Seq(f(), f(), f()).min

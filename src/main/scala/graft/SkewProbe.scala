@@ -43,7 +43,8 @@ object SkewProbe {
         .agg(count(lit(1)).as("common"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .where(round(col("common") / (col("na") + col("nb") - col("common")), 4) >= 0.8)
+        .where(round(col("common") / (col("na") + col("nb") - col("common")), 4) >= 0.8 &&
+          col("common") >= graft.operators.Dedup.MinJaccardShingles)
         .select(col("doc_a"), col("doc_b"))
     }
 

@@ -262,9 +262,9 @@ object Dedup {
   }
 
   /** dd3_minhash_lsh — near-duplicate pairs via MinHash+LSH banding,
-    * verified with exact Jaccard >= 0.8 on the discriminative
-    * (df-cutoff) shingle sets — the same sets dd4 scores, so dd3 ⊆ dd4
-    * by construction. Plan shape: per-row signature (codegen) ->
+    * verified with exact Jaccard >= 0.8 AND ≥ [[MinJaccardShingles]]
+    * shared shingles on the discriminative (df-cutoff) shingle sets —
+    * the same sets and floors dd4 scores, so dd3 ⊆ dd4 by construction. Plan shape: per-row signature (codegen) ->
     * posexplode 16 bands -> shuffle on (band, bucket) -> under-cap
     * buckets self-join (candidate pairs deduplicated AT the join by the
     * first-surviving-collision rule, dd5's shape — no distinct shuffle
@@ -450,19 +450,37 @@ object Dedup {
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .where(col("jaccard") >= 0.8)
+      .where(col("jaccard") >= 0.8 &&
+        size(array_intersect(col("sh_a"), col("sh_b"))) >= MinJaccardShingles)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Minimum SHARED discriminative shingles for a dd3/dd4 pair —
+    * [[MinContamShingles]]' rationale applied to near-dup scoring: a
+    * Jaccard over near-empty kept sets is an all-or-nothing test on
+    * coincidence, not evidence of duplication (two docs each keeping ONE
+    * shingle, the same one, score J = 1.0). Round-11 measurement at the
+    * 20× smoke: of dd4's 17,840 pairs, 8,940 had common = 1 and
+    * full-shingle Jaccard ≈ .02 — template docs whose real content was
+    * all df-cutoff-dropped — while every real near-dup pair measured
+    * common ≥ 8. Three shared 3-shingles ≙ a ≥ 5-token verbatim overlap;
+    * the DuckDB oracle mirrors the literal. (This is the residual of the
+    * 100×-smoke dd4 degeneration: the corpus-scaled cutoff fixed the
+    * wholesale collapse, the common floor removes the per-pair
+    * coincidence class at every scale.) */
+  val MinJaccardShingles = 3
+
   /** dd4_ngram_jaccard — exact near-dup pairs by word-3-shingle Jaccard
-    * >= 0.8 over discriminative shingles (df ≤ [[shingleDfCap]]) via
-    * inverted-index join: explode (doc, shingle), drop hot shingles,
-    * self-join on shingle, count common shingles per pair, Jaccard from
-    * per-doc kept-set sizes. This is the exact ground truth dd3
-    * approximates; the DuckDB oracle mirrors it including the cutoff
+    * >= 0.8 over discriminative shingles (df ≤ [[shingleDfCap]]), with at
+    * least [[MinJaccardShingles]] SHARED shingles (a high Jaccard over a
+    * near-empty kept set is coincidence, not duplication — q.v. the
+    * constant), via inverted-index join: explode (doc, shingle), drop hot
+    * shingles, self-join on shingle, count common shingles per pair,
+    * Jaccard from per-doc kept-set sizes. This is the exact ground truth
+    * dd3 approximates; the DuckDB oracle mirrors it including the cutoff
     * (literal 100 = the cap at fixture scale, where the relative term
-    * never engages). */
+    * never engages) and the common floor (literal 3). */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     dd4FromKept(cachedKeptShingles(s, dir))
 
@@ -486,7 +504,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
-      .where(col("jaccard") >= 0.8)
+      .where(col("jaccard") >= 0.8 && col("common") >= MinJaccardShingles)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -996,7 +1014,8 @@ object Dedup {
         FROM cnt
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8)"""
+        WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
+          AND common >= 3)"""
 
   val oracle: Map[String, String] = Map(
     "dd1_exact" ->

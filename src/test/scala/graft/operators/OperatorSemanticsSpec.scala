@@ -79,7 +79,8 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .where(col("jaccard") >= 0.8)
+      .where(col("jaccard") >= 0.8 &&
+        size(array_intersect(col("sh_a"), col("sh_b"))) >= Dedup.MinJaccardShingles)
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -342,7 +343,7 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
-      .where(col("jaccard") >= 0.8)
+      .where(col("jaccard") >= 0.8 && col("common") >= Dedup.MinJaccardShingles)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     def rows3(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
