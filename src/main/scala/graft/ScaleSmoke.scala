@@ -256,6 +256,12 @@ object ScaleSmoke {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val truth = collisions.count()
         val guaranteedTruth = collisions.where(col("guaranteed") === 1).count()
+        // the PRODUCT path on purpose: dd5's sketch graph chains
+        // transitively (sigs drifting ≤3 bits per hop), so at 100× its
+        // diameter blows past min-label propagation's fast rounds and
+        // dd6ClusterFrom switches to star contraction — this stage is
+        // the scale exercise of that fallback (the first 100× run threw
+        // here when the fallback didn't exist)
         val comp = graft.operators.Dedup.dd6ClusterFrom(
           docs.select(col("doc_id")), dd5Pairs)
           .select(col("doc_id"), col("cluster_rep"))

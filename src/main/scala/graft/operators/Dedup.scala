@@ -796,14 +796,21 @@ object Dedup {
     * set) pass them here so the inverted-index join is not recomputed
     * per clustering run.
     *
-    * Implementation is distributed min-label propagation (the standard
-    * large-scale connected-components loop, cf. GraphX/Pregel): each
-    * round joins labels across edges and takes the per-node min; the
-    * driver only checks the converged-yet counter. Pairs are cached so
-    * iterations don't recompute them; label lineage is truncated each
-    * round. Near-dup components have tiny diameters, so this converges
-    * in 2-3 rounds; a component of diameter > [[DdMaxIterations]] raises
-    * rather than silently returning partial labels. */
+    * Implementation is TWO-TIER. Fast path: distributed min-label
+    * propagation (the standard large-scale connected-components loop,
+    * cf. GraphX/Pregel) — each round joins labels across edges and
+    * takes the per-node min; VERIFIED near-dup graphs are clique-ish
+    * with tiny diameters, so this converges in 2-3 rounds. Min-label
+    * needs O(diameter) rounds, though, and a high-diameter graph is not
+    * a pathology here: dd5's sketch output CHAINS transitively (sigs
+    * drifting ≤ 3 bits per hop — its 100×-smoke graph exceeded a
+    * 50-round budget), and clustering raw sketch edges is a legitimate
+    * pipeline. So after [[FastLabelRounds]] unconverged rounds the loop
+    * switches to alternating large-star / small-star contraction
+    * ([[starComponents]]) — O(log n) rounds regardless of diameter —
+    * instead of the pre-round-11 behavior of throwing. Both paths label
+    * every node with its component MINIMUM, so the result (and the
+    * DuckDB oracle) is path-independent. */
   def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame): DataFrame = {
     // a caller-persisted edge set stays the caller's to unpersist (the
     // dd6Cluster memo keeps its graph alive across calls)
@@ -827,7 +834,7 @@ object Dedup {
       var labels = touched.select(col("doc_id"), col("doc_id").as("label"))
       var converged = false
       var iters = 0
-      while (!converged && iters < DdMaxIterations) {
+      while (!converged && iters < FastLabelRounds) {
         val prop = edges.join(labels, edges("u") === labels("doc_id"))
           .select(col("v").as("doc_id"), col("label"))
         val next = labels.union(prop)
@@ -840,9 +847,9 @@ object Dedup {
         iters += 1
       }
       touched.unpersist(false)
-      if (!converged) throw new IllegalStateException(
-        s"connected components did not converge in $DdMaxIterations rounds — " +
-          "component diameter exceeds the iteration cap; raise DdMaxIterations")
+      // high-diameter graph: the fast path would need O(diameter)
+      // rounds — switch to star contraction, O(log n) rounds always
+      if (!converged) labels = starComponents(edges)
       // untouched docs are their own singleton components
       val singletons = docs.select(col("doc_id"))
         .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -854,11 +861,88 @@ object Dedup {
     } finally if (!callerOwned) { pairs.unpersist(false); () }
   }
 
-  /** Iteration cap for min-label propagation; covers components of
-    * diameter up to this. Near-dup graphs are dense (cliques-ish), so
-    * real convergence is 2-3 rounds — hitting the cap means the input
-    * is not a near-dup graph, and dd6ClusterFrom throws. */
-  val DdMaxIterations = 50
+  /** Fast-path budget for min-label propagation: verified near-dup
+    * graphs (cliques-ish) converge in 2-3 rounds, so 8 unconverged
+    * rounds means the graph is high-diameter and [[dd6ClusterFrom]]
+    * switches to [[starComponents]] rather than paying O(diameter)
+    * rounds (the pre-round-11 code threw here; the dd5∘dd6 composition
+    * at the 100× smoke proved high-diameter inputs are a real
+    * pipeline, not a pathology). */
+  val FastLabelRounds = 8
+
+  /** Round cap for [[starComponents]]: alternating star contraction
+    * halves active star height per alternation, so rounds are
+    * O(log n) — 64 covers any graph with < 2^64 nodes with a wide
+    * margin; hitting it means a logic bug, not a big input. */
+  val DdMaxIterations = 64
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): O(log n) rounds regardless of component
+    * diameter, each round two map-side-combinable aggregations + two
+    * joins over the current edge set — the shape that survives a
+    * 100 TB chain graph where per-hop label propagation cannot.
+    *
+    *   - large-star: every node u computes m = min(u ∪ N(u)) and
+    *     re-points its LARGER neighbors at m;
+    *   - small-star: u re-points its smaller-or-equal neighbors (and
+    *     itself) at m.
+    *
+    * The component minimum only ever acquires edges, never re-points to
+    * anything larger, so the fixed point is a star centered at each
+    * component's min — the same labels min-label propagation produces.
+    * Edges are kept canonical (lo < hi) and deduplicated per round;
+    * convergence = unchanged (count, xor-of-hashes) signature, checked
+    * driver-side. Input: symmetric (u, v) edge frame; output:
+    * (doc_id, label) for every edge-touched node. */
+  private[operators] def starComponents(edges: DataFrame): DataFrame = {
+    def canonical(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+    def minsOf(s: DataFrame): DataFrame = s.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    var cur = canonical(edges).localCheckpoint()
+    var sig = (cur.count(), 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < DdMaxIterations) {
+      // pure replacement per the paper: a non-min node u stays
+      // connected through the star of any smaller neighbor w (u > w ⟹
+      // u ∈ Γ(w) re-points to m(w)), so no anchor edges are needed
+      val s1 = sym(cur)
+      val large = s1.where(col("v") > col("u")).join(minsOf(s1), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = canonical(large)
+      val s2 = sym(afterLarge)
+      val m2 = minsOf(s2)
+      val small = s2.where(col("v") < col("u")).join(m2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+      val next = canonical(small).localCheckpoint()
+      // xor-fold, not sum: overflow-free under ANSI; collisions are
+      // caught by the exact anti-join confirmation below
+      val nextSig = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
+        .head() match { case r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)) }
+      converged = nextSig == (sig._1, sig._2) && {
+        // signature equality is necessary; confirm with an exact diff
+        // (cheap at the fixed point — both sides are the same size)
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      }
+      sig = (nextSig._1, nextSig._2)
+      cur = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star contraction did not converge in $DdMaxIterations rounds — logic bug")
+    // fixed point: (min, member) star edges; centers label themselves
+    cur.select(col("v").as("doc_id"), col("u").as("label"))
+      .union(cur.select(col("u").as("doc_id"), col("u").as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+  }
 
   /** User-facing pipeline op: the deduplicated corpus — documents with
     * near-dup clusters (dd6 components) collapsed to their smallest-id

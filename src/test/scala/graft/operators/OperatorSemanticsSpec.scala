@@ -378,6 +378,47 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dd5 mega identical-sig group fragmented under the agg+join rework")
   }
 
+  test("high-diameter graphs cluster via star contraction; labels match union-find") {
+    import org.apache.spark.sql.functions._
+    // 1. A 2000-node PATH (diameter 2000): min-label propagation would
+    // need 2000 rounds — the pre-round-11 code threw at its cap. The
+    // star-contraction fallback must label every node with the
+    // component min in O(log n) rounds. (Real input shape: dd5's sketch
+    // graph chains sigs <=3 bits per hop — the dd6∘dd5 composition.)
+    val n = 2000
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val out = Dedup.dd6ClusterFrom(docs, chain).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "path must collapse to component min 0")
+    assert(out.count(_.getBoolean(2)) == 1, "exactly one keep in the chain component")
+
+    // 2. Random sparse graph: star-contraction labels == driver union-find
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 3000).map { _ =>
+      (rnd.nextInt(4000).toLong, rnd.nextInt(4000).toLong)
+    }.filter(e => e._1 != e._2)
+    import spark.implicits._
+    val edgeDf = edges.toDF("u", "v")
+      .union(edges.toDF("u", "v").select(col("v"), col("u")))
+    val got = Dedup.starComponents(edgeDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    // union-find roots are arbitrary; compare per-component MIN labels
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val compMin = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.foreach { nd =>
+      assert(got(nd) == compMin(find(nd)),
+        s"star label ${got(nd)} != union-find component min ${compMin(find(nd))} for $nd")
+    }
+  }
+
   test("statsCache trap is detected: cached-unmaterialized plans flag loud") {
     import org.apache.spark.sql.functions._
     // The trap (NOTES round-10): df.cache() then probing .stats BEFORE
