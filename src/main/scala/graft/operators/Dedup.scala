@@ -148,7 +148,7 @@ object Dedup {
     * above the signature computation, so the expensive hashing runs once
     * per join side instead of being shared at the aggregation shuffle.
     * Exchange-reuse position beats raw input parallelism. */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[operators] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", shingleCol)
 
@@ -175,7 +175,7 @@ object Dedup {
     * fixture scale, NOTES round-11), and the output keeps the window
     * form's hash-partitioning on `sh`, preserving the dd4 self-join's
     * exchange-reuse position. */
-  private def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame = {
+  private[operators] def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(shingled.sparkSession)
     shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .groupBy(col("sh"))
@@ -244,7 +244,7 @@ object Dedup {
     * times (the round-1 kernel; it was the bench's top hotspot). Map-side
     * partial min-agg shrinks the shuffle to 64 longs per doc per
     * partition. */
-  private def minhashSigs(shingled: DataFrame): DataFrame = {
+  private[operators] def minhashSigs(shingled: DataFrame): DataFrame = {
     val exploded = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
@@ -302,7 +302,7 @@ object Dedup {
     dd3FromParts(shingled, keptShingles(shingled, shingleDfCap(docs)), maxBucket)
   }
 
-  private def dd3FromParts(shingled: DataFrame, kept: DataFrame,
+  private[operators] def dd3FromParts(shingled: DataFrame, kept: DataFrame,
                            maxBucket: Int = MaxBucketSize): DataFrame = {
     // slim candidate generation: only (doc_id, band, bucket) plus five
     // dedup longs flow through the self-join; shingle sets rejoin AFTER
@@ -444,17 +444,44 @@ object Dedup {
     val cand = candA.unionByName(candB)
     val keptSets = kept
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+    // Verification is per-CANDIDATE work (orders of magnitude more rows
+    // than survivors at replica-heavy corpora), so the hot path stages
+    // the cheap integers first: one array_intersect per pair (the old
+    // form evaluated it twice — once in the filter, once in the
+    // projection), union size by |A|+|B|-common (per-doc kept sets are
+    // distinct by construction, so no array_union materialization), and
+    // the [[jaccardAtLeast08]] integer filter instead of round()'s
+    // per-row BigDecimal (q.v.). round(…,4) is then only computed for
+    // the survivors the operator actually emits.
     cand
       .join(keptSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(keptSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .where(col("jaccard") >= 0.8 &&
-        size(array_intersect(col("sh_a"), col("sh_b"))) >= MinJaccardShingles)
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("un", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("common"))
+      .where(col("common") >= MinJaccardShingles &&
+        jaccardAtLeast08(col("common"), col("un")))
+      .withColumn("jaccard", round(col("common") / col("un"), 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Integer-exact form of `round(common / union, 4) >= 0.8` (HALF_UP,
+    * the Spark/DuckDB default): round(x, 4) >= 0.8 ⟺ x >= 0.79995, and
+    * for a rational c/u the test c/u >= 15999/20000 is exactly
+    * `20000·c >= 15999·u` in long arithmetic. Equivalence with the
+    * double path is EXACT, not approximate: any c/u ≠ 15999/20000 with
+    * u ≤ 2²⁶ differs from it by ≥ 1/(20000·u) > 7·10⁻¹³, six orders of
+    * magnitude beyond the ≤ 1-ulp (~10⁻¹⁶) error of the double division
+    * — so both forms classify every feasible pair identically (ties
+    * c/u = 0.79995 round HALF_UP to 0.8 and satisfy >=, both forms
+    * include them). Exists because Round on DoubleType evaluates through
+    * `BigDecimal.valueOf(x)` — a Double.toString + two allocations per
+    * row, measured as a top frame in the 100×-smoke dd3 thread dumps
+    * when it sat in the per-candidate filter. The emitted `jaccard`
+    * COLUMN stays round(…,4) (only computed for survivors), so outputs
+    * and the DuckDB oracles are unchanged. */
+  private def jaccardAtLeast08(common: Column, union: Column): Column =
+    common * 20000L >= union * 15999L
 
   /** Minimum SHARED discriminative shingles for a dd3/dd4 pair —
     * [[MinContamShingles]]' rationale applied to near-dup scoring: a
@@ -503,8 +530,13 @@ object Dedup {
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
-      .where(col("jaccard") >= 0.8 && col("common") >= MinJaccardShingles)
+      .withColumn("un", col("na") + col("nb") - col("common"))
+      // integer pre-filter on every ≥1-shared-shingle pair; round(…,4)
+      // only for survivors — see [[jaccardAtLeast08]] for the exact
+      // equivalence argument
+      .where(col("common") >= MinJaccardShingles &&
+        jaccardAtLeast08(col("common"), col("un")))
+      .withColumn("jaccard", round(col("common") / col("un"), 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
