@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Perf probe (round-11): phase-resolved dd4/dd3 wall time on the scale
@@ -62,6 +63,77 @@ object DdPerfProbe {
     }
     timed("dd3 total") {
       Dedup.dd3From(docs, nDocs).count()
+    }
+
+    // dd3 interior phases, mirroring dd3FromParts (Dedup.scala) shape
+    // for shape so each subtree can be costed; counts are cumulative
+    // (each phase recomputes its ancestors — subtract to attribute).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val maxBucket = Dedup.MaxBucketSize
+      val packs = (0 until 4).map { i =>
+        (0 until 4).map { g =>
+          shiftleft(element_at(col("bands"), i * 4 + g + 1).bitwiseAND(0xFFFFL), 16 * g)
+        }.reduce((x, y) => x.bitwiseOR(y)).as(s"p_$i")
+      }
+      val bandCol = array((0 until 16).map { b =>
+        xxhash64((lit(b) +: (0 until 4).map(rr => col(s"sig_${b * 4 + rr}"))): _*)
+      }: _*)
+      val preBand = Dedup.minhashSigs(shingled)
+        .withColumn("bands", bandCol)
+        .select((col("doc_id") +: packs) :+
+          posexplode(col("bands")).as(Seq("band", "bucket")): _*)
+      val overBuckets = preBand.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") > maxBucket)
+      val banded0 = preBand
+        .join(overBuckets, Seq("band", "bucket"), "left_outer")
+        .withColumn("over", col("bsz").isNotNull)
+        .withColumn("bmask",
+          sum(when(!col("over"),
+            expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
+            .over(Window.partitionBy(col("doc_id"))))
+      timed("phase: banded0 (join+bmask)") { banded0.count() }
+      val banded = banded0.where(!col("over"))
+      val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
+        col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
+      val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
+        (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
+      def differsMask(pa: String, pb: String): Column = (0 until 4).map { i =>
+        val xor = col(s"$pa$i").bitwiseXOR(col(s"$pb$i"))
+        (0 until 4).map { g =>
+          when(shiftright(xor, 16 * g).bitwiseAND(0xFFFFL) =!= 0,
+            lit(1L << (4 * i + g))).otherwise(0L)
+        }.reduce((x, y) => x.bitwiseOR(y))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - 1
+      timed("phase: joinedA (pre-filter)") {
+        a.join(b, Seq("band", "bucket")).where(col("doc_a") < col("doc_b")).count()
+      }
+      val candA = a.join(b, Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .where(differsMask("pa_", "pb_").bitwiseOR(bitwise_not(col("bmask_a")))
+          .bitwiseAND(earlierMask) === earlierMask)
+        .select(col("doc_a"), col("doc_b"))
+      timed("phase: candA") { candA.count() }
+      val nseg = greatest(lit(1L), ceil(col("bsz") / lit(Dedup.ChainSegmentRows.toDouble)).cast("long"))
+      val wChain = Window.partitionBy(col("band"), col("bucket"), col("seg"))
+        .orderBy(xxhash64(col("band"), col("doc_id")), col("doc_id"))
+      val lagged = (0 until 4).foldLeft(
+        banded0.where(col("over"))
+          .withColumn("seg", pmod(xxhash64(lit(0x5e9), col("band"), col("doc_id")), nseg))
+          .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))) {
+        (df, i) => df.withColumn(s"pp_$i", lag(col(s"p_$i"), 1).over(wChain))
+      }.where(col("doc_p").isNotNull)
+      val candB = lagged
+        .where(differsMask("p_", "pp_").bitwiseOR(bitwise_not(col("bmask")))
+          .bitwiseAND(lit(0xFFFFL)) === lit(0xFFFFL))
+        .select(least(col("doc_id"), col("doc_p")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_p")).as("doc_b"))
+      timed("phase: candB (chain, raw)") { candB.count() }
+      timed("phase: cand total (dedup)") {
+        candA.unionByName(candB).dropDuplicates("doc_a", "doc_b").count()
+      }
     }
     spark.stop()
   }

@@ -408,9 +408,16 @@ object Dedup {
     // Jaccard verification below, and a degenerate bucket's false edges
     // die there at linear cost. The packed-lane pre-filter drops chain
     // pairs that some surviving band already emits (cur side's bmask,
-    // the A-path's alias caveat applies); the left_anti join makes the
-    // A/B disjointness EXACT, so no duplicates are ever emitted even
-    // under lane aliasing.
+    // the A-path's alias caveat applies); the set union below dedupes
+    // key-wise, so no duplicates are ever emitted even under lane
+    // aliasing. (Round-11 perf: this was a left_anti of B against A —
+    // set-identical output, but the anti-join RECOMPUTED candA's whole
+    // quadratic band join as its build side, the single largest subtree
+    // in the plan, because nothing above shares its exchange. The
+    // key-wise dropDuplicates on the union dedupes A/B overlap AND
+    // B's own per-band repeats in one shuffle with candA computed once —
+    // measured 88 → 61 s on the 20× replica corpus, candA's join being
+    // ~26 s of it.)
     // The chain's lag window genuinely needs an order, so it stays a
     // window — but its partition is (band, bucket, seg), not
     // (band, bucket): a degenerate bucket holding a constant fraction of
@@ -439,9 +446,7 @@ object Dedup {
         .bitwiseAND(lit(0xFFFFL)) === lit(0xFFFFL))
       .select(least(col("doc_id"), col("doc_p")).as("doc_a"),
         greatest(col("doc_id"), col("doc_p")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .join(candA, Seq("doc_a", "doc_b"), "left_anti")
-    val cand = candA.unionByName(candB)
+    val cand = candA.unionByName(candB).dropDuplicates("doc_a", "doc_b")
     val keptSets = kept
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
     // Verification is per-CANDIDATE work (orders of magnitude more rows
