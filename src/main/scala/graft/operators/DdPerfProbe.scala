@@ -52,7 +52,8 @@ object DdPerfProbe {
     }
     timed("phase: keptSets (collect_list)") {
       Dedup.keptShingles(shingled, dfCap)
-        .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(xxhash64(col("sh"))).as("shingles"))
         .count()
     }
     timed("phase: minhash sigs") {
