@@ -69,7 +69,8 @@ object DdDebug {
       .join(bsz, Seq("band", "bucket"), "left_outer")
       .groupBy(col("doc_a"), col("doc_b"), col("jfull"))
       .agg(sum(when(col("collide"), 1).otherwise(0)).as("nCollide"),
-        sum(when(col("collide") && col("n") <= 200, 1).otherwise(0)).as("nSurvive"))
+        sum(when(col("collide") && col("n") <= graft.operators.Dedup.MaxBucketSize, 1)
+          .otherwise(0)).as("nSurvive"))
     val cls = m2.select(
       when(col("nCollide") === 0, "banding")
         .when(col("nSurvive") === 0, "cap-only")
@@ -84,8 +85,11 @@ object DdDebug {
     // the coincidence pairs separate from real near-dups?
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val keptEx = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // the SAME corpus-scaled cutoff the operators under diagnosis used —
+    // a literal here would silently diverge once nDocs > 100k engages
+    // the relative term, misclassifying every loss
     val hot = keptEx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > 100).select(col("sh"))
+      .where(col("df") > graft.operators.Dedup.shingleDfCap(nDocs)).select(col("sh"))
     val kept = keptEx.join(hot, Seq("sh"), "left_anti")
     val ksz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).persist()
     def pairStats(pairsDf: org.apache.spark.sql.DataFrame, label: String): Unit = {

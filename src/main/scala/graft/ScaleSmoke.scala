@@ -316,14 +316,8 @@ object ScaleSmoke {
     // (NOTES) — a regression back to a single-task hot-key shape fails
     // the bar instead of silently staggering.
     locally {
-      val nAdv = 2000000L
-      val adv = spark.range(nAdv).select(col("id").as("doc_id"),
-        when(col("id") % 20 === 0,
-          lit("mega duplicate document body held verbatim every copy identical"))
-        .when(col("id") % 20 === 1, concat(lit("x t"), col("id")))
-        .otherwise(concat(lit("unique body "), col("id"),
-          lit(" trailing boiler plate of the and in to be")))
-        .as("text"))
+      val nAdv = graft.SkewCorpus.DefaultRows
+      val adv = graft.SkewCorpus.adversarial(spark, nAdv)
       def barred(name: String, barSec: Double)(body: => Long): Unit = {
         val t0 = System.nanoTime()
         try {

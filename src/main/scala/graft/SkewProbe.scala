@@ -121,14 +121,8 @@ object SkewProbe {
     assert(n1 == n2 && n1 == n3, s"forms disagree at fixture scale: $n1 / $n2 / $n3")
 
     // --- adversarial skew (the 100 TB failure shape, scaled down) ---
-    val nAdv = 2000000L
-    val adv = spark.range(nAdv).select(col("id").as("doc_id"),
-      when(col("id") % 20 === 0,
-        lit("mega duplicate document body held verbatim every copy identical"))
-      .when(col("id") % 20 === 1, concat(lit("x t"), col("id")))
-      .otherwise(concat(lit("unique body "), col("id"),
-        lit(" trailing boiler plate of the and in to be")))
-      .as("text"))
+    val nAdv = graft.SkewCorpus.DefaultRows
+    val adv = graft.SkewCorpus.adversarial(spark, nAdv)
     val cap = graft.operators.Dedup.shingleDfCap(nAdv)
     val k1 = timed("skew keptShingles WINDOW") {
       keptWindow(shingled(adv), cap).count()

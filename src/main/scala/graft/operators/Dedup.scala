@@ -174,17 +174,46 @@ object Dedup {
     * this form measured within 9 % of the window under skew and 6 % at
     * fixture scale, NOTES round-11), and the output keeps the window
     * form's hash-partitioning on `sh`, preserving the dd4 self-join's
-    * exchange-reuse position. */
+    * exchange-reuse position.
+    *
+    * TopKByScore's buffer carries bigint ids, so the bounded-collect
+    * fast path routes by `doc_id` type: LongType directly; narrower
+    * integrals through a lossless cast in and back out; anything else
+    * (the public dd3From/dd4From contract is an ARBITRARY `doc_id`,
+    * which the replaced window honored) falls back to the
+    * type-agnostic hot-key anti-join — the over-cap shingle set from a
+    * map-side-combined `groupBy(sh).count()` is tiny by definition and
+    * broadcast-anti-joins against a second scan of the explode (the
+    * 1.8×-slower form above; correctness over speed for exotic key
+    * types, and still skew-proof — no hot key ever lands on one task). */
   private[operators] def keptShingles(shingled: DataFrame, dfCap: Long): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(shingled.sparkSession)
-    shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    import org.apache.spark.sql.types._
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    exploded.schema("doc_id").dataType match {
+      case LongType => keptShinglesBounded(exploded, dfCap, identity)
+      case t @ (ByteType | ShortType | IntegerType) => keptShinglesBounded(
+        exploded.withColumn("doc_id", col("doc_id").cast(LongType)),
+        dfCap, _.cast(t))
+      case _ =>
+        val hot = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > dfCap).select(col("sh"))
+        exploded.join(hot, Seq("sh"), "left_anti")
+    }
+  }
+
+  /** The bounded-collect kernel of [[keptShingles]] over bigint ids;
+    * `back` restores the caller's original integral doc_id type. */
+  private def keptShinglesBounded(exploded: DataFrame, dfCap: Long,
+                                  back: Column => Column): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(exploded.sparkSession)
+    exploded
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("df"),
         graft.functions.VectorFunctions
           .topkByScore(lit(0.0), col("doc_id"), (dfCap + 1).toInt).as("ids"))
       .where(col("df") <= dfCap)
       .select(explode(col("ids")).as("t"), col("sh"))
-      .select(col("t.id").as("doc_id"), col("sh"))
+      .select(back(col("t.id")).as("doc_id"), col("sh"))
   }
 
   /** dd1_exact — exact duplicate groups by full-text equality: one
@@ -224,14 +253,22 @@ object Dedup {
     * splits — a mitigation windows don't have. Measured at the 2M-doc
     * skew probe: 1.06 s vs the window's 0.67 s and a full min-map
     * join's 1.55 s (NOTES round-11) — the small premium buys away the
-    * unbounded single-task shape. */
+    * unbounded single-task shape.
+    *
+    * The join is NULL-SAFE (`<=>`): `sha2(NULL text)` is NULL, and the
+    * window form this replaced grouped all NULL-text docs into ONE
+    * partition (as groupBy does into one group) and kept only the
+    * first — a null-unsafe equi-join would silently keep them ALL
+    * (nothing joins to a NULL key). EqualNullSafe is still an
+    * equi-join key to the planner (coalesced), so the hash-join shape
+    * is unchanged. */
   def dd2From(docs: DataFrame): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col("text"), 256))
     val dupFirsts = hashed.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("__dd2_first"), count(lit(1)).as("__dd2_n"))
       .where(col("__dd2_n") > 1)
-      .select(col("content_hash"), col("__dd2_first"))
-    hashed.join(dupFirsts, Seq("content_hash"), "left_outer")
+      .select(col("content_hash").as("__dd2_hash"), col("__dd2_first"))
+    hashed.join(dupFirsts, col("content_hash") <=> col("__dd2_hash"), "left_outer")
       .withColumn("keep",
         col("__dd2_first").isNull || col("doc_id") === col("__dd2_first"))
       .select(docs.columns.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
@@ -893,14 +930,15 @@ object Dedup {
           .localCheckpoint() // truncate iteration lineage
         val changed = next.as("n").join(labels.as("o"), "doc_id")
           .where(col("n.label") =!= col("o.label")).count()
+        releaseSuperseded(labels) // changed-count was its last consumer
         labels = next
         converged = changed == 0
         iters += 1
       }
       touched.unpersist(false)
       // high-diameter graph: the fast path would need O(diameter)
-      // rounds — switch to star contraction, O(log n) rounds always
-      if (!converged) labels = starComponents(edges)
+      // rounds — switch to star contraction, O(log² n) rounds always
+      if (!converged) { releaseSuperseded(labels); labels = starComponents(edges) }
       // untouched docs are their own singleton components
       val singletons = docs.select(col("doc_id"))
         .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -921,11 +959,33 @@ object Dedup {
     * pipeline, not a pathology). */
   val FastLabelRounds = 8
 
-  /** Round cap for [[starComponents]]: alternating star contraction
-    * halves active star height per alternation, so rounds are
-    * O(log n) — 64 covers any graph with < 2^64 nodes with a wide
-    * margin; hitting it means a logic bug, not a big input. */
-  val DdMaxIterations = 64
+  /** Default round budget for [[starComponents]]. The PROVEN bound for
+    * alternating star contraction is O(log² n) rounds (Kiveris et al.,
+    * SoCC'14); the O(log n) convergence real graphs show is empirical.
+    * 256 covers the empirical regime with a wide margin (a path graph
+    * roughly halves per alternation — see the spec's 2000-node chain);
+    * an adversarially structured graph that legitimately needs more
+    * passes a bigger budget via the `maxRounds` parameter — hitting
+    * the cap raises with that advice rather than claiming a logic
+    * bug. */
+  val DdMaxIterations = 256
+
+  /** Release the block-manager storage of a `localCheckpoint()`ed frame
+    * that has been SUPERSEDED in an iteration loop — its data must
+    * never be needed again (a local checkpoint truncates lineage, so an
+    * unpersisted snapshot cannot be recomputed; only ever call this on
+    * frames no surviving plan references). No-op for plans that are not
+    * checkpoint scans (e.g. a loop's round-0 seed frame). Exists
+    * because the CC loops rebind their iteration frame every round:
+    * relying on GC + ContextCleaner to drop old snapshots lets tens of
+    * full edge-set copies accumulate in executor storage on exactly the
+    * big graphs the loops exist for. The FINAL round's snapshot stays
+    * pinned deliberately — it backs the returned frame — and is
+    * reclaimed by the ContextCleaner when the result is dropped. */
+  private def releaseSuperseded(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach { rdd => rdd.unpersist(false); () }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -946,7 +1006,8 @@ object Dedup {
     * convergence = unchanged (count, xor-of-hashes) signature, checked
     * driver-side. Input: symmetric (u, v) edge frame; output:
     * (doc_id, label) for every edge-touched node. */
-  private[operators] def starComponents(edges: DataFrame): DataFrame = {
+  private[operators] def starComponents(edges: DataFrame,
+                                        maxRounds: Int = DdMaxIterations): DataFrame = {
     def canonical(e: DataFrame): DataFrame = e
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
@@ -960,7 +1021,7 @@ object Dedup {
     var sig = (cur.count(), 0L)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < DdMaxIterations) {
+    while (!converged && rounds < maxRounds) {
       // pure replacement per the paper: a non-min node u stays
       // connected through the star of any smaller neighbor w (u > w ⟹
       // u ∈ Γ(w) re-points to m(w)), so no anchor edges are needed
@@ -984,11 +1045,15 @@ object Dedup {
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       }
       sig = (nextSig._1, nextSig._2)
+      releaseSuperseded(cur) // the anti-join above was its last consumer
       cur = next
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"star contraction did not converge in $DdMaxIterations rounds — logic bug")
+      s"star contraction did not converge in $maxRounds rounds; the " +
+        "proven bound is O(log² n) — every measured graph converges in " +
+        "O(log n), but an adversarially structured input can need more: " +
+        "call starComponents with a larger maxRounds budget")
     // fixed point: (min, member) star edges; centers label themselves
     cur.select(col("v").as("doc_id"), col("u").as("label"))
       .union(cur.select(col("u").as("doc_id"), col("u").as("label")))

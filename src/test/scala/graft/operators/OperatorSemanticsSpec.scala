@@ -305,7 +305,9 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.expressions.Window
     // Adversarial corpus for the round-11 no-partial-agg rework: one
     // boilerplate shingle in EVERY doc (df far over the cutoff), a
-    // 120-copy identical-text mega-group (one content_hash), plus the
+    // 300-copy identical-text mega-group (one content_hash, over the
+    // 200 bucket cap — the dd5 component assertion below depends on
+    // the group being OVER-cap), plus the
     // real fixture docs for ordinary structure. The reworked operators
     // (groupBy-aggregate + join-back) must reproduce the old window
     // forms row for row.
@@ -376,6 +378,62 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val megaIds = (0 until 300).map(i => 500000L + i)
     assert(megaIds.map(find).toSet.size == 1,
       "dd5 mega identical-sig group fragmented under the agg+join rework")
+  }
+
+  test("dd2 dedups NULL-text documents like the window form (null-safe join)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // sha2(NULL) is NULL; the replaced row_number window grouped all
+    // NULL-text docs into one partition and kept only the first. The
+    // agg+join form must reproduce that through a NULL-SAFE join — a
+    // plain equi-join matches nothing on a NULL key and silently keeps
+    // every NULL-text doc.
+    val docs = spark.range(10).select(col("id").as("doc_id"),
+      when(col("id") < 3, lit(null).cast("string"))        // 3 NULL texts
+        .when(col("id") < 6, lit("dup body"))              // 3 dups
+        .otherwise(concat(lit("unique "), col("id")))      // 4 unique
+        .as("text"))
+    val got = Dedup.dd2From(docs)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(0L) && !got(1L) && !got(2L),
+      "only the first NULL-text doc may survive")
+    assert(got(3L) && !got(4L) && !got(5L))
+    assert((6L to 9L).forall(got), "unique docs all keep")
+    // and bit-identity with the window form on the same input
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val win = docs.withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == win, "null-safe agg+join diverged from the window form")
+  }
+
+  test("keptShingles honors non-bigint doc_id via cast / anti-join routes") {
+    import org.apache.spark.sql.functions._
+    // public contract: dd3From/dd4From take an ARBITRARY documents
+    // frame — the bounded-collect fast path needs bigint ids, so other
+    // types must route through the lossless cast (integrals) or the
+    // type-agnostic anti-join (everything else), not fail at plan time.
+    val base = graft.tables.Tables.documents(spark, dir).limit(200)
+    val expected = Dedup.dd4From(base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture slice must contain near-dup pairs")
+    // IntegerType doc_id: fast path through a cast, type restored
+    val intDocs = base.select(col("doc_id").cast("int").as("doc_id"), col("text"))
+    val intOut = Dedup.dd4From(intDocs)
+    assert(intOut.schema("doc_a").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "integral doc_id type must survive the round-trip")
+    assert(intOut.collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getDouble(2))).toSet
+      == expected)
+    // StringType doc_id: anti-join fallback (zero-pad so string order
+    // matches numeric order — doc_a < doc_b is lexicographic here)
+    val strDocs = base.select(format_string("%09d", col("doc_id")).as("doc_id"), col("text"))
+    assert(Dedup.dd4From(strDocs).collect()
+      .map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getDouble(2))).toSet
+      == expected)
   }
 
   test("high-diameter graphs cluster via star contraction; labels match union-find") {
