@@ -56,8 +56,8 @@ object DdPerfProbe {
         .agg(collect_list(xxhash64(col("sh"))).as("shingles"))
         .count()
     }
-    timed("phase: minhash sigs") {
-      Dedup.minhashSigs(shingled).count()
+    timed("phase: minhash sigs (kept)") {
+      Dedup.minhashSigsKept(Dedup.keptShingles(shingled, dfCap)).count()
     }
     timed("dd4 total") {
       Dedup.dd4From(docs, nDocs).count()
@@ -80,9 +80,9 @@ object DdPerfProbe {
       val bandCol = array((0 until 16).map { b =>
         xxhash64((lit(b) +: (0 until 4).map(rr => col(s"sig_${b * 4 + rr}"))): _*)
       }: _*)
-      val preBand = Dedup.minhashSigs(shingled)
+      val preBand = Dedup.minhashSigsKept(Dedup.keptShingles(shingled, dfCap))
         .withColumn("bands", bandCol)
-        .select((col("doc_id") +: packs) :+
+        .select((col("doc_id") +: col("ksz") +: packs) :+
           posexplode(col("bands")).as(Seq("band", "bucket")): _*)
       val overBuckets = preBand.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bsz"))
@@ -95,11 +95,14 @@ object DdPerfProbe {
             expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(0L))
             .over(Window.partitionBy(col("doc_id"))))
       timed("phase: banded0 (join+bmask)") { banded0.count() }
+      def sizeFeasible(ka: Column, kb: Column): Column =
+        least(ka, kb) * 20000L >= greatest(ka, kb) * 15999L
       val banded = banded0.where(!col("over"))
       val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
-        col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
+        col("bmask").as("bmask_a") +: col("ksz").as("ksz_a") +:
+        (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
       val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
-        (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
+        col("ksz").as("ksz_b") +: (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
       def differsMask(pa: String, pb: String): Column = (0 until 4).map { i =>
         val xor = col(s"$pa$i").bitwiseXOR(col(s"$pb$i"))
         (0 until 4).map { g =>
@@ -113,6 +116,7 @@ object DdPerfProbe {
       }
       val candA = a.join(b, Seq("band", "bucket"))
         .where(col("doc_a") < col("doc_b"))
+        .where(sizeFeasible(col("ksz_a"), col("ksz_b")))
         .where(differsMask("pa_", "pb_").bitwiseOR(bitwise_not(col("bmask_a")))
           .bitwiseAND(earlierMask) === earlierMask)
         .select(col("doc_a"), col("doc_b"))
@@ -123,10 +127,12 @@ object DdPerfProbe {
       val lagged = (0 until 4).foldLeft(
         banded0.where(col("over"))
           .withColumn("seg", pmod(xxhash64(lit(0x5e9), col("band"), col("doc_id")), nseg))
-          .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))) {
+          .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))
+          .withColumn("ksz_p", lag(col("ksz"), 1).over(wChain))) {
         (df, i) => df.withColumn(s"pp_$i", lag(col(s"p_$i"), 1).over(wChain))
       }.where(col("doc_p").isNotNull)
       val candB = lagged
+        .where(sizeFeasible(col("ksz"), col("ksz_p")))
         .where(differsMask("p_", "pp_").bitwiseOR(bitwise_not(col("bmask")))
           .bitwiseAND(lit(0xFFFFL)) === lit(0xFFFFL))
         .select(least(col("doc_id"), col("doc_p")).as("doc_a"),

@@ -274,20 +274,42 @@ object Dedup {
       .select(docs.columns.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
   }
 
-  /** MinHash signatures via explode + 64-way min aggregation. Each
+  /** MinHash signatures + kept-set size over the KEPT (df-cutoff)
+    * shingle frame, in ONE map-side-combined aggregation. Each
     * (doc, shingle) row hashes the shingle string ONCE (`xxhash64(sh)`)
     * and derives the 64 per-function values by hashing (i, h) — 16 bytes
     * of integer input per function instead of re-traversing the string 64
     * times (the round-1 kernel; it was the bench's top hotspot). Map-side
-    * partial min-agg shrinks the shuffle to 64 longs per doc per
-    * partition. */
-  private[operators] def minhashSigs(shingled: DataFrame): DataFrame = {
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    * partial min-agg shrinks the shuffle to 65 longs per doc per
+    * partition.
+    *
+    * Signatures are over the kept sets — the SAME sets exact
+    * verification scores — not the raw shingle sets (the pre-round-11
+    * form). That alignment is both the recall statement and the skew
+    * fix: banding probability becomes a function of the VERIFIED
+    * Jaccard (1-(1-J⁴)¹⁶ ≈ .9998 at J = .8 by construction, where
+    * full-set signatures under-banded pairs whose raw sets diverged on
+    * df-cutoff boilerplate), and a corpus-wide verbatim tail — hot
+    * shingles by definition, absent from every kept set — can no longer
+    * correlate signatures across unrelated docs and pile a constant
+    * fraction of the corpus into one bucket per band (measured: the 2M
+    * skew corpus' 1.8M boilerplate-tailed docs produced ~29M false
+    * chain edges through full-set signatures, all dying at
+    * verification — 90.1 s; kept-set signatures deband them entirely).
+    * Docs whose kept set is smaller than [[MinJaccardShingles]] are
+    * dropped HERE (they cannot reach `common ≥` that floor, so no pair
+    * of theirs survives verification — an exact implication, not a
+    * heuristic), which keeps verification-dead mass (near-empty docs,
+    * all-boilerplate template docs, verbatim mega-copies whose every
+    * shingle is over-df) out of banding and the over-cap chain
+    * machinery. */
+  private[operators] def minhashSigsKept(kept: DataFrame): DataFrame = {
+    val hashed = kept.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"sig_$i"))
-    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ksz"), mins: _*)
+      .where(col("ksz") >= MinJaccardShingles)
   }
 
   /** LSH band buckets: band b = xxhash64(b, sig_{4b} .. sig_{4b+3}). */
@@ -301,7 +323,11 @@ object Dedup {
   /** dd3_minhash_lsh — near-duplicate pairs via MinHash+LSH banding,
     * verified with exact Jaccard >= 0.8 AND ≥ [[MinJaccardShingles]]
     * shared shingles on the discriminative (df-cutoff) shingle sets —
-    * the same sets and floors dd4 scores, so dd3 ⊆ dd4 by construction. Plan shape: per-row signature (codegen) ->
+    * the same sets and floors dd4 scores, so dd3 ⊆ dd4 by construction.
+    * Signatures are ALSO over those kept sets ([[minhashSigsKept]]), so
+    * the banding probability is a function of the verified Jaccard
+    * itself: recall 1-(1-J⁴)¹⁶ ≈ .9998 at J = .8 by construction. Plan
+    * shape: one kept-frame aggregation (sigs + size floor, codegen) ->
     * posexplode 16 bands -> shuffle on (band, bucket) -> under-cap
     * buckets self-join (candidate pairs deduplicated AT the join by the
     * first-surviving-collision rule, dd5's shape — no distinct shuffle
@@ -314,11 +340,8 @@ object Dedup {
     * is exactly the output no 100 TB pipeline can afford.
     * No oracle: LSH recall is ~.9998, not 1, so the exact-SQL answer can
     * differ — rows-only check; dd4 carries the exact-Jaccard oracle. */
-  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val shingled = withShingles(Tables.documents(s, dir))
-      .select(col("doc_id"), col("shingles"))
-    dd3FromParts(shingled, cachedKeptShingles(s, dir))
-  }
+  def dd3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dd3FromParts(cachedKeptShingles(s, dir))
 
   /** dd3 over an arbitrary documents DataFrame (`doc_id`, `text`). */
   def dd3From(docs: DataFrame): DataFrame = dd3FromWithCap(docs, MaxBucketSize)
@@ -328,7 +351,7 @@ object Dedup {
     * corpus size. */
   def dd3From(docs: DataFrame, nDocs: Long): DataFrame = {
     val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
-    dd3FromParts(shingled, keptShingles(shingled, shingleDfCap(nDocs)))
+    dd3FromParts(keptShingles(shingled, shingleDfCap(nDocs)))
   }
 
   /** dd3 with an explicit bucket cap (tests exercise tiny caps to force
@@ -336,15 +359,29 @@ object Dedup {
     * [[MaxBucketSize]]). */
   private[operators] def dd3FromWithCap(docs: DataFrame, maxBucket: Int): DataFrame = {
     val shingled = withShingles(docs).select(col("doc_id"), col("shingles"))
-    dd3FromParts(shingled, keptShingles(shingled, shingleDfCap(docs)), maxBucket)
+    dd3FromParts(keptShingles(shingled, shingleDfCap(docs)), maxBucket)
   }
 
-  private[operators] def dd3FromParts(shingled: DataFrame, kept: DataFrame,
+  private[operators] def dd3FromParts(kept: DataFrame,
                            maxBucket: Int = MaxBucketSize): DataFrame = {
     // slim candidate generation: only (doc_id, band, bucket) plus five
     // dedup longs flow through the self-join; shingle sets rejoin AFTER
     // the pair set is known (candidates << corpus, so the two hash joins
-    // are cheap).
+    // are cheap). Signatures, kept-set size and the eligibility floor
+    // all come from ONE aggregation over the kept frame
+    // ([[minhashSigsKept]], q.v. for the banding-alignment and skew
+    // rationale), whose doc_id exchange is shared with keptSets' below.
+    //
+    // SIZE GATE (round-11): common ≤ min(|A|,|B|) and union ≥ max, so a
+    // pair can pass verification only when min·20000 ≥ max·15999 (the
+    // [[jaccardAtLeast08]] threshold applied to the min/max upper bound
+    // of Jaccard) — an EXACT implication, so both candidate paths drop
+    // pairs whose kept-set size ratio makes Jaccard ≥ .8 infeasible
+    // before the pair ever reaches the verification joins. Chain edges
+    // dropped by the gate would have died at verification identically,
+    // so over-cap connectivity is unchanged (chains already rely on
+    // edges surviving exact verification); chains SKIPPING infeasible
+    // neighbors can only link verifiable docs more directly.
     //
     // Join-time candidate dedup (replacing the round-1..4 `.distinct()`
     // shuffle): the join key stays the FULL 64-bit band hash (bucket =
@@ -385,9 +422,9 @@ object Dedup {
     // exactly NumBands rows (doc_id is unique), so it has no hot key,
     // and the doc_id partitioning from the signature aggregation
     // satisfies it without a new exchange on the broadcast path.
-    val preBand = minhashSigs(shingled)
+    val preBand = minhashSigsKept(kept)
       .withColumn("bands", bandCol)
-      .select((col("doc_id") +: packs) :+
+      .select((col("doc_id") +: col("ksz") +: packs) :+
         posexplode(col("bands")).as(Seq("band", "bucket")): _*)
     val overBuckets = preBand.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
@@ -401,9 +438,10 @@ object Dedup {
           .over(Window.partitionBy(col("doc_id"))))
     val banded = banded0.where(!col("over"))
     val a = banded.select((col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
-      col("bmask").as("bmask_a") +: (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
+      col("bmask").as("bmask_a") +: col("ksz").as("ksz_a") +:
+      (0 until 4).map(i => col(s"p_$i").as(s"pa_$i"))): _*)
     val b = banded.select((col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
-      (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
+      col("ksz").as("ksz_b") +: (0 until 4).map(i => col(s"p_$i").as(s"pb_$i"))): _*)
     // per packed long: test each 16-bit lane of the XOR directly (lane
     // nonzero = lanes DIFFER at that band ⟹ buckets differ ⟹ no earlier
     // join) and set that band's bit in a 16-bit differs-mask. FLAT
@@ -424,6 +462,7 @@ object Dedup {
     val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - 1
     val candA = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
+      .where(sizeFeasible(col("ksz_a"), col("ksz_b")))
       .where(differs16.bitwiseOR(bitwise_not(col("bmask_a")))
         .bitwiseAND(earlierMask) === earlierMask)
       .select(col("doc_a"), col("doc_b"))
@@ -475,10 +514,12 @@ object Dedup {
     val lagged = (0 until 4).foldLeft(
       banded0.where(col("over"))
         .withColumn("seg", pmod(xxhash64(lit(0x5e9), col("band"), col("doc_id")), nseg))
-        .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))) {
+        .withColumn("doc_p", lag(col("doc_id"), 1).over(wChain))
+        .withColumn("ksz_p", lag(col("ksz"), 1).over(wChain))) {
       (df, i) => df.withColumn(s"pp_$i", lag(col(s"p_$i"), 1).over(wChain))
     }.where(col("doc_p").isNotNull)
     val candB = lagged
+      .where(sizeFeasible(col("ksz"), col("ksz_p")))
       .where(differsMask("p_", "pp_").bitwiseOR(bitwise_not(col("bmask")))
         .bitwiseAND(lit(0xFFFFL)) === lit(0xFFFFL))
       .select(least(col("doc_id"), col("doc_p")).as("doc_a"),
@@ -538,6 +579,14 @@ object Dedup {
     * and the DuckDB oracles are unchanged. */
   private def jaccardAtLeast08(common: Column, union: Column): Column =
     common * 20000L >= union * 15999L
+
+  /** Feasibility of Jaccard ≥ .8 from kept-set SIZES alone: common ≤
+    * min(|A|,|B|) and union ≥ max(|A|,|B|), so J ≤ min/max and
+    * [[jaccardAtLeast08]] applied to that upper bound is a NECESSARY
+    * condition — pairs failing it are dropped at candidate generation
+    * with zero output change (the dd3 size gate). */
+  private def sizeFeasible(ka: Column, kb: Column): Column =
+    least(ka, kb) * 20000L >= greatest(ka, kb) * 15999L
 
   /** Minimum SHARED discriminative shingles for a dd3/dd4 pair —
     * [[MinContamShingles]]' rationale applied to near-dup scoring: a

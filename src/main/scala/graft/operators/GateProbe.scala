@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Perf probe (round-11): dd3 wall time with the kept-set SIZE GATE
+  * (Dedup.scala `sizeFeasible` + the pre-band eligibility join) on the
+  * two corpora whose numbers NOTES records for the pre-gate form —
+  *   - the 2M-doc adversarial skew corpus (recorded 75-132 s): the
+  *     mega group and near-empty docs are gate-ineligible, so banding
+  *     and the chain machinery should never see them;
+  *   - the ×20 replica corpus (recorded 40-61 s post-union-fix): all
+  *     docs are eligible and clique members share sizes, so the gate
+  *     should be ~free — this line guards against the gate's extra
+  *     join costing more than it saves on non-adversarial shapes.
+  *
+  * Usage: runMain graft.operators.GateProbe [sfDir] [replicas]
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession
+      .builder("gate-probe", s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
+    }
+
+    val nAdv = graft.SkewCorpus.DefaultRows
+    val adv = graft.SkewCorpus.adversarial(spark, nAdv)
+    val advShingled = Dedup.withShingles(adv).select(col("doc_id"), col("shingles"))
+    val advCap = Dedup.shingleDfCap(nAdv)
+    timed("skew phase: kept") {
+      Dedup.keptShingles(advShingled, advCap).count()
+    }
+    timed("skew phase: sigs (kept)") {
+      Dedup.minhashSigsKept(Dedup.keptShingles(advShingled, advCap)).count()
+    }
+    timed("skew dd3 (gated)") { Dedup.dd3From(adv, nAdv).count() }
+
+    val r = explode(sequence(lit(0), lit(replicas - 1)))
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .withColumn("r", r)
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
+      .persist()
+    val nDocs = docs.count()
+    timed(s"replica x$replicas dd3 (gated)") { Dedup.dd3From(docs, nDocs).count() }
+    spark.stop()
+  }
+}

@@ -380,6 +380,31 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dd5 mega identical-sig group fragmented under the agg+join rework")
   }
 
+  test("dd3 size gate: verification-dead docs leave the pair set unchanged") {
+    import org.apache.spark.sql.functions._
+    // The size gate drops docs with < MinJaccardShingles kept shingles
+    // BEFORE banding and size-infeasible pairs AT the join — both exact
+    // implications of the verification predicate, so flooding the
+    // corpus with gate-ineligible docs must not move dd3's output:
+    //   - 150 verbatim copies of one text → every shingle df=150 > the
+    //     100 cutoff → kept sets EMPTY (the mega-bucket chain case);
+    //   - 200 near-empty two-token docs → ksz = 1 < 3 (the degenerate
+    //     bucket case).
+    // Both classes previously flowed through banding/chains and died at
+    // verification; now they never band. Output equality proves the
+    // shortcut is semantics-free.
+    val base = graft.tables.Tables.documents(spark, dir).select("doc_id", "text")
+    val mega = spark.range(150).select((col("id") + 700000).as("doc_id"),
+      lit("verbatim gate mega copy body repeated every time identical").as("text"))
+    val tiny = spark.range(200).select((col("id") + 800000).as("doc_id"),
+      concat(lit("zz t"), col("id")).as("text"))
+    val basePairs = pairs(Dedup.dd3From(base), "doc_a", "doc_b")
+    val gotPairs = pairs(Dedup.dd3From(base.union(mega).union(tiny)), "doc_a", "doc_b")
+    assert(gotPairs == basePairs,
+      s"gate-ineligible docs changed the dd3 pair set: " +
+        s"missing ${basePairs -- gotPairs}, extra ${gotPairs -- basePairs}")
+  }
+
   test("dd2 dedups NULL-text documents like the window form (null-safe join)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
