@@ -405,6 +405,42 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing ${basePairs -- gotPairs}, extra ${gotPairs -- basePairs}")
   }
 
+  test("dd3 banding is blind to hot boilerplate: full recall where raw-set sigs diverge") {
+    import org.apache.spark.sql.functions._
+    // The alignment property of kept-set signatures (minhashSigsKept):
+    // near-dup pairs whose KEPT sets match but whose RAW shingle sets
+    // diverge on df-cutoff boilerplate must still band. Corpus: 300
+    // pairs (a_i, b_i) sharing identical unique 12-token content, a_i
+    // carrying hot tail X and b_i hot tail Y (each tail df = 300 > the
+    // 100 cutoff, so both are cut). Kept Jaccard = 1.0 → every pair
+    // verifies in dd4 AND must band in dd3. (Kept sets aren't quite
+    // identical: the two shingles bridging the content→tail boundary
+    // are df=1 and kept, so kept J = (n-2)/(n+2) for n content tokens —
+    // n = 22 puts it at 20/24 ≈ .833 ≥ .8.) Under the pre-round-11
+    // full-raw-set signatures the raw Jaccard was ~.45 (the differing
+    // tails stay in the sets), banding probability ~.5/pair — a form
+    // regression re-introducing raw-set signatures fails this
+    // assertion with overwhelming margin (deterministic hashes, fixed
+    // corpus).
+    val tailX = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tailY = "one two three four five six seven eight nine ten eleven twelve"
+    val content = (i: org.apache.spark.sql.Column) => concat_ws(" ",
+      lit("body"), i, lit("first"), i, lit("second"), i, lit("third"), i,
+      lit("fourth"), i, lit("fifth"), i, lit("sixth"), i, lit("seventh"), i,
+      lit("eighth"), i, lit("ninth"), i, lit("tenth"), i)
+    val aSide = spark.range(300).select((col("id") + 900000).as("doc_id"),
+      concat(content(col("id")), lit(" " + tailX)).as("text"))
+    val bSide = spark.range(300).select((col("id") + 950000).as("doc_id"),
+      concat(content(col("id")), lit(" " + tailY)).as("text"))
+    val corpus = aSide.union(bSide)
+    val dd3P = pairs(Dedup.dd3From(corpus), "doc_a", "doc_b")
+    val dd4P = pairs(Dedup.dd4From(corpus), "doc_a", "doc_b")
+    val expected = (0L until 300L).map(i => (900000L + i, 950000L + i)).toSet
+    assert(dd4P == expected, s"dd4 ground truth off: ${dd4P.size} pairs")
+    assert(dd3P == dd4P,
+      s"dd3 missed ${(dd4P -- dd3P).size} of ${dd4P.size} boilerplate-divergent pairs")
+  }
+
   test("dd2 dedups NULL-text documents like the window form (null-safe join)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
