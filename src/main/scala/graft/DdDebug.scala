@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Scratch diagnostic (round-11): where do the dd4 pairs that dd3 misses
-  * at the 20× smoke die? For each missed pair: full-shingle Jaccard (the
-  * banding operates on FULL sets), number of matching MinHash bands, and
-  * whether any matching band's bucket survived the cap. Classifies the
-  * loss as banding (0 matching bands), cap (matched only over-cap
-  * buckets), veto/bug (matched a surviving band yet not emitted), or
-  * verification.
+  * at the 20× smoke die? For each missed pair: full-shingle Jaccard
+  * (context), number of matching MinHash bands (rebuilt, like dd3's
+  * kernel, over the KEPT df-cutoff sets — minhashSigsKept's scheme; a
+  * full-set rebuild here would misattribute every loss), and whether any
+  * matching band's bucket survived the cap. Classifies the loss as
+  * banding (0 matching bands), cap (matched only over-cap buckets),
+  * veto/bug (matched a surviving band yet not emitted), or verification.
   */
 object DdDebug {
   def main(args: Array[String]): Unit = {
@@ -37,15 +38,24 @@ object DdDebug {
     val missed = dd4.join(dd3, Seq("doc_a", "doc_b"), "left_anti").persist()
     println(s"missed ${missed.count()}")
 
-    // full shingle sets + minhash signatures, rebuilt with dd3's exact kernel shapes
+    // kept shingle sets + minhash signatures, rebuilt with dd3's exact
+    // kernel shapes (sigs over the KEPT sets, the round-11 scheme; the
+    // anti-join kept form is set-identical to the operators' bounded
+    // collect). The cutoff is the SAME corpus-scaled one the operators
+    // under diagnosis used — a literal here would silently diverge once
+    // nDocs > 100k engages the relative term, misclassifying every loss.
     val shingled = docs.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
       .select(col("doc_id"), col("shingles"))
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val keptEx = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hot = keptEx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > graft.operators.Dedup.shingleDfCap(nDocs)).select(col("sh"))
+    val kept = keptEx.join(hot, Seq("sh"), "left_anti")
+    val exploded = kept.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"sig_$i"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sigs = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("ksz"), mins: _*)
+      .where(col("ksz") >= graft.operators.Dedup.MinJaccardShingles)
     val bands = array((0 until 16).map { b =>
       xxhash64((lit(b) +: (0 until 4).map(rr => col(s"sig_${b * 4 + rr}"))): _*)
     }: _*)
@@ -82,15 +92,9 @@ object DdDebug {
     cls.show(10, false)
 
     // kept-set sizes + common count, for missed vs found pairs: how do
-    // the coincidence pairs separate from real near-dups?
+    // the coincidence pairs separate from real near-dups? (`kept` is the
+    // shared frame the signature rebuild above also used.)
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val keptEx = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // the SAME corpus-scaled cutoff the operators under diagnosis used —
-    // a literal here would silently diverge once nDocs > 100k engages
-    // the relative term, misclassifying every loss
-    val hot = keptEx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > graft.operators.Dedup.shingleDfCap(nDocs)).select(col("sh"))
-    val kept = keptEx.join(hot, Seq("sh"), "left_anti")
     val ksz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).persist()
     def pairStats(pairsDf: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val keptSets = kept.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("ks"))
