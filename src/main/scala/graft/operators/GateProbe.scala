@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *     should be ~free — this line guards against the gate's extra
   *     join costing more than it saves on non-adversarial shapes.
   *
-  * Usage: runMain graft.operators.GateProbe [sfDir] [replicas]
+  * Usage: runMain graft.operators.GateProbe [sfDir] [replicas] [ops]
+  * `ops` = comma list of {skew, dd3, dd5} (default "skew,dd3") —
+  * dd5 exists to time the untouched dd5 in isolation when a smoke
+  * reading looks off (run-heat vs regression attribution).
   */
 object GateProbe {
   def main(args: Array[String]): Unit = {
@@ -30,17 +33,21 @@ object GateProbe {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
     }
 
-    val nAdv = graft.SkewCorpus.DefaultRows
-    val adv = graft.SkewCorpus.adversarial(spark, nAdv)
-    val advShingled = Dedup.withShingles(adv).select(col("doc_id"), col("shingles"))
-    val advCap = Dedup.shingleDfCap(nAdv)
-    timed("skew phase: kept") {
-      Dedup.keptShingles(advShingled, advCap).count()
+    val ops = args.lift(2).getOrElse("skew,dd3").split(",").toSet
+
+    if (ops("skew")) {
+      val nAdv = graft.SkewCorpus.DefaultRows
+      val adv = graft.SkewCorpus.adversarial(spark, nAdv)
+      val advShingled = Dedup.withShingles(adv).select(col("doc_id"), col("shingles"))
+      val advCap = Dedup.shingleDfCap(nAdv)
+      timed("skew phase: kept") {
+        Dedup.keptShingles(advShingled, advCap).count()
+      }
+      timed("skew phase: sigs (kept)") {
+        Dedup.minhashSigsKept(Dedup.keptShingles(advShingled, advCap)).count()
+      }
+      timed("skew dd3 (gated)") { Dedup.dd3From(adv, nAdv).count() }
     }
-    timed("skew phase: sigs (kept)") {
-      Dedup.minhashSigsKept(Dedup.keptShingles(advShingled, advCap)).count()
-    }
-    timed("skew dd3 (gated)") { Dedup.dd3From(adv, nAdv).count() }
 
     val r = explode(sequence(lit(0), lit(replicas - 1)))
     val docs = graft.tables.Tables.documents(spark, sfDir)
@@ -49,7 +56,10 @@ object GateProbe {
         concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
       .persist()
     val nDocs = docs.count()
-    timed(s"replica x$replicas dd3 (gated)") { Dedup.dd3From(docs, nDocs).count() }
+    if (ops("dd3"))
+      timed(s"replica x$replicas dd3 (gated)") { Dedup.dd3From(docs, nDocs).count() }
+    if (ops("dd5"))
+      timed(s"replica x$replicas dd5") { Dedup.dd5From(docs).count() }
     spark.stop()
   }
 }
