@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *     join costing more than it saves on non-adversarial shapes.
   *
   * Usage: runMain graft.operators.GateProbe [sfDir] [replicas] [ops]
-  * `ops` = comma list of {skew, dd3, dd5} (default "skew,dd3") —
-  * dd5 exists to time the untouched dd5 in isolation when a smoke
+  * `ops` = comma list of {skew, dd3, dd4, dd5} (default "skew,dd3") —
+  * dd4/dd5 exist to time untouched ops in isolation when a smoke
   * reading looks off (run-heat vs regression attribution).
   */
 object GateProbe {
@@ -58,6 +58,8 @@ object GateProbe {
     val nDocs = docs.count()
     if (ops("dd3"))
       timed(s"replica x$replicas dd3 (gated)") { Dedup.dd3From(docs, nDocs).count() }
+    if (ops("dd4"))
+      timed(s"replica x$replicas dd4") { Dedup.dd4From(docs, nDocs).count() }
     if (ops("dd5"))
       timed(s"replica x$replicas dd5") { Dedup.dd5From(docs).count() }
     spark.stop()
