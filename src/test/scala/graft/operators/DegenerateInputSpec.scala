@@ -75,6 +75,12 @@ class DegenerateInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dd3 = Dedup.dd3From(corpus).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dd3 == Set((7L, 8L)), s"lsh pairs: $dd3")
+    // a corpus that is ENTIRELY banding-ineligible (every kept set
+    // under the MinJaccardShingles floor) must yield an empty frame,
+    // not a crash — the kept-sig aggregation then bands zero rows
+    val ineligible = corpus.where(col("doc_id") =!= 7L && col("doc_id") =!= 8L)
+    assert(Dedup.dd3From(ineligible).count() == 0L, "all-ineligible corpus must be empty")
+    assert(Dedup.dd4From(ineligible).count() == 0L)
   }
 
   test("dd5: NULL-text docs are out of sketch scope; identical text is hamming 0") {
