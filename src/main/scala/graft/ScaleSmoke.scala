@@ -258,12 +258,13 @@ object ScaleSmoke {
         val guaranteedTruth = collisions.where(col("guaranteed") === 1).count()
         // the PRODUCT path on purpose: dd5's sketch graph chains
         // transitively (sigs drifting ≤3 bits per hop), so at 100× its
-        // diameter blows past min-label propagation's fast rounds and
-        // dd6ClusterFrom switches to star contraction — this stage is
-        // the scale exercise of that fallback (the first 100× run threw
-        // here when the fallback didn't exist)
+        // diameter blows past min-label propagation — sketch-derived
+        // edges pass the round-12 provenance hint and start at star
+        // contraction directly, skipping the probe rounds that each
+        // cost a full-edge-set join+groupBy (the first 100× run threw
+        // here when no star path existed at all)
         val comp = graft.operators.Dedup.dd6ClusterFrom(
-          docs.select(col("doc_id")), dd5Pairs)
+          docs.select(col("doc_id")), dd5Pairs, highDiameterHint = true)
           .select(col("doc_id"), col("cluster_rep"))
         val joined = collisions
           .join(comp.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ca")), "doc_a")

@@ -113,12 +113,32 @@ object Dedup {
     * materialization pins that estimate for the relation's lifetime —
     * the trap NOTES documents for estimator-driven tiering. Detection
     * makes the trap LOUD at the estimator call sites instead of a
-    * silently degenerate cutoff. */
+    * silently degenerate cutoff.
+    *
+    * `cacheBuilder.isCachedColumnBuffersLoaded` is a Spark-INTERNAL
+    * API; a Spark upgrade may change it at runtime even when the
+    * signature still links (ADVICE round 11). The probe is therefore
+    * fenced: any throw from the internal access degrades to "no
+    * warning" with its OWN warn naming the broken probe — loud once per
+    * JVM rather than a silently disabled detector — and the behavior
+    * itself is version-pinned by the spec that constructs the trap and
+    * asserts the detector flips (OperatorSemanticsSpec). */
   private[operators] def statsUnmaterialized(docs: DataFrame): Boolean =
-    docs.queryExecution.optimizedPlan.collectFirst {
+    try docs.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
         if !r.cacheBuilder.isCachedColumnBuffersLoaded => r
     }.nonEmpty
+    catch { case scala.util.control.NonFatal(e) =>
+      if (statsProbeBroken.compareAndSet(false, true))
+        log.warn("statsUnmaterialized probe broke against this Spark's " +
+          s"internal InMemoryRelation API (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); the statsCache-trap warning is DISABLED — " +
+          "explicit-count overloads (shingleDfCap(n)/dd3From(docs,n)) " +
+          "still bypass plan statistics")
+      false
+    }
+
+  private val statsProbeBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** LSH band-bucket size cap (dd3): buckets holding more members switch
     * from the quadratic self-join to linear chain linking (see the
@@ -942,13 +962,29 @@ object Dedup {
     * a pathology here: dd5's sketch output CHAINS transitively (sigs
     * drifting ≤ 3 bits per hop — its 100×-smoke graph exceeded a
     * 50-round budget), and clustering raw sketch edges is a legitimate
-    * pipeline. So after [[FastLabelRounds]] unconverged rounds the loop
-    * switches to alternating large-star / small-star contraction
-    * ([[starComponents]]) — O(log n) rounds regardless of diameter —
-    * instead of the pre-round-11 behavior of throwing. Both paths label
-    * every node with its component MINIMUM, so the result (and the
-    * DuckDB oracle) is path-independent. */
-  def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame): DataFrame = {
+    * pipeline. So the loop leaves min-label for star contraction
+    * ([[starComponents]] — alternating large-star / small-star,
+    * O(log n) rounds regardless of diameter) on the EARLIER of: the
+    * per-round changed count stops decaying geometrically after round
+    * 3 (a converging clique graph roughly zeroes by then, while a
+    * diameter-bound graph re-labels ~one hop of nodes per round — each
+    * wasted round is a join+groupBy over the full edge set), or
+    * [[FastLabelRounds]] unconverged rounds (the backstop the trend
+    * test should normally beat). Callers that KNOW their edges chain —
+    * e.g. dd5's sketch output — pass `highDiameterHint = true` to
+    * start at star contraction and skip the probe rounds entirely.
+    * All paths label every node with its component MINIMUM, so the
+    * result (and the DuckDB oracle) is path-independent; which path
+    * ran is recorded in [[ccPath]] for specs and smoke logs. */
+  def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame): DataFrame =
+    dd6ClusterFrom(docs, pairDf, highDiameterHint = false)
+
+  /** [[dd6ClusterFrom]] with an edge-provenance hint: `true` = the edge
+    * set is expected to chain (sketch-derived, e.g. dd5 output) — go
+    * straight to star contraction instead of probing with min-label
+    * rounds that each cost a full-edge-set join+groupBy. */
+  def dd6ClusterFrom(docs: DataFrame, pairDf: DataFrame,
+                     highDiameterHint: Boolean): DataFrame = {
     // a caller-persisted edge set stays the caller's to unpersist (the
     // dd6Cluster memo keeps its graph alive across calls)
     val callerOwned =
@@ -960,34 +996,51 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(pairs.columns(1), pairs.columns(0)))
         .toDF("u", "v")
-      // propagate over EDGE-TOUCHED nodes only: an untouched document is
-      // a singleton whose label never changes, so carrying the whole
-      // corpus through every iteration's groupBy re-shuffles billions of
-      // static rows at 100 TB for nothing — the loop's working set is
-      // the (far smaller) node set of the pair graph; untouched docs
-      // union back in as singletons at the end.
-      val touched = edges.select(col("u").as("doc_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = touched.select(col("doc_id"), col("doc_id").as("label"))
-      var converged = false
-      var iters = 0
-      while (!converged && iters < FastLabelRounds) {
-        val prop = edges.join(labels, edges("u") === labels("doc_id"))
-          .select(col("v").as("doc_id"), col("label"))
-        val next = labels.union(prop)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          .localCheckpoint() // truncate iteration lineage
-        val changed = next.as("n").join(labels.as("o"), "doc_id")
-          .where(col("n.label") =!= col("o.label")).count()
-        releaseSuperseded(labels) // changed-count was its last consumer
-        labels = next
-        converged = changed == 0
-        iters += 1
+      var labels: DataFrame = null
+      if (highDiameterHint) {
+        ccPath.set("star-hint")
+        labels = starComponents(edges)
+      } else {
+        // propagate over EDGE-TOUCHED nodes only: an untouched document
+        // is a singleton whose label never changes, so carrying the
+        // whole corpus through every iteration's groupBy re-shuffles
+        // billions of static rows at 100 TB for nothing — the loop's
+        // working set is the (far smaller) node set of the pair graph;
+        // untouched docs union back in as singletons at the end.
+        val touched = edges.select(col("u").as("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        labels = touched.select(col("doc_id"), col("doc_id").as("label"))
+        var converged = false
+        var stalled = false
+        var iters = 0
+        var prevChanged = Long.MaxValue
+        while (!converged && !stalled && iters < FastLabelRounds) {
+          val prop = edges.join(labels, edges("u") === labels("doc_id"))
+            .select(col("v").as("doc_id"), col("label"))
+          val next = labels.union(prop)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+            .localCheckpoint() // truncate iteration lineage
+          val changed = next.as("n").join(labels.as("o"), "doc_id")
+            .where(col("n.label") =!= col("o.label")).count()
+          releaseSuperseded(labels) // changed-count was its last consumer
+          labels = next
+          converged = changed == 0
+          iters += 1
+          // convergence trend: a clique-ish graph decays geometrically
+          // (and has usually converged outright by round 3); a graph
+          // still re-labeling more than half of last round's count is
+          // diameter-bound — stop paying full-edge-set rounds
+          stalled = !converged && iters >= 3 && changed > prevChanged / 2
+          prevChanged = changed
+        }
+        touched.unpersist(false)
+        ccPath.set(
+          if (converged) s"fast:$iters"
+          else if (stalled) s"star-early:$iters" else s"star-budget:$iters")
+        // high-diameter graph: the fast path would need O(diameter)
+        // rounds — switch to star contraction, O(log² n) rounds always
+        if (!converged) { releaseSuperseded(labels); labels = starComponents(edges) }
       }
-      touched.unpersist(false)
-      // high-diameter graph: the fast path would need O(diameter)
-      // rounds — switch to star contraction, O(log² n) rounds always
-      if (!converged) { releaseSuperseded(labels); labels = starComponents(edges) }
       // untouched docs are their own singleton components
       val singletons = docs.select(col("doc_id"))
         .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -1008,6 +1061,15 @@ object Dedup {
     * pipeline, not a pathology). */
   val FastLabelRounds = 8
 
+  /** Diagnostic: which CC path the LAST [[dd6ClusterFrom]] call on this
+    * thread took — `fast:N` (min-label converged in N rounds),
+    * `star-early:N` (convergence-trend switch after N rounds),
+    * `star-budget:N` ([[FastLabelRounds]] exhausted), `star-hint`
+    * (caller-asserted high diameter). Thread-local so parallel suites
+    * cannot race it; observational only — never read by the operators
+    * themselves. */
+  private[graft] val ccPath = new ThreadLocal[String]
+
   /** Default round budget for [[starComponents]]. The PROVEN bound for
     * alternating star contraction is O(log² n) rounds (Kiveris et al.,
     * SoCC'14); the O(log n) convergence real graphs show is empirical.
@@ -1023,8 +1085,15 @@ object Dedup {
     * that has been SUPERSEDED in an iteration loop — its data must
     * never be needed again (a local checkpoint truncates lineage, so an
     * unpersisted snapshot cannot be recomputed; only ever call this on
-    * frames no surviving plan references). No-op for plans that are not
-    * checkpoint scans (e.g. a loop's round-0 seed frame). Exists
+    * frames no surviving plan references). Releases ONLY when the plan
+    * ROOT is the checkpoint scan itself — a deep `collectFirst` (the
+    * pre-round-12 form) could reach through a round-0 seed frame into
+    * CALLER lineage and unpersist a caller-provided checkpointed edge
+    * set that later rounds (and the star fallback) still read, failing
+    * with lost-checkpoint-block errors; every frame this loop owns is
+    * bound straight off `localCheckpoint()`, so root-match loses
+    * nothing. No-op for plans that are not checkpoint scans (e.g. a
+    * loop's round-0 seed frame). Exists
     * because the CC loops rebind their iteration frame every round:
     * relying on GC + ContextCleaner to drop old snapshots lets tens of
     * full edge-set copies accumulate in executor storage on exactly the
@@ -1032,9 +1101,10 @@ object Dedup {
     * pinned deliberately — it backs the returned frame — and is
     * reclaimed by the ContextCleaner when the result is dropped. */
   private def releaseSuperseded(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach { rdd => rdd.unpersist(false); () }
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce

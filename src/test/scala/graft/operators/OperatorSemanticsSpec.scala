@@ -538,6 +538,59 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd6 CC path selection: trend early-switch, provenance hint and fast path label identically") {
+    import org.apache.spark.sql.functions._
+    // A PATH graph re-labels ~one hop of nodes per min-label round, so
+    // the changed count cannot halve — the round-12 convergence-trend
+    // test must leave min-label at round 3 instead of burning all
+    // FastLabelRounds (each wasted round is a full-edge-set
+    // join+groupBy), and the provenance hint must skip min-label
+    // entirely. Every trigger path produces the same component-min
+    // labels.
+    val n = 600
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val viaTrend = Dedup.dd6ClusterFrom(docs, chain).collect()
+    assert(Dedup.ccPath.get.startsWith("star-early:"),
+      s"path graph must trigger the trend switch, took ${Dedup.ccPath.get}")
+    val viaHint = Dedup.dd6ClusterFrom(docs, chain, highDiameterHint = true).collect()
+    assert(Dedup.ccPath.get == "star-hint")
+    assert(viaTrend.map(_.toSeq).toSeq == viaHint.map(_.toSeq).toSeq,
+      "trend-switch and hint paths must label identically")
+    assert(viaTrend.forall(_.getLong(1) == 0L), "path component min is 0")
+
+    // a clique-ish graph (hub star) converges inside the probe rounds:
+    // min-label must be kept — no switch
+    val hub = spark.range(1, 60).select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val sdocs = spark.range(60).select(col("id").as("doc_id"))
+    val viaFast = Dedup.dd6ClusterFrom(sdocs, hub).collect()
+    assert(Dedup.ccPath.get.startsWith("fast:"),
+      s"clique-ish graph must stay on min-label, took ${Dedup.ccPath.get}")
+    assert(viaFast.forall(_.getLong(1) == 0L))
+  }
+
+  test("dd6ClusterFrom leaves caller-provided checkpointed edge frames intact") {
+    import org.apache.spark.sql.functions._
+    // ADVICE round-11 (medium): the superseded-snapshot release used to
+    // scan the WHOLE analyzed plan for a LogicalRDD, so the round-0
+    // seed — whose lineage embeds the caller's frame — could unpersist
+    // a caller-provided localCheckpoint()ed edge set mid-loop: lost
+    // checkpoint blocks for every later round and the star fallback.
+    // Release now matches the plan ROOT only; a checkpointed caller
+    // frame must survive the call and stay readable after it.
+    val pairs = spark.range(200)
+      .select((col("id") / 4).cast("long").as("doc_a"), col("id").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint()
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    val before = pairs.count()
+    val out = Dedup.dd6ClusterFrom(docs, pairs).collect()
+    assert(out.nonEmpty)
+    assert(pairs.count() == before,
+      "caller's checkpointed edge frame must still be readable after clustering")
+  }
+
   test("statsCache trap is detected: cached-unmaterialized plans flag loud") {
     import org.apache.spark.sql.functions._
     // The trap (NOTES round-10): df.cache() then probing .stats BEFORE
