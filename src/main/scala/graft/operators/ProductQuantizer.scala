@@ -81,7 +81,12 @@ object ProductQuantizer {
     try {
       // one shared deterministic sample seeds every subspace
       val sampleN = math.max(8 * k, 1024)
+      // NULL embeddings (missing values) are out of fit scope — without
+      // the filter a NULL row in the sample NPEs on the driver below;
+      // non-null mixed dims still fail the dimensionality require (a
+      // structural bug worth surfacing, not a missing value)
       val sample: Array[(Long, Array[Float])] = e
+        .where(col("embedding").isNotNull)
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

@@ -60,6 +60,10 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(VectorFunctions.vecCosine(col("embedding"), col("q_emb")), 3).as("cos"))
+      // degenerate rows (NULL/wrong-dim embedding, zero norm) score NULL
+      // and are OUT of the ranking — not rows 11+ that leak in when the
+      // valid corpus is smaller than k
+      .where(col("cos").isNotNull)
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -176,7 +180,13 @@ object Similarity {
   private[graft] def lshNeardupGeom(e00: DataFrame, threshold: Double,
                                     dim: Int, geom: Option[(Int, Int)]): DataFrame = {
     VectorFunctions.ensureRegistered(e00.sparkSession)
-    val e0 = e00.where(coalesce(
+    // NULL embedding = missing value (failed embed), out of scope like
+    // NULL text in the dd ops — dropped BEFORE the dim assert (size(NULL)
+    // is NULL, which assert_true treats as failure); a NON-null wrong-dim
+    // row stays the documented fail-fast (a dimension bug, not a missing
+    // value)
+    val e0 = e00.where(col("embedding").isNotNull)
+      .where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"lshNeardupPairs: embedding dimension must be $dim")), lit(true)))
       // zero-norm rows (failed-embedding padding) project 0 on EVERY
@@ -832,7 +842,10 @@ object Similarity {
   def knnJoinIvf(e00: DataFrame, k: Int = 5, dim: Int = 64,
                  centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     VectorFunctions.ensureRegistered(e00.sparkSession)
-    val e0 = e00.where(coalesce(
+    // NULL embedding dropped before the dim assert (the lshNeardupPairs
+    // missing-value contract); non-null wrong-dim stays fail-fast
+    val e0 = e00.where(col("embedding").isNotNull)
+      .where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"knnJoinIvf: embedding dimension must be $dim")), lit(true)))
       .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
@@ -895,8 +908,10 @@ object Similarity {
                                  geom: Option[(Int, Int)]): DataFrame = {
     VectorFunctions.ensureRegistered(e00.sparkSession)
     // coalesce(assert_true(..)) -> true: a filter the optimizer cannot
-    // prune, throwing on the first wrong-dimension row
-    val e0 = e00.where(coalesce(
+    // prune, throwing on the first wrong-dimension row; NULL embeddings
+    // (missing values) drop first per the lshNeardupPairs contract
+    val e0 = e00.where(col("embedding").isNotNull)
+      .where(coalesce(
       assert_true(size(col("embedding")) === dim,
         lit(s"knnJoin: embedding dimension must be $dim")), lit(true)))
       // zero-norm degenerates flood one bucket per table (see
@@ -1027,6 +1042,10 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"),
         round(try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
           col("nrm_a") * col("nrm_b")), 3).as("cos"))
+      // NULL cos (degenerate query or neighbor) never ranks: without the
+      // filter a degenerate QUERY would emit k all-NULL rows (desc puts
+      // NULLS LAST, but a query with ONLY null scores still numbers them)
+      .where(col("cos").isNotNull)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .orderBy(col("vec_id"), col("rk"))
@@ -1054,8 +1073,17 @@ object Similarity {
     * bit-identical — with NO decimal rounding after it (engines disagree
     * on round-at-.5 boundaries of inexact doubles; measured at sf0.01). */
   def ss7LabelCentroids(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+    ss7LabelCentroidsFrom(Tables.embeddings(s, dir))
+
+  /** ss7 over an arbitrary (label, embedding) DataFrame. Degenerate-row
+    * contract (component-wise MEAN semantics, not cosine): NULL/empty
+    * embeddings contribute nothing (posexplode emits no rows); a
+    * zero-norm vector is a legitimate point at the origin and pulls the
+    * centroid like any other row; a wrong-dim row contributes exactly
+    * the components it has (per-dim `n` counts presence) — dims beyond
+    * its length see nothing. */
+  def ss7LabelCentroidsFrom(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .withColumn("q", floor(col("e").cast("double") * 1000000L))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
