@@ -15,18 +15,10 @@ object DdDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession
-      .builder("dd-debug", s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ProbeHarness.session("dd-debug")
     graft.functions.VectorFunctions.ensureRegistered(spark)
 
-    val r = explode(sequence(lit(0), lit(replicas - 1)))
-    val docs = graft.tables.Tables.documents(spark, sfDir)
-      .withColumn("r", r)
-      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
-      .persist()
+    val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
     val nDocs = docs.count()
     println(s"corpus: $nDocs docs")
 

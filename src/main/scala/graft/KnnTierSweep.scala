@@ -23,11 +23,7 @@ import org.apache.spark.sql.functions._
 object KnnTierSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession
-      .builder("knn-tier-sweep", s"local[$cpus]", cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ProbeHarness.session("knn-tier-sweep")
     graft.functions.VectorFunctions.ensureRegistered(spark)
 
     val base = graft.tables.Tables.embeddings(spark, sfDir)

@@ -23,13 +23,10 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = graft.ProbeHarness.cpus
     // one source of session truth: same AQE/UTC/extensions/legacy-ts
     // config as the engine proper (hand-rolled conf here diverged)
-    val spark = graft.core.GraftSession
-      .builder("scale-smoke", s"local[$cpus]", cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ProbeHarness.session("scale-smoke")
 
     // every smoke line is also collected and self-persisted repo-side
     // at exit (round 12): the driver's output-tail capture has
@@ -57,16 +54,8 @@ object ScaleSmoke {
       f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f " +
       f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
 
-    val r = explode(sequence(lit(0), lit(replicas - 1)))
-    val docs = graft.tables.Tables.documents(spark, sfDir)
-      .withColumn("r", r)
-      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
-      .persist()
-    val embs = graft.tables.Tables.embeddings(spark, sfDir)
-      .withColumn("r", r)
-      .select((col("vec_id") * replicas + col("r")).as("vec_id"), col("embedding"))
-      .persist()
+    val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
+    val embs = graft.ProbeHarness.replicaEmbeddings(spark, sfDir, replicas)
     val nDocs = docs.count()
     val nVecs = embs.count()
     println(s"scale-smoke: $nDocs docs, $nVecs vectors (x$replicas)")

@@ -22,11 +22,7 @@ import org.apache.spark.sql.functions._
 object SkewProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession
-      .builder("skew-probe", s"local[$cpus]", cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ProbeHarness.session("skew-probe")
 
     def shingled(docs: DataFrame): DataFrame = docs
       .withColumn("toks", split(col("text"), " "))

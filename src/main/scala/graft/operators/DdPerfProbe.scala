@@ -22,27 +22,17 @@ object DdPerfProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(20)
     val fallback = args.lift(2).map(_.toInt)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession
-      .builder("dd-perf-probe", s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ProbeHarness.session("dd-perf-probe")
     fallback.foreach(t => spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t.toString))
 
-    val r = explode(sequence(lit(0), lit(replicas - 1)))
-    val docs = graft.tables.Tables.documents(spark, sfDir)
-      .withColumn("r", r)
-      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
-      .persist()
+    val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
     val nDocs = docs.count()
     println(s"dd-perf-probe: $nDocs docs (x$replicas), " +
       s"objectAgg fallbackThreshold=${fallback.getOrElse(128)}")
 
     def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
+      graft.ProbeHarness.timed(name)(body); ()
     }
 
     val dfCap = Dedup.shingleDfCap(nDocs)

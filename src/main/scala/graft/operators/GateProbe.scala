@@ -22,15 +22,9 @@ object GateProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.GraftSession
-      .builder("gate-probe", s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+    val spark = graft.ProbeHarness.session("gate-probe")
     def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
+      graft.ProbeHarness.timed(name)(body); ()
     }
 
     val ops = args.lift(2).getOrElse("skew,dd3").split(",").toSet
@@ -49,12 +43,7 @@ object GateProbe {
       timed("skew dd3 (gated)") { Dedup.dd3From(adv, nAdv).count() }
     }
 
-    val r = explode(sequence(lit(0), lit(replicas - 1)))
-    val docs = graft.tables.Tables.documents(spark, sfDir)
-      .withColumn("r", r)
-      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-        concat(col("text"), lit(" replicatoken"), col("r")).as("text"))
-      .persist()
+    val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
     val nDocs = docs.count()
     if (ops("dd3"))
       timed(s"replica x$replicas dd3 (gated)") { Dedup.dd3From(docs, nDocs).count() }
