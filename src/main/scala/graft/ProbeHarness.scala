@@ -21,12 +21,20 @@ object ProbeHarness {
   def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
   /** One source of session truth ([[graft.core.GraftSession]]) — a
-    * hand-rolled diagnostic conf measurably diverged (NOTES round-3). */
+    * hand-rolled diagnostic conf measurably diverged (NOTES round-3).
+    * Every probe session stamps the box-state calibration at startup
+    * (round 12): this host is co-tenanted and probe numbers are only
+    * adjudicable next to a same-moment [[Calibration]] reading — the
+    * isolated-dd4 rerun needed a manual CalProbe run to interpret;
+    * now every probe main carries its stamp. ~4 s once per JVM. */
   def session(name: String): SparkSession = {
     val s = graft.core.GraftSession
       .builder(name, s"local[$cpus]", cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    println(f"probe-cal: cpu=${Calibration.cal3(Calibration.calCpu _)}%.3f " +
+      f"spark=${Calibration.cal3(() => Calibration.calSpark(s))}%.3f " +
+      f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
     s
   }
 
