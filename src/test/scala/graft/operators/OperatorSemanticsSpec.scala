@@ -538,6 +538,64 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CC engine: default and hinted paths match union-find across graph families (seeded sweep)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The CC engine now has three trigger paths (fast min-label,
+    // trend-switched star, hinted star) and backs dd6/dd7 at scale;
+    // one random graph is a thin identity certificate. This sweep
+    // crosses graph FAMILIES (sub-critical / critical / super-critical
+    // Erdős–Rényi, a clique+chain forest, and a duplicate/self-loop
+    // hygiene case) with seeds, and for each asserts BOTH public paths
+    // equal the driver union-find component-min — so any path-specific
+    // labeling defect fails whichever family routes to it.
+    def unionFindMin(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val compMin = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      nodes.map(nd => nd -> compMin(find(nd))).toMap
+    }
+    def check(label: String, nDocs: Int, edges: Seq[(Long, Long)]): Unit = {
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      val pairDf = edges.toDF("doc_a", "doc_b")
+      val expected = unionFindMin(edges.filter(e => e._1 != e._2))
+      for (hint <- Seq(false, true)) {
+        val got = Dedup.dd6ClusterFrom(docs, pairDf, highDiameterHint = hint)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+        assert(got.size == nDocs, s"$label hint=$hint: row per doc")
+        got.foreach { case (id, (rep, keep)) =>
+          val want = expected.getOrElse(id, id) // untouched doc = singleton
+          assert(rep == want, s"$label hint=$hint: doc $id labeled $rep, union-find min $want")
+          assert(keep == (rep == id), s"$label hint=$hint: keep flag wrong for $id")
+        }
+      }
+    }
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      // density sweep around the n/2 giant-component threshold
+      for ((m, tag) <- Seq(60 -> "sub-critical", 150 -> "critical", 600 -> "super-critical")) {
+        val es = Seq.fill(m)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+          .filter(e => e._1 != e._2)
+        check(s"ER(n=300,m=$m,$tag,seed=$seed)", 300, es)
+      }
+    }
+    // forest of a clique, two chains and isolated docs — mixes the
+    // fast-converging and diameter-bound regimes in ONE edge set, so
+    // the default path's trend test sees a non-uniform decay curve
+    val clique = for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b)
+    val chainA = (100L until 160L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chainB = (200L until 230L).sliding(2).map(s => (s(0), s(1))).toSeq
+    check("forest(clique+2 chains+isolates)", 300, clique ++ chainA ++ chainB)
+    // hygiene: duplicate edges, both orientations, self-loops
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L), (5L, 4L), (2L, 6L))
+    check("hygiene(dups+reverse+self-loops)", 10, dup)
+  }
+
   test("dd6 CC path selection: trend early-switch, provenance hint and fast path label identically") {
     import org.apache.spark.sql.functions._
     // A PATH graph re-labels ~one hop of nodes per min-label round, so
