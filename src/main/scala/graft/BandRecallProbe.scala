@@ -42,15 +42,17 @@ object BandRecallProbe {
         .agg(count(lit(1)).as("n"), sum(col("hit")).as("h"))
         .collect()(0)
       val n = row.getLong(0); val h = if (row.isNullAt(1)) 0L else row.getLong(1)
-      val r = if (n == 0) 1.0 else h.toDouble / n
-      println(f"[$lo%.2f,$hi%.2f)  $n%8d $h%8d  $r%.3f")
+      // an empty band is "no truth mass", not a measured perfect score
+      // (ADVICE r12: n==0 -> 1.000 read as a real recall in the table)
+      if (n == 0) println(f"[$lo%.2f,$hi%.2f)  $n%8d $h%8d  n/a (no truth mass)")
+      else println(f"[$lo%.2f,$hi%.2f)  $n%8d $h%8d  ${h.toDouble / n}%.3f")
     }
     for (core <- Seq(0.9, 0.95, 0.99)) {
       val row = hitFlagged.where(col("cos") >= core)
         .agg(count(lit(1)).as("n"), sum(col("hit")).as("h")).collect()(0)
       val n = row.getLong(0); val h = if (row.isNullAt(1)) 0L else row.getLong(1)
-      val r = if (n == 0) 1.0 else h.toDouble / n
-      println(f">= $core%.2f        $n%8d $h%8d  $r%.3f")
+      if (n == 0) println(f">= $core%.2f        $n%8d $h%8d  n/a (no truth mass)")
+      else println(f">= $core%.2f        $n%8d $h%8d  ${h.toDouble / n}%.3f")
     }
     spark.stop()
   }

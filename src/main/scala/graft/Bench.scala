@@ -3,15 +3,31 @@ package graft
 /** Benchmark main: times every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
-  * Honesty rules (round-2, tightened round-7): each query runs four
-  * times; the reported `queries`/`value` figures are the best WARM run
-  * (min of runs 2-4 — the round-6 artifact showed two warm runs are not
-  * enough insurance when a concurrent JVM contends the box: ss8
-  * recorded 7.7× its real cost; a third warm sample makes a sustained
-  * external burst much less likely to own BOTH best candidates); the
-  * first-run times are kept in `queries_cold`. A query that throws is
-  * NOT silently scored: its time is -1 and the error lands in
-  * `errors`.
+  * Honesty rules (round-2, tightened round-7, re-ordered round-13): each
+  * query runs four times, and the reported `queries`/`value` figures are
+  * the best WARM run (min of runs 2-4). Sampling is RUN-MAJOR: run 1 is
+  * a full cold pass over the whole suite, then three warm passes over
+  * the whole suite — so one query's three warm samples are MINUTES
+  * apart, and a transient co-tenant burst can own at most one of them
+  * (min() discards it). The round-12 artifact is why: the old
+  * query-major protocol (4 consecutive samples per query) let a 1-2 min
+  * burst inflate a contiguous block of queries 5-11× while the
+  * suite-level spread stayed under its 1.3 bar — the official artifact
+  * showed a 29 % regression that did not exist. The first-run times are
+  * kept in `queries_cold`. A query that throws is NOT silently scored:
+  * its time is -1 and the error lands in `errors`.
+  *
+  * Contention is flagged at QUERY granularity: any query whose warm
+  * median/min ratio exceeds 2× is listed in `contended_queries` (the
+  * suite-level `spread`/`contended` stays for cross-round continuity,
+  * but it provably misses block-local bursts). A box-state reading
+  * (cpu probe + host load) is stamped before every pass in `cal_passes`
+  * so a burst is localizable in time from the artifact alone.
+  *
+  * Every run self-persists TWICE: `bench/latest.json` (the most recent
+  * artifact) and `bench/history/<generated_unix_ms>.json` — append-only,
+  * so a later contended run (e.g. the driver's) can never overwrite the
+  * quiet-run evidence (round 12 lost its best run exactly that way).
   *
   * The session comes from [[graft.core.GraftSession.builder]] — ONE
   * source of config truth (AQE, UTC, extensions, nanos-as-long), because
@@ -33,47 +49,57 @@ object Bench {
     // Calibration probes (round-11, shared via graft.Calibration since
     // round 12): two FIXED workloads timed on this box at bench start
     // and end, emitted in the JSON so any reader can normalize totals
-    // across box states — the round-10 artifact read 44.1 s on a loaded
-    // box vs 36.0 s in the judge's same-box A/B, and nothing in the
-    // artifact made the two commensurable. Sampled 3x, min taken; start
-    // AND end published because contention can arrive mid-run. To
-    // compare two BENCH artifacts: scale totals by the ratio of their
-    // calibration readings.
+    // across box states. Sampled 3x, min taken. To compare two BENCH
+    // artifacts: scale totals by the ratio of their calibration readings.
     val calCpuStart = Calibration.cal3(Calibration.calCpu _)
     val calSparkStart = Calibration.cal3(() => Calibration.calSpark(spark))
 
     def jstr(s: String): String = Calibration.jstr(s)
-
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name))
-    }
-    val results = selected.map { case (name, fn) =>
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        }
-      }
-      val cold = once()
-      // ALL THREE warm samples are kept (min AND median are published):
-      // min is the headline — the closest sample to the query's true
-      // cost on this box — while the min-vs-median gap is the recorded
-      // evidence of external contention, so a judge can adjudicate a
-      // noisy artifact from the JSON alone instead of re-running
-      // (rounds 6 and 7 both shipped contended artifacts of record).
-      val warms: Either[String, Seq[Double]] = if (cold.isLeft) Left("cold run failed")
-      else {
-        val rs = Seq(once(), once(), once())
-        rs.collectFirst { case Left(m) => Left(m): Either[String, Seq[Double]] }
-          .getOrElse(Right(rs.map(_.toOption.get)))
-      }
-      name -> ((cold, warms))
-    }
-    // 3-decimal times keep the whole line small enough to survive the
-    // driver's output-tail capture (BENCH_r03/r04 lost the warm map to
-    // truncation); millisecond resolution is below run-to-run noise anyway
     def fmt(t: Double): String = f"$t%.3f"
+
+    // fixed name-sorted order, identical in every pass: the separation
+    // between a query's samples is then the whole suite's wall (~minutes)
+    val order: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] =
+      SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
+        .toSeq.sortBy(_._1)
+
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+
+    // one box-state reading per pass (single sample — the pass itself is
+    // the workload; cal3's warmup minima are only needed at the anchors)
+    val calPasses = scala.collection.mutable.ArrayBuffer[String]()
+    def stampPass(label: String): Unit = calPasses +=
+      s"""{"pass":${jstr(label)},"cpu_s":${fmt(Calibration.calCpu())},""" +
+        s""""load":${fmt(Calibration.hostLoad())}}"""
+
+    stampPass("cold")
+    val cold: Map[String, Either[String, Double]] =
+      order.map { case (name, fn) => name -> once(fn) }.toMap
+    val warmPasses: Seq[Map[String, Either[String, Double]]] = (1 to 3).map { p =>
+      stampPass(s"warm$p")
+      order.map { case (name, fn) =>
+        name -> (if (cold(name).isLeft) Left("cold run failed"): Either[String, Double]
+                 else once(fn))
+      }.toMap
+    }
+
+    val results: Seq[(String, (Either[String, Double], Either[String, Seq[Double]]))] =
+      order.map { case (name, _) =>
+        val ws = warmPasses.map(_(name))
+        val warms: Either[String, Seq[Double]] =
+          ws.collectFirst { case Left(m) => Left(m): Either[String, Seq[Double]] }
+            .getOrElse(Right(ws.map(_.toOption.get)))
+        name -> ((cold(name), warms))
+      }
+
     def timesJson(pick: ((Either[String, Double], Either[String, Seq[Double]])) => Either[String, Double]) =
       results.map { case (k, v) =>
         s"${jstr(k)}:${pick(v).fold(_ => "-1", fmt)}"
@@ -85,30 +111,37 @@ object Bench {
     val errors = results.collect { case (k, (Left(msg), _)) => s"${jstr(k)}:${jstr(msg)}" } ++
       results.collect { case (k, (Right(_), Left(msg))) => s"${jstr(k)}:${jstr(msg)}" }
     val errorsJson = errors.mkString("{", ",", "}")
-    val total = results.values.map(warmMin(_).getOrElse(0.0)).sum
-    val totalMedian = results.values.map(warmMedian(_).getOrElse(0.0)).sum
-    // contention indicator: with 3 warm samples per query, a quiet box
-    // keeps suite-level Σmedian/Σmin inside run-to-run noise (measured
-    // ~1.1 at sf0.1); an external burst inflates the median long before
-    // the min, so a ratio past the bar marks the ARTIFACT as contended.
-    // (A burst covering all 3 samples of every query can still hide —
-    // the flag is evidence when it fires, not proof when it doesn't.)
+    val total = results.map(r => warmMin(r._2).getOrElse(0.0)).sum
+    val totalMedian = results.map(r => warmMedian(r._2).getOrElse(0.0)).sum
+    // suite-level contention indicator (kept for cross-round continuity);
+    // the per-query flags below are the ones with power against bursts
     val spread = if (total > 0) totalMedian / total else 1.0
     val contended = spread > 1.3
+    // PER-QUERY contention: a query whose warm median is >2× its warm min
+    // had at least one sample inflated by something external — under
+    // run-major sampling the three samples are minutes apart, so a
+    // transient burst can own at most one, the min stays clean, and this
+    // ratio is the recorded evidence (the round-12 block sat at 5-11×).
+    // The 2× bar clears quiet-box noise (measured per-query ratios ~1.0-
+    // 1.3 at sf0.1) without hiding real bursts.
+    val contendedQueries = results.collect {
+      case (k, v) if {
+        val r = for (mn <- warmMin(v); md <- warmMedian(v)) yield md / math.max(mn, 1e-9)
+        r.exists(_ > 2.0)
+      } => k
+    }
+    val contendedQueriesJson = contendedQueries.map(jstr).mkString("[", ",", "]")
     // per-query lines FIRST, sorted by name — a truncated tail capture
-    // of the stdout is then self-describing query by query (BENCH_r10
-    // and r11 both lost per-query numbers, r11 including dd3, the
-    // round's headline, to front-truncation of the one-line JSON)
-    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+    // of the stdout is then self-describing query by query
+    results.foreach { case (k, v) =>
       val c = v._1.fold(m => s"ERROR($m)", fmt)
       val (w, m) = (warmMin(v).fold(_ => "-1", fmt), warmMedian(v).fold(_ => "-1", fmt))
-      println(s"benchq $k warm=$w median=$m cold=$c")
+      val flag = if (contendedQueries.contains(k)) "  CONTENDED" else ""
+      println(s"benchq $k warm=$w median=$m cold=$c$flag")
     }
     // cold + median maps next on their own line; the LAST line is the
     // compact self-contained headline JSON (warm + errors + methodology)
-    // so a tail capture always retains it whole. `methodology` records
-    // the warm definition so historical BENCH artifacts compare
-    // apples-to-apples.
+    // so a tail capture always retains it whole.
     val coldLine = s"""{"metric":"cold","unit":"sec","queries_cold":${timesJson(_._1)},""" +
       s""""queries_median":${timesJson(warmMedian)},"sf":"$sfDir"}"""
     println(coldLine)
@@ -116,25 +149,31 @@ object Bench {
     val calSparkEnd = Calibration.cal3(() => Calibration.calSpark(spark))
     val calibration =
       s"""{"cpu_s":${fmt(calCpuStart)},"spark_s":${fmt(calSparkStart)},""" +
-      s""""cpu_s_end":${fmt(calCpuEnd)},"spark_s_end":${fmt(calSparkEnd)}}"""
+      s""""cpu_s_end":${fmt(calCpuEnd)},"spark_s_end":${fmt(calSparkEnd)},""" +
+      s""""load_end":${fmt(Calibration.hostLoad())},""" +
+      s""""passes":[${calPasses.mkString(",")}]}"""
     val headline = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(warmMin)},""" +
       s""""errors":$errorsJson,"total_median":${fmt(totalMedian)},"spread":${fmt(spread)},""" +
-      s""""contended":$contended,"calibration":$calibration,""" +
-      s""""methodology":"warm=min(run2,run3,run4);median=median(run2,run3,run4);cold=run1;contended=total_median/total>1.3;calibration=min-of-3 fixed probes at start/end, scale totals by their ratio across artifacts",""" +
+      s""""contended":$contended,"contended_queries":$contendedQueriesJson,""" +
+      s""""calibration":$calibration,""" +
+      s""""methodology":"run-major: pass1=cold over whole suite, passes2-4=warm over whole suite (one query's warm samples minutes apart, so min() discards any single burst); warm=min(pass2..4);median=median(pass2..4);contended_queries=per-query median/min>2;contended=total_median/total>1.3;calibration=min-of-3 fixed probes at start/end + per-pass cpu/load stamps",""" +
       s""""sf":"$sfDir"}"""
     println(headline)
-    // self-persist the COMPLETE artifact repo-side (round 12): the
-    // driver's tail capture truncated BENCH_r10/r11 — every number must
-    // be corroborable from this file alone, whatever stdout survives
-    try {
-      Calibration.persist("bench/latest.json",
-        s"""{"generated_unix_ms":${System.currentTimeMillis()},""" +
-          s""""cold":$coldLine,"headline":$headline}""" + "\n")
-      println("bench artifact persisted: bench/latest.json")
-    } catch { case scala.util.control.NonFatal(e) =>
-      println(s"bench artifact persist FAILED (stdout JSON above is complete): $e")
+    // self-persist the COMPLETE artifact repo-side (round 12), and
+    // APPEND-ONLY under bench/history/ (round 13): the driver's contended
+    // round-12 run overwrote the working-tree latest.json that held the
+    // quiet-run evidence — an artifact designed for corroboration must
+    // not lose its best run to whoever runs last.
+    val artifact = s"""{"generated_unix_ms":${System.currentTimeMillis()},""" +
+      s""""cold":$coldLine,"headline":$headline}""" + "\n"
+    for (path <- Seq("bench/latest.json",
+                     s"bench/history/${System.currentTimeMillis()}.json")) {
+      try { Calibration.persist(path, artifact); println(s"bench artifact persisted: $path") }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"bench artifact persist FAILED for $path (stdout JSON above is complete): $e")
+      }
     }
     spark.stop()
-    if (results.values.exists(_._2.isLeft)) sys.exit(1)
+    if (results.exists(_._2._2.isLeft)) sys.exit(1)
   }
 }

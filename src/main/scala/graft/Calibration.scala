@@ -45,6 +45,26 @@ object Calibration {
   /** Min of 3 samples — JIT warmup lives in the discarded samples. */
   def cal3(f: () => Double): Double = Seq(f(), f(), f()).min
 
+  /** 1-minute HOST load average (whole box, not container-scoped): the
+    * round-12 isolated-dd4 adjudication showed the single-core [[calCpu]]
+    * probe understates the penalty a 32-thread job pays against ~24
+    * co-runnable threads (cal read 0.978 while host load was ~24/32) —
+    * the two readings together describe the box state; either alone can
+    * mislead. -1.0 if the platform exposes neither source. */
+  def hostLoad(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case scala.util.control.NonFatal(_) =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** One-sample box-state stamp for per-stage lines: cpu probe + host
+    * load, the pair every cross-state adjudication needs (VERDICT r12
+    * #6 — the load reading existed only as a manual CalProbe run). */
+  def stamp(): String = f"cal=${calCpu()}%.2f load=${hostLoad()}%.1f"
+
   /** JSON string literal (same escaping Bench has always used). */
   def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""

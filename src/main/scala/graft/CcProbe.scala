@@ -55,12 +55,21 @@ object CcProbe {
     val comps = hinted.where(col("keep")).count()
     println(s"components: $comps; label mismatches hint vs trend: $mismatch (must be 0)")
 
+    // the per-round pricing is only meaningful when the no-hint run
+    // actually SWITCHED to star after N min-label probe rounds — on a
+    // smaller/denser corpus the trend run can converge on the fast
+    // min-label path ('fast:N'), where N counts rounds of a DIFFERENT
+    // algorithm and the extrapolation below would be noise (ADVICE r12)
     val probeRounds = trendPath.split(":").lift(1).map(_.toInt).getOrElse(0)
-    if (probeRounds > 0) {
+    if ((trendPath.startsWith("star-early") || trendPath.startsWith("star-budget"))
+        && probeRounds > 0) {
       val perRound = (tTrend - tHint) / probeRounds
       println(f"probe-round cost ~$perRound%.1f s/round over these edges; " +
         f"retired 8-round prelude implies ~${tHint + 8 * perRound}%.1f s " +
         f"(hint $tHint%.1f s, trend $tTrend%.1f s @ $probeRounds rounds)")
+    } else {
+      println(s"no probe-round pricing: trend path '$trendPath' never switched " +
+        "to star, so no min-label probe rounds were priced against the hint")
     }
     spark.stop()
     if (mismatch != 0) sys.exit(1)

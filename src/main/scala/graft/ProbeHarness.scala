@@ -34,7 +34,9 @@ object ProbeHarness {
     s.sparkContext.setLogLevel("WARN")
     println(f"probe-cal: cpu=${Calibration.cal3(Calibration.calCpu _)}%.3f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(s))}%.3f " +
-      f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
+      f"load=${Calibration.hostLoad()}%.1f " +
+      f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f; load is HOST-wide — " +
+      "the cpu probe alone understates a 32-thread job's penalty under co-tenants)")
     s
   }
 

@@ -52,6 +52,7 @@ object ScaleSmoke {
     // co-tenancy and each needed a manual GateProbe rerun).
     println(f"cal: start cpu=${Calibration.cal3(Calibration.calCpu _)}%.2f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f " +
+      f"load=${Calibration.hostLoad()}%.1f " +
       f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
 
     val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
@@ -86,13 +87,120 @@ object ScaleSmoke {
       try {
         val rows = body
         println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
       } catch {
         case e: Throwable =>
           failed = true
           println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
+
+    // Streaming stages run FIRST among the operators (round 13 — VERDICT
+    // r12 #4): as the closing stages of an 85-min run their walls swung
+    // 94-487 s across same-code records, with end-of-smoke JVM heap/GC
+    // state dominating the readings; early placement makes the wall a
+    // trackable number. The state-plateau asserts are the hard bars
+    // either way.
+    // Streaming at 20×: watermarks are CONFIGURED everywhere, but only a
+    // driven run proves state is BOUNDED — rows-in-state must plateau at
+    // O(open windows / in-band rows) as the watermark advances, not grow
+    // with total events (the streaming analogue of the byte-stats
+    // guards). Event time advances faster than the watermark+retention
+    // horizon each batch, so every batch must evict the previous one's
+    // state; the early-vs-late max comparison catches a leak of ANY
+    // per-batch magnitude.
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+      def stateNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+
+      // streaming volume scales WITH the multiplier (perBatch ∝ replicas)
+      // so the plateau assertions are re-proved at every smoke scale:
+      // state must be O(in-band rows per batch), never O(total events).
+      // State store = the engine default (GraftSession): RocksDB with
+      // changelog checkpointing — measured 254 s vs 372 s HDFS-backed on
+      // the 2M-event band join (StreamStateBench), and the only provider
+      // whose state can exceed executor heap at production scale.
+      timed(s"stream sessions x$replicas") {
+        val in = MemoryStream[Ev]
+        val q = graft.streaming.EventStreams
+          .streamingSessions(in.toDF(), watermark = "10 minutes")
+          .writeStream.format("memory").queryName("smoke_sessions")
+          .outputMode("append").start()
+        val batches = 20
+        val perBatch = 5000 * replicas
+        val users = 1000 * replicas
+        var id = 0L
+        val states = scala.collection.mutable.ArrayBuffer[Long]()
+        for (b <- 0 until batches) {
+          val base = b.toLong * 120 // 2 h apart ≫ 30-min gap + 10-min watermark
+          in.addData((0 until perBatch).map { i =>
+            id += 1
+            Ev(id, at(base + (i % 50)), (i % users).toLong, "a", 1.0)
+          })
+          q.processAllAvailable()
+          states += stateNow(q)
+        }
+        val out = spark.table("smoke_sessions").count()
+        q.stop()
+        val early = states.take(5).max
+        val late = states.takeRight(5).max
+        assert(out >= users.toLong * (batches - 2), s"only $out sessions emitted")
+        assert(late <= early * 2,
+          s"session state grew: early max $early, late max $late — not watermark-bounded")
+        assert(states.max <= 4L * users,
+          s"state ${states.max} rows is not O(open sessions) for $users users")
+        println(f"  session state peak ${states.max}%d rows (bound ${4L * users}%d) " +
+          f"over ${batches * perBatch}%d events")
+        out
+      }
+
+      timed(s"stream-stream join x$replicas") {
+        val clicks = MemoryStream[Ev]
+        val purchases = MemoryStream[Ev]
+        val q = graft.streaming.EventStreams
+          .streamingStreamJoin(clicks.toDF(), purchases.toDF(), watermark = "1 hour")
+          .writeStream.format("memory").queryName("smoke_join")
+          .outputMode("append").start()
+        val batches = 20
+        val perBatch = 2500 * replicas
+        var uid = 0L
+        val states = scala.collection.mutable.ArrayBuffer[Long]()
+        for (b <- 0 until batches) {
+          val base = b.toLong * 180 // 3 h apart ≫ 1-h watermark + 30-min band
+          val pairs = (0 until perBatch).map { i =>
+            uid += 1
+            (Ev(uid, at(base + (i % 50)), uid, "click", 0.0),
+             Ev(uid + 1000000000L, at(base + (i % 50) + 10), uid, "purchase", 1.0))
+          }
+          clicks.addData(pairs.map(_._1))
+          purchases.addData(pairs.map(_._2))
+          q.processAllAvailable()
+          states += stateNow(q)
+        }
+        val out = spark.table("smoke_join").count()
+        q.stop()
+        val early = states.take(5).max
+        val late = states.takeRight(5).max
+        assert(out == batches.toLong * perBatch,
+          s"expected ${batches * perBatch} joined rows, got $out")
+        assert(late <= early * 2,
+          s"join state grew: early max $early, late max $late — not watermark-bounded")
+        // measured plateau is exactly 2×perBatch (both sides' current
+        // in-band batch, previous batch fully evicted — StreamStateBench
+        // peak 100000 at perBatch=50000); 3× bound = measured + headroom,
+        // tightened from the pre-measurement 6×
+        assert(states.max <= 3L * perBatch,
+          s"state ${states.max} rows is not O(in-band rows) for $perBatch/side batches")
+        println(f"  join state peak ${states.max}%d rows (bound ${3L * perBatch}%d) " +
+          f"over ${2 * batches * perBatch}%d events")
+        out
+      }
+    }
+
 
     timed("dd2_hash (exact)") {
       graft.operators.Dedup.dd2From(docs).count()
@@ -134,7 +242,7 @@ object ScaleSmoke {
         val recall = if (truth == 0) 1.0 else connected.toDouble / truth
         println(f"recall: dd3 connectivity     ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
           f"recall $recall%.3f ($connected/$truth dd4 pairs intra-component)" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
         // round-11: dd4's MinJaccardShingles floor removed the
         // single-shared-shingle coincidence pairs (half the 20×
         // denominator, full-shingle J ≈ .02) that banding rightly never
@@ -195,7 +303,7 @@ object ScaleSmoke {
         val recall = if (truth == 0) 1.0 else hits.toDouble / truth
         println(f"recall: ss5 routed (fitted)   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
           f"recall $recall%.3f ($hits/$truth sampled ranks, $n rows)" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
         if (recall < 0.8) {
           failed = true
           println(f"ss5 fitted-route rank-recall $recall%.3f below the .80 bar")
@@ -295,7 +403,7 @@ object ScaleSmoke {
         val gRec = if (guaranteedTruth == 0) 1.0 else connG.toDouble / guaranteedTruth
         println(f"recall: dd5 connectivity     ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
           f"guaranteed $gRec%.3f ($connG/$guaranteedTruth), raw $rawRec%.3f ($connRaw/$truth)" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
         if (gRec < 0.999) {
           failed = true
           println(f"dd5 GUARANTEED connectivity $gRec%.3f below the .999 contract bar")
@@ -350,7 +458,8 @@ object ScaleSmoke {
         try {
           val rows = body
           val sec = (System.nanoTime() - t0) / 1e9
-          println(f"$name%-28s $sec%8.1f s  $rows%10d rows  cal=$calPre%.2f" +
+          println(f"$name%-28s $sec%8.1f s  $rows%10d rows  cal=$calPre%.2f " +
+            f"load=${Calibration.hostLoad()}%.1f" +
             (if (bar != barSec) f" bar=$bar%.0f" else ""))
           if (sec > bar) {
             failed = true
@@ -380,16 +489,32 @@ object ScaleSmoke {
     }
     // approximation QUALITY at the scaled tiers, not just bounded work:
     // ground truth restricted to pairs within a ~1/7 sample (exact
-    // all-pairs on the sample is ~33M dots — cheap), compared against
+    // all-pairs on the sample is ~33M dots at 20×), compared against
     // the FULL-corpus approximate run's pairs inside the sample. Bucket
     // population and tier geometry are those of the full corpus, so the
     // measured recall is the tier's, not a small-corpus proxy.
+    //
+    // The exact truth is computed ONCE and shared by every pair-recall
+    // stage (round 13 — VERDICT r12 #2: the eight stages below each
+    // re-derived exactNeardupPairs over the SAME 1/7 sample, and at 100×
+    // the verification cost more wall than the operators it verified —
+    // ss4's five-rung ladder alone ~1,100 s of an 85-min smoke). One
+    // pass at the lowest threshold in use (.4) with the rounded cosine
+    // retained; each stage filters to its own threshold — bit-identical
+    // to a direct per-threshold pass because exactNeardupPairs rounds
+    // cos to 3 decimals BEFORE its threshold filter.
+    val exactTruth = graft.operators.Similarity
+      .exactNeardupPairs(embs.where(col("vec_id") % 7 === 0), 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("exact pair truth@.4 (shared)") {
+      exactTruth.count()
+    }
     def sampleRecall(name: String, approx: => DataFrame, threshold: Double,
                      bar: Double): Unit = {
       val t0 = System.nanoTime()
       try {
-        val sample = embs.where(col("vec_id") % 7 === 0)
-        val exact = graft.operators.Similarity.exactNeardupPairs(sample, threshold)
+        val exact = exactTruth.where(col("cos") >= threshold)
           .select(col("vec_a"), col("vec_b"))
         val inSample = approx
           .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
@@ -399,7 +524,7 @@ object ScaleSmoke {
         val recall = if (truth == 0) 1.0 else hit.toDouble / truth
         println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
           f"recall $recall%.3f ($hit/$truth sampled pairs)" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
         if (recall < bar) {
           failed = true
           println(f"$name recall $recall%.3f below the $bar%.2f bar — bump the tier table")
@@ -425,35 +550,60 @@ object ScaleSmoke {
     // band 5430/5430); raw threshold recall prints informationally.
     locally {
       val t0 = System.nanoTime()
+      // released in finally (ADVICE r12): a throw between persist and the
+      // success-path unpersist leaked the cached frame into every later
+      // smoke stage
+      var hits: DataFrame = null
       try {
-        val sample = embs.where(col("vec_id") % 7 === 0)
-        val exact = graft.operators.Similarity.exactNeardupPairs(sample, 0.4)
-          .select(col("vec_a"), col("vec_b"), col("cos"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inSample = graft.operators.Similarity.lshNeardupPairs(embs, 0.4)
           .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
           .select(col("vec_a"), col("vec_b"))
-        val hits = exact.join(inSample, Seq("vec_a", "vec_b"), "left_semi")
+        hits = exactTruth.join(inSample, Seq("vec_a", "vec_b"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val coreTruth = exact.where(col("cos") >= 0.99).count()
+        val coreTruth = exactTruth.where(col("cos") >= 0.99).count()
         val coreHit = hits.where(col("cos") >= 0.99).count()
-        val rawTruth = exact.count()
+        val rawTruth = exactTruth.count()
         val rawHit = hits.count()
         val core = if (coreTruth == 0) 1.0 else coreHit.toDouble / coreTruth
         val raw = if (rawTruth == 0) 1.0 else rawHit.toDouble / rawTruth
         println(f"recall: ss2 lshNeardup@.4    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
           f"near-dup(cos>=.99) $core%.3f ($coreHit/$coreTruth), raw@.4 $raw%.3f ($rawHit/$rawTruth)" +
-          f"  cal=${Calibration.calCpu()}%.2f")
+          "  " + Calibration.stamp())
         if (core < 0.95) {
           failed = true
           println(f"recall: ss2 lshNeardup@.4 near-dup recall $core%.3f below the .95 contract bar")
         }
-        exact.unpersist(); hits.unpersist()
+        // tier-regression drift guard (ADVICE r12): the hard near-dup
+        // band is dominated by exact replica pairs, whose identical LSH
+        // signatures collide under ANY tier geometry — it has almost no
+        // power against a geometry regression. The RAW recall at the
+        // operating threshold does: it is dominated by marginal-cosine
+        // pairs whose collision probability is tier-sensitive (2-10 %
+        // per pair at 4×12), and it is DETERMINISTIC for a fixed corpus
+        // + the seeded hyperplanes, so any drop beyond slack from the
+        // recorded baseline means code or tier changed, not noise.
+        // Baselines = the round-12 measured artifacts at the two
+        // official smoke scales.
+        val rawBaseline = Map(20 -> 0.425, 100 -> 0.509).get(replicas)
+        rawBaseline match {
+          case Some(base) if raw < base - 0.05 =>
+            failed = true
+            println(f"recall: ss2 raw@.4 $raw%.3f dropped >.05 below the recorded " +
+              f"x$replicas baseline $base%.3f — tier geometry regressed")
+          case Some(base) if raw > base + 0.05 =>
+            println(f"note: ss2 raw@.4 $raw%.3f above the x$replicas baseline " +
+              f"$base%.3f — record the new value in ScaleSmoke")
+          case _ if rawBaseline.isEmpty =>
+            println(f"note: no ss2 raw@.4 baseline recorded for x$replicas — drift guard inactive")
+          case _ => ()
+        }
       } catch {
         case e: Throwable =>
           failed = true
           println(s"recall: ss2 lshNeardup@.4 FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
+      } finally {
+        if (hits != null) hits.unpersist()
       }
     }
     // seeded = the oracle-free stand-in (random centroids); fitted =
@@ -528,6 +678,7 @@ object ScaleSmoke {
     sampleRecall("recall: lshNeardup 4x16 tier",
       graft.operators.Similarity.lshNeardupGeom(embs, 0.45, 64, Some((4, 16))),
       0.45, bar = 0.6)
+    exactTruth.unpersist() // last pair-recall consumer above
     // ss9 at 20×, split into the two costs a production deployment
     // actually sees: the ONE-TIME build (fit + encode + persisted
     // cell-partitioned write through the lake client) and the PER-QUERY
@@ -624,7 +775,7 @@ object ScaleSmoke {
               val recall = hit.toDouble / (nq.toLong * 10)
               println(f"recall: ss9 ivfpq@10         ${(System.nanoTime() - tR0) / 1e9}%8.1f s  " +
                 f"recall $recall%.3f ($hit/${nq * 10} vs exact top-10)" +
-                f"  cal=${Calibration.calCpu()}%.2f")
+                "  " + Calibration.stamp())
               if (recall < 0.6) {
                 failed = true
                 println(f"ss9 recall@10 $recall%.3f below the .60 bar — IVF-PQ sketch regressed")
@@ -715,7 +866,7 @@ object ScaleSmoke {
           val recall = hit.toDouble / (nq.toLong * 10)
           println(f"recall: ss8 pq@10            ${(System.nanoTime() - tR0) / 1e9}%8.1f s  " +
             f"recall $recall%.3f ($hit/${nq * 10} vs exact top-10)" +
-            f"  cal=${Calibration.calCpu()}%.2f")
+            "  " + Calibration.stamp())
           if (recall < 0.7) {
             failed = true
             println(f"ss8 recall@10 $recall%.3f below the .70 bar — PQ sketch regressed")
@@ -1041,106 +1192,6 @@ object ScaleSmoke {
         docs.withColumn("source", (col("doc_id") % 20).cast("string")),
         "source", Map("0" -> 2.5, "1" -> 0.25), defaultWeight = 1.0).count()
     }
-    // Streaming at 20×: watermarks are CONFIGURED everywhere, but only a
-    // driven run proves state is BOUNDED — rows-in-state must plateau at
-    // O(open windows / in-band rows) as the watermark advances, not grow
-    // with total events (the streaming analogue of the byte-stats
-    // guards). Event time advances faster than the watermark+retention
-    // horizon each batch, so every batch must evict the previous one's
-    // state; the early-vs-late max comparison catches a leak of ANY
-    // per-batch magnitude.
-    locally {
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-      def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
-      def stateNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-
-      // streaming volume scales WITH the multiplier (perBatch ∝ replicas)
-      // so the plateau assertions are re-proved at every smoke scale:
-      // state must be O(in-band rows per batch), never O(total events).
-      // State store = the engine default (GraftSession): RocksDB with
-      // changelog checkpointing — measured 254 s vs 372 s HDFS-backed on
-      // the 2M-event band join (StreamStateBench), and the only provider
-      // whose state can exceed executor heap at production scale.
-      timed(s"stream sessions x$replicas") {
-        val in = MemoryStream[Ev]
-        val q = graft.streaming.EventStreams
-          .streamingSessions(in.toDF(), watermark = "10 minutes")
-          .writeStream.format("memory").queryName("smoke_sessions")
-          .outputMode("append").start()
-        val batches = 20
-        val perBatch = 5000 * replicas
-        val users = 1000 * replicas
-        var id = 0L
-        val states = scala.collection.mutable.ArrayBuffer[Long]()
-        for (b <- 0 until batches) {
-          val base = b.toLong * 120 // 2 h apart ≫ 30-min gap + 10-min watermark
-          in.addData((0 until perBatch).map { i =>
-            id += 1
-            Ev(id, at(base + (i % 50)), (i % users).toLong, "a", 1.0)
-          })
-          q.processAllAvailable()
-          states += stateNow(q)
-        }
-        val out = spark.table("smoke_sessions").count()
-        q.stop()
-        val early = states.take(5).max
-        val late = states.takeRight(5).max
-        assert(out >= users.toLong * (batches - 2), s"only $out sessions emitted")
-        assert(late <= early * 2,
-          s"session state grew: early max $early, late max $late — not watermark-bounded")
-        assert(states.max <= 4L * users,
-          s"state ${states.max} rows is not O(open sessions) for $users users")
-        println(f"  session state peak ${states.max}%d rows (bound ${4L * users}%d) " +
-          f"over ${batches * perBatch}%d events")
-        out
-      }
-
-      timed(s"stream-stream join x$replicas") {
-        val clicks = MemoryStream[Ev]
-        val purchases = MemoryStream[Ev]
-        val q = graft.streaming.EventStreams
-          .streamingStreamJoin(clicks.toDF(), purchases.toDF(), watermark = "1 hour")
-          .writeStream.format("memory").queryName("smoke_join")
-          .outputMode("append").start()
-        val batches = 20
-        val perBatch = 2500 * replicas
-        var uid = 0L
-        val states = scala.collection.mutable.ArrayBuffer[Long]()
-        for (b <- 0 until batches) {
-          val base = b.toLong * 180 // 3 h apart ≫ 1-h watermark + 30-min band
-          val pairs = (0 until perBatch).map { i =>
-            uid += 1
-            (Ev(uid, at(base + (i % 50)), uid, "click", 0.0),
-             Ev(uid + 1000000000L, at(base + (i % 50) + 10), uid, "purchase", 1.0))
-          }
-          clicks.addData(pairs.map(_._1))
-          purchases.addData(pairs.map(_._2))
-          q.processAllAvailable()
-          states += stateNow(q)
-        }
-        val out = spark.table("smoke_join").count()
-        q.stop()
-        val early = states.take(5).max
-        val late = states.takeRight(5).max
-        assert(out == batches.toLong * perBatch,
-          s"expected ${batches * perBatch} joined rows, got $out")
-        assert(late <= early * 2,
-          s"join state grew: early max $early, late max $late — not watermark-bounded")
-        // measured plateau is exactly 2×perBatch (both sides' current
-        // in-band batch, previous batch fully evicted — StreamStateBench
-        // peak 100000 at perBatch=50000); 3× bound = measured + headroom,
-        // tightened from the pre-measurement 6×
-        assert(states.max <= 3L * perBatch,
-          s"state ${states.max} rows is not O(in-band rows) for $perBatch/side batches")
-        println(f"  join state peak ${states.max}%d rows (bound ${3L * perBatch}%d) " +
-          f"over ${2 * batches * perBatch}%d events")
-        out
-      }
-    }
-
     timed("dd7_cluster (CC over LSH edges)") {
       // the forced-LSH edge source semanticEdges picks above the exact-
       // scan byte cap — exercised explicitly so the smoke demonstrates
@@ -1152,7 +1203,8 @@ object ScaleSmoke {
     }
 
     println(f"cal: end cpu=${Calibration.cal3(Calibration.calCpu _)}%.2f " +
-      f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f")
+      f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f " +
+      f"load=${Calibration.hostLoad()}%.1f")
     println(s"smoke ${if (failed) "FAILED" else "ok"}; artifact: bench/smoke_latest.json")
     persistTranscript(failed)
     spark.stop()

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** ss5 (kNN join, fitted IVF route) phase attribution at smoke scale
+  * (round 13 — VERDICT r12 #3): the routed ss5 stage is the largest
+  * single operator wall left at 100× (938.6 s recorded), and unlike dd3
+  * and dd4 it never had a phase table. Splits the operator the way
+  * [[graft.operators.DdPerfProbe]] does — fit / assign+cap / probe join
+  * / join+cosine / top-k aggregate — plus the smoke recall stage's own
+  * verification legs (brute-force truth for a 1/80 query sample and the
+  * hit semi-join), so the 938 s divides into operator cost vs
+  * verification cost.
+  *
+  * Phases are measured as INDEPENDENT jobs (the DdPerfProbe convention):
+  * within the real united plan the assignment subtree is computed once
+  * per join side, so phase sums can exceed the whole-operator wall —
+  * the table attributes, it does not decompose exactly.
+  *
+  * Usage: runMain graft.Ss5PerfProbe [sfDir] [replicas]   (default 100×;
+  * wants SPARK_DRIVER_MEM=96g like the 100× smoke)
+  */
+object Ss5PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = ProbeHarness.session("ss5-perf-probe")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import graft.operators.{KMeans, Similarity}
+
+    val embs = ProbeHarness.replicaEmbeddings(spark, sfDir, replicas)
+    val n = embs.count()
+    println(s"ss5 probe: $n vectors (x$replicas)  " + Calibration.stamp())
+
+    // the whole operator first — the reference wall the phases attribute
+    ProbeHarness.timed("ss5 knnJoinFitted (whole)") {
+      Similarity.knnJoinFitted(embs).count()
+    }
+
+    // phases, mirroring knnJoinFitted's fitted route exactly
+    val cells = Similarity.ivfCellsFor(embs)
+    val nProbe = Similarity.knnNProbeFor(cells)
+    println(s"route: $cells cells, nProbe=$nProbe")
+    var model: KMeans.Model = null
+    ProbeHarness.timed(s"phase fit (KMeans $cells c)") {
+      model = KMeans.fit(embs.select(col("vec_id"), col("embedding")),
+        k = cells, maxIters = 5)
+      model.centroids.size.toLong
+    }
+    val cs = model.centroids
+    val cn = cs.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val maxPop = Similarity.ivfMaxCellPop(embs, cs.size, nProbe)
+    val assigned = Similarity.capCells(
+      KMeans.assignTopCellsWith(embs, cs, nProbe, cn), maxPop)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ProbeHarness.timed("phase assign+cap (persisted)") {
+      assigned.count()
+    }
+    val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(col("cells")).as("cell"))
+    val index = assigned.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      element_at(col("cells"), 1).as("cell"))
+    val joined = probe.join(index, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+    ProbeHarness.timed("phase probe-join (no score)") {
+      joined.count()
+    }
+    val scored = joined.select(col("vec_id"), col("nbr_id"),
+      round(try_divide(
+        graft.functions.VectorFunctions.vecDot(col("embedding"), col("emb_b")),
+        col("nrm") * col("nrm_b")), 3).as("cos"))
+    ProbeHarness.timed("phase join+cosine") {
+      scored.where(col("cos") > -2.0).count()
+    }
+    ProbeHarness.timed("phase +topk agg (kernel total)") {
+      scored.groupBy(col("vec_id"))
+        .agg(graft.functions.VectorFunctions
+          .topkByScore(col("cos"), col("nbr_id"), 5).as("top"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+        .count()
+    }
+    assigned.unpersist()
+
+    // the smoke recall stage's verification legs (its wall = operator +
+    // these): exact brute-force top-5 truth for the 1/80 query sample,
+    // then the hit semi-join against the routed output
+    val routed = Similarity.knnJoinFitted(embs).persist(StorageLevel.MEMORY_AND_DISK)
+    ProbeHarness.timed("verify: routed run (persisted)") {
+      routed.count()
+    }
+    val qs = embs.where(col("vec_id") % 80 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exact = embs.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(
+        graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qemb")),
+        3).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions
+        .topkByScore(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("nbr_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ProbeHarness.timed("verify: exact truth (1/80 q)") {
+      exact.count()
+    }
+    ProbeHarness.timed("verify: hit semi-join") {
+      routed.select(col("vec_id").as("qid"), col("nbr_id"))
+        .join(exact, Seq("qid", "nbr_id"), "left_semi").count()
+    }
+    routed.unpersist(); exact.unpersist()
+    println("done  " + Calibration.stamp())
+    spark.stop()
+  }
+}

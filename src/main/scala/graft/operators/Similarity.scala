@@ -339,7 +339,7 @@ object Similarity {
     else if (cells <= 1024) 48
     else 96
 
-  private def ivfCellsFor(e: DataFrame): Int =
+  private[graft] def ivfCellsFor(e: DataFrame): Int =
     IvfCellTiers.find(estRowsOf(e) < _._1).getOrElse(IvfCellTiers.last)._2
 
   /** Floor for the IVF cell-population cap: caps below this never
@@ -358,7 +358,7 @@ object Similarity {
     * bits + a zero-norm pre-filter.) DORMANT at the measured
     * fixture/smoke scales (20× smoke: zero pairs lost); it exists for
     * the adversarial tail, exactly like its siblings. */
-  private def ivfMaxCellPop(e: DataFrame, cells: Int, nProbe: Int): Long =
+  private[graft] def ivfMaxCellPop(e: DataFrame, cells: Int, nProbe: Int): Long =
     math.max(MinIvfCellCap.toLong, 4L * nProbe * (estRowsOf(e) / cells))
 
   /** Multi-probe within-cell verified pair join shared by the seeded
@@ -387,7 +387,7 @@ object Similarity {
     * consumer). The 1-row cross join is the documented q16/ss1
     * broadcast pattern (PlanAudit whitelists it). Shared by
     * [[ivfCellPairs]] and [[knnJoinIvfKernel]]. */
-  private def capCells(assigned: DataFrame, maxPop: Long): DataFrame = {
+  private[graft] def capCells(assigned: DataFrame, maxPop: Long): DataFrame = {
     val over = assigned.select(explode(col("cells")).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       .where(col("pop") > maxPop)

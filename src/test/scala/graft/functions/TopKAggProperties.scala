@@ -51,6 +51,35 @@ object TopKAggProperties extends Properties("TopKByScore") {
       evalPairs(a, merged) == reference(xs, k)
     }
 
+  // MULTISET semantics under duplicates (ADVICE r12): the buffer keeps
+  // every copy of a repeated (score, id) pair — duplicates occupy top-k
+  // slots and can crowd out distinct ids. That is the aggregate's actual
+  // contract (callers that need set semantics dedup upstream — the IVF
+  // kNN kernel's one-primary-cell-per-neighbor shape does it by
+  // construction), and this property pins it so a future buffer change
+  // can't silently flip the behavior: the result equals the sorted
+  // MULTISET's first k, whatever the split into partials.
+  private def referenceMultiset(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    xs.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  property("duplicates are kept as copies: result = sorted multiset take k") =
+    Prop.forAll(entriesGen, kGen, Gen.chooseNum(0, 100)) { (xs0, k, cut) =>
+      // duplicate aggressively: every entry twice, plus the raw list —
+      // guarantees repeated (score,id) pairs both within one buffer and
+      // across the merged partials
+      val xs = xs0 ++ xs0 ++ xs0.take(xs0.length / 2)
+      val a = agg(k)
+      val at = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (l, r) = xs.splitAt(at)
+      def partial(part: List[(Double, Long)]): TopKBuffer = {
+        val b = a.createAggregationBuffer()
+        part.foreach { case (s, i) => a.update(b, InternalRow(s, i)) }
+        a.deserialize(a.serialize(b))
+      }
+      val merged = a.merge(partial(l), partial(r))
+      evalPairs(a, merged) == referenceMultiset(xs, k)
+    }
+
   property("NULL and NaN inputs are skipped, never ranked or poisoning") =
     Prop.forAll(entriesGen, kGen) { (xs0, k) =>
       val xs = xs0.distinct
