@@ -616,7 +616,8 @@ object ScaleSmoke {
       val m = graft.operators.KMeans.fit(embs, k = 64, maxIters = 5)
       graft.operators.Similarity.ivfCellPairs(
         graft.operators.KMeans.assignTopCells(embs, m.centroids,
-          graft.operators.Similarity.IvfNProbe), 0.4)
+          graft.operators.Similarity.IvfNProbe), 0.4,
+        indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(embs))
     }, 0.4, bar = 0.75)
     // seeding cost growth BEFORE the big fits: flat Gonzalez is
     // O(k·pool) with pool ∝ k — quadratic in k — so the ×4 step
@@ -669,7 +670,8 @@ object ScaleSmoke {
         val m = graft.operators.KMeans.fit(embs, k = cells, maxIters = 3)
         graft.operators.Similarity.ivfCellPairs(
           graft.operators.KMeans.assignTopCells(embs, m.centroids,
-            graft.operators.Similarity.ivfNProbeFor(cells)), 0.4)
+            graft.operators.Similarity.ivfNProbeFor(cells)), 0.4,
+          indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(embs))
       }, 0.4, bar = 0.75)
     }
     // the top PairLshTiers geometry (4 tables × 16 bits — what a >2M-row

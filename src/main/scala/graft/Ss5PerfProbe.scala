@@ -59,9 +59,11 @@ object Ss5PerfProbe {
     }
     val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(col("cells")).as("cell"))
-    val index = assigned.select(col("vec_id").as("nbr_id"),
+    val index0 = assigned.select(col("vec_id").as("nbr_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
       element_at(col("cells"), 1).as("cell"))
+    // mirror the shipped kernel's size-gated index broadcast
+    val index = if (Similarity.ivfIndexBroadcastable(embs)) broadcast(index0) else index0
     val joined = probe.join(index, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
     ProbeHarness.timed("phase probe-join (no score)") {

@@ -397,15 +397,43 @@ object Similarity {
       .where(size(col("cells")) > 0)
   }
 
+  /** Whether an IVF join's INDEX side (one slim row per corpus vector,
+    * anchored at its primary cell) should be explicitly broadcast, by
+    * the house byte estimate (~300 parquet bytes × [[estRowsOf]] rows —
+    * the same [[MaxKnnBroadcastBytes]] gate as the LSH probe side).
+    * Callers compute this from the BASE corpus frame, whose
+    * plan-statistics bytes are scan-derived and trustworthy — the
+    * assigned frame's estimate passes through the assignment join /
+    * 1-row cross join, where size propagation is garbage.
+    *
+    * Why it matters — measured at the 100× probe (Ss5PerfProbe, NOTES
+    * round-13): a 200k-vector index side (~58 MB) is over the 10 MB
+    * auto-broadcast threshold, so the cell join planned as a sort-merge
+    * join and every one of the ~5G candidate rows paid the SMJ's
+    * UnsafeRow output copy of BOTH 256-byte embeddings before the dot
+    * product ever ran — the scoring pass alone was 492.7 s of ss5's
+    * 619.8 s quiet-box wall, against 22.6 s for the identical join with
+    * the embeddings pruned. An explicit broadcast keeps the whole
+    * candidate pipeline (probe explode → hash join → dot → slim
+    * project) in one whole-stage-codegen pass with no per-candidate row
+    * copy. Past the gate the shuffled join IS the scalable plan (the
+    * index side is the full corpus and can never broadcast at 100 TB);
+    * AQE may still convert back to broadcast from runtime sizes. */
+  private[graft] def ivfIndexBroadcastable(base: DataFrame): Boolean =
+    estRowsOf(base) * 300 <= MaxKnnBroadcastBytes
+
   private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
-                                  maxPop: Long = Long.MaxValue): DataFrame = {
+                                  maxPop: Long = Long.MaxValue,
+                                  indexBcast: Boolean = false): DataFrame = {
     val surv = capCells(assigned, maxPop)
     val probe = surv.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("cells").as("cells_a"),
       explode(col("cells")).as("cell"))
-    val index = surv.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+    val index0 = surv.select(
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"), col("cells").as("cells_b"),
       element_at(col("cells"), 1).as("cell"))
+    val index = if (indexBcast) broadcast(index0) else index0
     probe.join(index, Seq("cell"))
       .where(col("vec_a") =!= col("vec_b"))
       // both directions can exist (each at its own primary); keep the
@@ -465,7 +493,8 @@ object Similarity {
     // (KMeans.assignTopCells).
     val assigned = KMeans.assignTopCellsWith(e,
       seededCentroids(cells, 64), nProbe, Seq.fill(cells)(1.0))
-    ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe))
+    ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe),
+      indexBcast = ivfIndexBroadcastable(e))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -488,7 +517,8 @@ object Similarity {
     val model = cachedModel(s, dir, e)
     val nProbe = ivfNProbeFor(model.centroids.size)
     ivfCellPairs(KMeans.assignTopCells(e, model.centroids, nProbe), 0.4,
-      ivfMaxCellPop(e, model.centroids.size, nProbe))
+      ivfMaxCellPop(e, model.centroids.size, nProbe),
+      indexBcast = ivfIndexBroadcastable(e))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -886,9 +916,14 @@ object Similarity {
       KMeans.assignTopCellsWith(e0, centroids, nProbe, cnorms), maxPop)
     val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(col("cells")).as("cell"))
-    val index = assigned.select(col("vec_id").as("nbr_id"),
+    val index0 = assigned.select(col("vec_id").as("nbr_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
       element_at(col("cells"), 1).as("cell"))
+    // size-gated explicit broadcast (see [[ivfIndexBroadcastable]] —
+    // the 100× Ss5PerfProbe measured the un-broadcast SMJ's per-candidate
+    // row copies at ~80 % of this operator's wall); gated on the base
+    // frame e0, whose scan-derived byte statistics are trustworthy
+    val index = if (ivfIndexBroadcastable(e0)) broadcast(index0) else index0
     probe.join(index, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
