@@ -18,14 +18,27 @@ import org.apache.spark.storage.StorageLevel
   * per join side, so phase sums can exceed the whole-operator wall —
   * the table attributes, it does not decompose exactly.
   *
-  * Usage: runMain graft.Ss5PerfProbe [sfDir] [replicas]   (default 100×;
-  * wants SPARK_DRIVER_MEM=96g like the 100× smoke)
+  * Usage: runMain graft.Ss5PerfProbe [sfDir] [replicas] [fallbackThreshold] [kernelOnly]
+  * (default 100×; wants SPARK_DRIVER_MEM=96g like the 100× smoke).
+  * `fallbackThreshold` overrides `spark.sql.objectHashAggregate.
+  * sortBased.fallbackThreshold` (default 128) for an A/B of the top-k
+  * partial aggregation's sort fallback — NOT a production setting (the
+  * DdPerfProbe seam): raising it engine-wide is unsafe for
+  * unbounded-buffer aggregates, whose hash mode holds every group's
+  * buffer in memory simultaneously and never spills. `kernelOnly`
+  * (any value) skips the whole-operator and verification legs so an
+  * A/B costs only the phase passes.
   */
 object Ss5PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+    val fallback = args.lift(2).map(_.toInt)
+    val kernelOnly = args.length > 3
     val spark = ProbeHarness.session("ss5-perf-probe")
+    fallback.foreach(t => spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t.toString))
+    println(s"objectAgg fallbackThreshold=${fallback.getOrElse(128)} kernelOnly=$kernelOnly")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import graft.operators.{KMeans, Similarity}
 
@@ -34,7 +47,7 @@ object Ss5PerfProbe {
     println(s"ss5 probe: $n vectors (x$replicas)  " + Calibration.stamp())
 
     // the whole operator first — the reference wall the phases attribute
-    ProbeHarness.timed("ss5 knnJoinFitted (whole)") {
+    if (!kernelOnly) ProbeHarness.timed("ss5 knnJoinFitted (whole)") {
       Similarity.knnJoinFitted(embs).count()
     }
 
@@ -84,6 +97,10 @@ object Ss5PerfProbe {
         .count()
     }
     assigned.unpersist()
+    if (kernelOnly) {
+      println("done (kernelOnly)  " + Calibration.stamp())
+      spark.stop(); return
+    }
 
     // the smoke recall stage's verification legs (its wall = operator +
     // these): exact brute-force top-5 truth for the 1/80 query sample,
