@@ -507,180 +507,189 @@ object ScaleSmoke {
       .exactNeardupPairs(embs.where(col("vec_id") % 7 === 0), 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("exact pair truth@.4 (shared)") {
-      exactTruth.count()
-    }
-    def sampleRecall(name: String, approx: => DataFrame, threshold: Double,
-                     bar: Double): Unit = {
-      val t0 = System.nanoTime()
-      try {
-        val exact = exactTruth.where(col("cos") >= threshold)
-          .select(col("vec_a"), col("vec_b"))
-        val inSample = approx
-          .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
-          .select(col("vec_a"), col("vec_b"))
-        val truth = exact.count()
-        val hit = inSample.join(exact, Seq("vec_a", "vec_b"), "left_semi").count()
-        val recall = if (truth == 0) 1.0 else hit.toDouble / truth
-        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-          f"recall $recall%.3f ($hit/$truth sampled pairs)" +
-          "  " + Calibration.stamp())
-        if (recall < bar) {
-          failed = true
-          println(f"$name recall $recall%.3f below the $bar%.2f bar — bump the tier table")
-        }
-      } catch {
-        case e: Throwable =>
-          failed = true
-          println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+    // the whole pair-recall section releases the shared truth cache in a
+    // finally: an uncaught stage failure must not leak the MEMORY_AND_DISK
+    // frame into every later smoke stage (round-14 ADVICE — the same leak
+    // class the round-13 ss2 hits fix closed)
+    try {
+      timed("exact pair truth@.4 (shared)") {
+        exactTruth.count()
       }
-    }
-    sampleRecall("recall: lshNeardupPairs@.45",
-      graft.operators.Similarity.lshNeardupPairs(embs, 0.45), 0.45, bar = 0.8)
-    // ss2's OWN operating point (threshold .4): contract band vs raw
-    // physics, the dd5-connectivity split (VERDICT r11 #4). A flat bar
-    // at the query threshold is corpus-mix, not contract: the .4 truth
-    // is ~half marginal-cosine pairs whose random-hyperplane collision
-    // probability at the 4×12 tier is 1-(1-(1-θ/π)^12)^4 ≈ 2-10 % — no
-    // feasible tier lifts that (recall .75 at cos .4 needs ~350
-    // tables). The op's contract is NEAR-DUP detection: at cos ≥ .99
-    // the same formula gives ≥ .96 for ANY qualifying pair, so that
-    // band takes the hard bar (measured 1.000 at 20×, BandRecallProbe:
-    // marginal bands .10/.14, zero truth mass in [.5,.99), replica
-    // band 5430/5430); raw threshold recall prints informationally.
-    locally {
-      val t0 = System.nanoTime()
-      // released in finally (ADVICE r12): a throw between persist and the
-      // success-path unpersist leaked the cached frame into every later
-      // smoke stage
-      var hits: DataFrame = null
-      try {
-        val inSample = graft.operators.Similarity.lshNeardupPairs(embs, 0.4)
-          .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
-          .select(col("vec_a"), col("vec_b"))
-        hits = exactTruth.join(inSample, Seq("vec_a", "vec_b"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val coreTruth = exactTruth.where(col("cos") >= 0.99).count()
-        val coreHit = hits.where(col("cos") >= 0.99).count()
-        val rawTruth = exactTruth.count()
-        val rawHit = hits.count()
-        val core = if (coreTruth == 0) 1.0 else coreHit.toDouble / coreTruth
-        val raw = if (rawTruth == 0) 1.0 else rawHit.toDouble / rawTruth
-        println(f"recall: ss2 lshNeardup@.4    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-          f"near-dup(cos>=.99) $core%.3f ($coreHit/$coreTruth), raw@.4 $raw%.3f ($rawHit/$rawTruth)" +
-          "  " + Calibration.stamp())
-        if (core < 0.95) {
-          failed = true
-          println(f"recall: ss2 lshNeardup@.4 near-dup recall $core%.3f below the .95 contract bar")
-        }
-        // tier-regression drift guard (ADVICE r12): the hard near-dup
-        // band is dominated by exact replica pairs, whose identical LSH
-        // signatures collide under ANY tier geometry — it has almost no
-        // power against a geometry regression. The RAW recall at the
-        // operating threshold does: it is dominated by marginal-cosine
-        // pairs whose collision probability is tier-sensitive (2-10 %
-        // per pair at 4×12), and it is DETERMINISTIC for a fixed corpus
-        // + the seeded hyperplanes, so any drop beyond slack from the
-        // recorded baseline means code or tier changed, not noise.
-        // Baselines = the round-12 measured artifacts at the two
-        // official smoke scales.
-        val rawBaseline = Map(20 -> 0.425, 100 -> 0.509).get(replicas)
-        rawBaseline match {
-          case Some(base) if raw < base - 0.05 =>
+      def sampleRecall(name: String, approx: => DataFrame, threshold: Double,
+                       bar: Double): Unit = {
+        val t0 = System.nanoTime()
+        try {
+          val exact = exactTruth.where(col("cos") >= threshold)
+            .select(col("vec_a"), col("vec_b"))
+          val inSample = approx
+            .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
+            .select(col("vec_a"), col("vec_b"))
+          val truth = exact.count()
+          val hit = inSample.join(exact, Seq("vec_a", "vec_b"), "left_semi").count()
+          val recall = if (truth == 0) 1.0 else hit.toDouble / truth
+          println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+            f"recall $recall%.3f ($hit/$truth sampled pairs)" +
+            "  " + Calibration.stamp())
+          if (recall < bar) {
             failed = true
-            println(f"recall: ss2 raw@.4 $raw%.3f dropped >.05 below the recorded " +
-              f"x$replicas baseline $base%.3f — tier geometry regressed")
-          case Some(base) if raw > base + 0.05 =>
-            println(f"note: ss2 raw@.4 $raw%.3f above the x$replicas baseline " +
-              f"$base%.3f — record the new value in ScaleSmoke")
-          case _ if rawBaseline.isEmpty =>
-            println(f"note: no ss2 raw@.4 baseline recorded for x$replicas — drift guard inactive")
-          case _ => ()
+            println(f"$name recall $recall%.3f below the $bar%.2f bar — bump the tier table")
+          }
+        } catch {
+          case e: Throwable =>
+            failed = true
+            println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-      } catch {
-        case e: Throwable =>
-          failed = true
-          println(s"recall: ss2 lshNeardup@.4 FAILED: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(300))
-      } finally {
-        if (hits != null) hits.unpersist()
       }
-    }
-    // seeded = the oracle-free stand-in (random centroids); fitted =
-    // the production path, held to the .75 bar. Asymmetric nProbe=6
-    // probing measured at this tier: fitted .843 in 10 s (the round-5
-    // head-to-head vs symmetric nProbe=3: .788 in 91 s)
-    sampleRecall("recall: ss4 IVF (seeded)@.4",
-      graft.operators.Similarity.ss4From(embs), 0.4, bar = 0.5)
-    sampleRecall("recall: ss4 IVF (fitted)@.4", {
-      val m = graft.operators.KMeans.fit(embs, k = 64, maxIters = 5)
-      graft.operators.Similarity.ivfCellPairs(
-        graft.operators.KMeans.assignTopCells(embs, m.centroids,
-          graft.operators.Similarity.IvfNProbe), 0.4,
-        indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(embs))
-    }, 0.4, bar = 0.75)
-    // seeding cost growth BEFORE the big fits: flat Gonzalez is
-    // O(k·pool) with pool ∝ k — quadratic in k — so the ×4 step
-    // 1024→4096 would cost ~16× if the ladder kept the flat walk; the
-    // two-level walk (KMeans.seedIndices past MaxFlatSeedCells) must
-    // hold the measured ratio far under that. Pools are collected per k
-    // exactly as fit() does (8k hash-ordered rows), so the ratio is the
-    // fit's real driver-side seeding cost, not a synthetic one.
-    locally {
-      val t0 = System.nanoTime()
-      try {
-        def pool(k: Int): Array[(Long, Array[Float])] = embs
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-          .limit(math.max(8 * k, 1024))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        def seedTime(k: Int): Double = {
-          val p = pool(k)
-          val t = System.nanoTime()
-          val s = graft.operators.KMeans.seedIndices(p, k)
-          assert(s.length == k && s.distinct.length == k,
-            s"seedIndices($k) must return k distinct seeds")
-          (System.nanoTime() - t) / 1e9
+      sampleRecall("recall: lshNeardupPairs@.45",
+        graft.operators.Similarity.lshNeardupPairs(embs, 0.45), 0.45, bar = 0.8)
+      // ss2's OWN operating point (threshold .4): contract band vs raw
+      // physics, the dd5-connectivity split (VERDICT r11 #4). A flat bar
+      // at the query threshold is corpus-mix, not contract: the .4 truth
+      // is ~half marginal-cosine pairs whose random-hyperplane collision
+      // probability at the 4×12 tier is 1-(1-(1-θ/π)^12)^4 ≈ 2-10 % — no
+      // feasible tier lifts that (recall .75 at cos .4 needs ~350
+      // tables). The op's contract is NEAR-DUP detection: at cos ≥ .99
+      // the same formula gives ≥ .96 for ANY qualifying pair, so that
+      // band takes the hard bar (measured 1.000 at 20×, BandRecallProbe:
+      // marginal bands .10/.14, zero truth mass in [.5,.99), replica
+      // band 5430/5430); raw threshold recall prints informationally.
+      locally {
+        val t0 = System.nanoTime()
+        // released in finally (ADVICE r12): a throw between persist and the
+        // success-path unpersist leaked the cached frame into every later
+        // smoke stage
+        var hits: DataFrame = null
+        try {
+          val inSample = graft.operators.Similarity.lshNeardupPairs(embs, 0.4)
+            .where(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0)
+            .select(col("vec_a"), col("vec_b"))
+          hits = exactTruth.join(inSample, Seq("vec_a", "vec_b"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val coreTruth = exactTruth.where(col("cos") >= 0.99).count()
+          val coreHit = hits.where(col("cos") >= 0.99).count()
+          val rawTruth = exactTruth.count()
+          val rawHit = hits.count()
+          val core = if (coreTruth == 0) 1.0 else coreHit.toDouble / coreTruth
+          val raw = if (rawTruth == 0) 1.0 else rawHit.toDouble / rawTruth
+          println(f"recall: ss2 lshNeardup@.4    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+            f"near-dup(cos>=.99) $core%.3f ($coreHit/$coreTruth), raw@.4 $raw%.3f ($rawHit/$rawTruth)" +
+            "  " + Calibration.stamp())
+          if (core < 0.95) {
+            failed = true
+            println(f"recall: ss2 lshNeardup@.4 near-dup recall $core%.3f below the .95 contract bar")
+          }
+          // tier-regression drift guard (ADVICE r12): the hard near-dup
+          // band is dominated by exact replica pairs, whose identical LSH
+          // signatures collide under ANY tier geometry — it has almost no
+          // power against a geometry regression. The RAW recall at the
+          // operating threshold does: it is dominated by marginal-cosine
+          // pairs whose collision probability is tier-sensitive (2-10 %
+          // per pair at 4×12), and it is DETERMINISTIC for a fixed corpus
+          // + the seeded hyperplanes, so any drop beyond slack from the
+          // recorded baseline means code or tier changed, not noise.
+          // Baselines = the round-12 measured artifacts at the two
+          // official smoke scales.
+          val rawBaseline = Map(20 -> 0.425, 100 -> 0.509).get(replicas)
+          rawBaseline match {
+            case Some(base) if raw < base - 0.05 =>
+              failed = true
+              println(f"recall: ss2 raw@.4 $raw%.3f dropped >.05 below the recorded " +
+                f"x$replicas baseline $base%.3f — tier geometry regressed")
+            case Some(base) if raw > base + 0.05 =>
+              println(f"note: ss2 raw@.4 $raw%.3f above the x$replicas baseline " +
+                f"$base%.3f — record the new value in ScaleSmoke")
+            case _ if rawBaseline.isEmpty =>
+              println(f"note: no ss2 raw@.4 baseline recorded for x$replicas — drift guard inactive")
+            case _ => ()
+          }
+        } catch {
+          case e: Throwable =>
+            failed = true
+            println(s"recall: ss2 lshNeardup@.4 FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(300))
+        } finally {
+          if (hits != null) hits.unpersist()
         }
-        seedTime(256) // JIT warm-up, discarded
-        val t1024 = seedTime(1024)
-        val t4096 = seedTime(4096)
-        val ratio = t4096 / math.max(t1024, 1e-9)
-        println(f"seeding 1024 -> 4096 cells   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-          f"flat $t1024%.2f s -> two-level $t4096%.2f s, x$ratio%.1f (flat x4-k would be ~x16)")
-        if (ratio > 8) {
-          failed = true
-          println(f"seeding growth x$ratio%.1f is not sub-quadratic — two-level walk regressed")
-        }
-      } catch {
-        case e: Throwable =>
-          failed = true
-          println(s"seeding cost FAILED: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(300))
       }
-    }
-    // the upper IvfCellTiers, forced on this corpus: 256 cells (literal
-    // tier ceiling), 1024 cells — the √N tier whose assignment runs
-    // the broadcast-centroid plan (KMeans.assignTopCellsBroadcast) that
-    // no fixture-scale query engages — and 4096 cells, the top tier,
-    // whose fit also exercises the two-level seeding. nProbe follows
-    // the tier (ivfNProbeFor); same .75 fitted bar as the home tier.
-    for (cells <- Seq(256, 1024, 4096)) {
-      sampleRecall(f"recall: ss4 IVF ${cells}c (fitted)", {
-        val m = graft.operators.KMeans.fit(embs, k = cells, maxIters = 3)
+      // seeded = the oracle-free stand-in (random centroids); fitted =
+      // the production path, held to the .75 bar. Asymmetric nProbe=6
+      // probing measured at this tier: fitted .843 in 10 s (the round-5
+      // head-to-head vs symmetric nProbe=3: .788 in 91 s)
+      sampleRecall("recall: ss4 IVF (seeded)@.4",
+        graft.operators.Similarity.ss4From(embs), 0.4, bar = 0.5)
+      sampleRecall("recall: ss4 IVF (fitted)@.4", {
+        val m = graft.operators.KMeans.fit(embs, k = 64, maxIters = 5)
         graft.operators.Similarity.ivfCellPairs(
           graft.operators.KMeans.assignTopCells(embs, m.centroids,
-            graft.operators.Similarity.ivfNProbeFor(cells)), 0.4,
-          indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(embs))
+            graft.operators.Similarity.IvfNProbe), 0.4,
+          indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(
+            embs, 4L * graft.operators.Similarity.IvfNProbe))
       }, 0.4, bar = 0.75)
+      // seeding cost growth BEFORE the big fits: flat Gonzalez is
+      // O(k·pool) with pool ∝ k — quadratic in k — so the ×4 step
+      // 1024→4096 would cost ~16× if the ladder kept the flat walk; the
+      // two-level walk (KMeans.seedIndices past MaxFlatSeedCells) must
+      // hold the measured ratio far under that. Pools are collected per k
+      // exactly as fit() does (8k hash-ordered rows), so the ratio is the
+      // fit's real driver-side seeding cost, not a synthetic one.
+      locally {
+        val t0 = System.nanoTime()
+        try {
+          def pool(k: Int): Array[(Long, Array[Float])] = embs
+            .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(math.max(8 * k, 1024))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          def seedTime(k: Int): Double = {
+            val p = pool(k)
+            val t = System.nanoTime()
+            val s = graft.operators.KMeans.seedIndices(p, k)
+            assert(s.length == k && s.distinct.length == k,
+              s"seedIndices($k) must return k distinct seeds")
+            (System.nanoTime() - t) / 1e9
+          }
+          seedTime(256) // JIT warm-up, discarded
+          val t1024 = seedTime(1024)
+          val t4096 = seedTime(4096)
+          val ratio = t4096 / math.max(t1024, 1e-9)
+          println(f"seeding 1024 -> 4096 cells   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+            f"flat $t1024%.2f s -> two-level $t4096%.2f s, x$ratio%.1f (flat x4-k would be ~x16)")
+          if (ratio > 8) {
+            failed = true
+            println(f"seeding growth x$ratio%.1f is not sub-quadratic — two-level walk regressed")
+          }
+        } catch {
+          case e: Throwable =>
+            failed = true
+            println(s"seeding cost FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(300))
+        }
+      }
+      // the upper IvfCellTiers, forced on this corpus: 256 cells (literal
+      // tier ceiling), 1024 cells — the √N tier whose assignment runs
+      // the broadcast-centroid plan (KMeans.assignTopCellsBroadcast) that
+      // no fixture-scale query engages — and 4096 cells, the top tier,
+      // whose fit also exercises the two-level seeding. nProbe follows
+      // the tier (ivfNProbeFor); same .75 fitted bar as the home tier.
+      for (cells <- Seq(256, 1024, 4096)) {
+        sampleRecall(f"recall: ss4 IVF ${cells}c (fitted)", {
+          val m = graft.operators.KMeans.fit(embs, k = cells, maxIters = 3)
+          graft.operators.Similarity.ivfCellPairs(
+            graft.operators.KMeans.assignTopCells(embs, m.centroids,
+              graft.operators.Similarity.ivfNProbeFor(cells)), 0.4,
+            indexBcast = graft.operators.Similarity.ivfIndexBroadcastable(
+              embs, 4L * graft.operators.Similarity.ivfNProbeFor(cells)))
+        }, 0.4, bar = 0.75)
+      }
+      // the top PairLshTiers geometry (4 tables × 16 bits — what a >2M-row
+      // corpus gets), forced here so the tier has a measured recall number
+      // before a corpus ever lands on it
+      sampleRecall("recall: lshNeardup 4x16 tier",
+        graft.operators.Similarity.lshNeardupGeom(embs, 0.45, 64, Some((4, 16))),
+        0.45, bar = 0.6)
+    } finally {
+      exactTruth.unpersist() // last pair-recall consumer above
     }
-    // the top PairLshTiers geometry (4 tables × 16 bits — what a >2M-row
-    // corpus gets), forced here so the tier has a measured recall number
-    // before a corpus ever lands on it
-    sampleRecall("recall: lshNeardup 4x16 tier",
-      graft.operators.Similarity.lshNeardupGeom(embs, 0.45, 64, Some((4, 16))),
-      0.45, bar = 0.6)
-    exactTruth.unpersist() // last pair-recall consumer above
     // ss9 at 20×, split into the two costs a production deployment
     // actually sees: the ONE-TIME build (fit + encode + persisted
     // cell-partitioned write through the lake client) and the PER-QUERY

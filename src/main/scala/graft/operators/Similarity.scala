@@ -418,9 +418,17 @@ object Similarity {
     * project) in one whole-stage-codegen pass with no per-candidate row
     * copy. Past the gate the shuffled join IS the scalable plan (the
     * index side is the full corpus and can never broadcast at 100 TB);
-    * AQE may still convert back to broadcast from runtime sizes. */
-  private[graft] def ivfIndexBroadcastable(base: DataFrame): Boolean =
-    estRowsOf(base) * 300 <= MaxKnnBroadcastBytes
+    * AQE may still convert back to broadcast from runtime sizes.
+    *
+    * `extraBytesPerRow` widens the estimate for index shapes carrying
+    * more than the slim (id, embedding, nrm, cell) row: the PAIR path's
+    * index keeps the full `cells_b` probe array (up to nProbe ints) for
+    * its reverse-existence dedup check, so near the 128 MB gate the
+    * real broadcast relation would be a small multiple of the slim
+    * estimate — callers pass ~4·nProbe for it (round-14 ADVICE). */
+  private[graft] def ivfIndexBroadcastable(base: DataFrame,
+                                           extraBytesPerRow: Long = 0L): Boolean =
+    estRowsOf(base) * (300L + extraBytesPerRow) <= MaxKnnBroadcastBytes
 
   private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
                                   maxPop: Long = Long.MaxValue,
@@ -494,7 +502,7 @@ object Similarity {
     val assigned = KMeans.assignTopCellsWith(e,
       seededCentroids(cells, 64), nProbe, Seq.fill(cells)(1.0))
     ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe),
-      indexBcast = ivfIndexBroadcastable(e))
+      indexBcast = ivfIndexBroadcastable(e, 4L * nProbe))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -518,7 +526,7 @@ object Similarity {
     val nProbe = ivfNProbeFor(model.centroids.size)
     ivfCellPairs(KMeans.assignTopCells(e, model.centroids, nProbe), 0.4,
       ivfMaxCellPop(e, model.centroids.size, nProbe),
-      indexBcast = ivfIndexBroadcastable(e))
+      indexBcast = ivfIndexBroadcastable(e, 4L * nProbe))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
