@@ -7,11 +7,13 @@ import org.apache.spark.storage.StorageLevel
   * (round 13 — VERDICT r12 #3): the routed ss5 stage is the largest
   * single operator wall left at 100× (938.6 s recorded), and unlike dd3
   * and dd4 it never had a phase table. Splits the operator the way
-  * [[graft.operators.DdPerfProbe]] does — fit / assign+cap / probe join
-  * / join+cosine / top-k aggregate — plus the smoke recall stage's own
-  * verification legs (brute-force truth for a 1/80 query sample and the
-  * hit semi-join), so the 938 s divides into operator cost vs
-  * verification cost.
+  * [[graft.operators.DdPerfProbe]] does — fit / assign+cap / chunk
+  * build / probe join / in-row scoring / merge aggregate (the round-14
+  * CellTopK kernel shape; the retired per-candidate-row phases and
+  * their measured 100× numbers are kept in NOTES round-13) — plus the
+  * smoke recall stage's own verification legs (brute-force truth for a
+  * 1/80 query sample and the hit semi-join), so the wall divides into
+  * operator cost vs verification cost.
   *
   * Phases are measured as INDEPENDENT jobs (the DdPerfProbe convention):
   * within the real united plan the assignment subtree is computed once
@@ -72,27 +74,41 @@ object Ss5PerfProbe {
     }
     val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(col("cells")).as("cell"))
-    val index0 = assigned.select(col("vec_id").as("nbr_id"),
+    // round 14: phases mirror the in-row CellTopK kernel — chunk build /
+    // probe join / in-row scoring / merge agg (the retired per-candidate
+    // shape's join+cosine 117.2 s + agg ≈302 s (128) / ≈17 s (2M) at
+    // 100× near-quiet are the recorded baselines, NOTES round-13)
+    val idx = assigned.select(col("vec_id").as("nbr_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
-      element_at(col("cells"), 1).as("cell"))
+      try_element_at(col("cells"), lit(1)).as("cell"))
+    val pops = idx.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val cellChunks = idx.join(broadcast(pops), Seq("cell"))
+      .withColumn("chunk",
+        pmod(xxhash64(col("nbr_id")),
+          ceil(col("pop").cast("double") / lit(Similarity.IvfChunkRows.toDouble))
+            .cast("bigint")).cast("int"))
+      .groupBy(col("cell"), col("chunk"))
+      .agg(collect_list(struct(col("nbr_id").as("id"),
+        col("emb_b").as("emb"), col("nrm_b").as("nrm"))).as("members"))
+    ProbeHarness.timed("phase chunk-build (index arrays)") {
+      cellChunks.count()
+    }
     // mirror the shipped kernel's size-gated index broadcast
-    val index = if (Similarity.ivfIndexBroadcastable(embs)) broadcast(index0) else index0
+    val index = if (Similarity.ivfIndexBroadcastable(embs)) broadcast(cellChunks) else cellChunks
     val joined = probe.join(index, Seq("cell"))
-      .where(col("vec_id") =!= col("nbr_id"))
     ProbeHarness.timed("phase probe-join (no score)") {
       joined.count()
     }
-    val scored = joined.select(col("vec_id"), col("nbr_id"),
-      round(try_divide(
-        graft.functions.VectorFunctions.vecDot(col("embedding"), col("emb_b")),
-        col("nrm") * col("nrm_b")), 3).as("cos"))
-    ProbeHarness.timed("phase join+cosine") {
-      scored.where(col("cos") > -2.0).count()
+    val scored = joined.select(col("vec_id"),
+      explode(graft.functions.VectorFunctions.cellTopK(col("embedding"),
+        col("nrm"), col("members"), col("vec_id"), 5)).as("t"))
+    ProbeHarness.timed("phase in-row cell topk") {
+      scored.count()
     }
-    ProbeHarness.timed("phase +topk agg (kernel total)") {
+    ProbeHarness.timed("phase +merge agg (kernel total)") {
       scored.groupBy(col("vec_id"))
         .agg(graft.functions.VectorFunctions
-          .topkByScore(col("cos"), col("nbr_id"), 5).as("top"))
+          .topkByScore(col("t.score"), col("t.id"), 5).as("top"))
         .select(col("vec_id"), posexplode(col("top")).as(Seq("rk0", "t")))
         .count()
     }

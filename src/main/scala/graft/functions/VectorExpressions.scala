@@ -94,6 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.vecDotDescriptor)
     ext.injectFunction(VectorFunctions.simhashDescriptor)
     ext.injectFunction(VectorFunctions.topkDescriptor)
+    ext.injectFunction(VectorFunctions.cellTopkDescriptor)
   }
 }
 
@@ -142,11 +143,21 @@ object VectorFunctions {
       TopKByScore(children(0), children(1), children(2)).toAggregateExpression()
     })
 
+  private[functions] val cellTopkDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cell_topk"),
+    new ExpressionInfo(classOf[CellTopK].getName, "cell_topk"),
+    (children: Seq[Expression]) => {
+      requireArity("cell_topk", 5, children)
+      CellTopK(children(0), children(1), children(2), children(3), children(4))
+    })
+
   /** Idempotently register the custom functions in an existing session
     * (covers sessions built without the extensions config). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDotDescriptor, simhashDescriptor, topkDescriptor).foreach {
+    Seq(vecDotDescriptor, simhashDescriptor, topkDescriptor,
+        cellTopkDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
@@ -163,6 +174,14 @@ object VectorFunctions {
 
   /** Codegen dot product of two float-array columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** In-row chunk top-k cosine scorer ([[CellTopK]]): top `k`
+    * (score, id) structs of one query row against one cell-chunk member
+    * array, best-first, ties to the lower id. */
+  def cellTopK(queryEmb: Column, queryNrm: Column, members: Column,
+               selfId: Column, k: Int): Column =
+    call_function("cell_topk", queryEmb, queryNrm, members, selfId,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Cosine similarity via the codegen kernel; norm factors composed from
     * the same kernel so bits match the zip_with formulation. try_divide,

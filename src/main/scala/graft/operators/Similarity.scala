@@ -437,10 +437,20 @@ object Similarity {
     val probe = surv.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("cells").as("cells_a"),
       explode(col("cells")).as("cell"))
+    // try_element_at, NOT element_at: `cell` is the downstream equi-join
+    // key, so InferFiltersFromConstraints derives isnotnull(cell) and
+    // pushes it into the capCells cross join's condition AHEAD of the
+    // size(cells) > 0 guard — with a cap-emptied probe set, plain
+    // element_at then throws INVALID_ARRAY_INDEX under ANSI before the
+    // guard can drop the row (latent until round 14's CellTopKSpec
+    // engaged the cap; the kernels never hit it because the cap is
+    // dormant at every measured scale). try_element_at returns NULL on
+    // the empty array — identical on every surviving row — and the
+    // inferred isnotnull then drops exactly the rows the size guard does.
     val index0 = surv.select(
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"), col("cells").as("cells_b"),
-      element_at(col("cells"), 1).as("cell"))
+      try_element_at(col("cells"), lit(1)).as("cell"))
     val index = if (indexBcast) broadcast(index0) else index0
     probe.join(index, Seq("cell"))
       .where(col("vec_a") =!= col("vec_b"))
@@ -900,23 +910,55 @@ object Similarity {
     knnJoinIvfKernel(e0, k, cs, cn, nProbe, ivfMaxCellPop(e00, cs.size, nProbe))
   }
 
+  /** Member-array chunk size for [[knnJoinIvfKernel]]'s per-cell index:
+    * cells group into hash-partitioned chunks of ~this many members, so
+    * one joined row's member array is bounded at ~chunk·272 B ≈ 1.1 MB
+    * no matter how flooded a cell is ([[ivfMaxCellPop]] permits up to
+    * 4·nProbe·N/cells members — N/2 at the 256c/p32 tier, which grouped
+    * UNchunked would be a row that scales with the corpus). 4096 keeps
+    * per-row work heavy enough (~chunk·dim FMAs) to amortize the
+    * expression dispatch while staying far under any sane row/buffer
+    * limit. Chunk assignment is `xxhash64(nbr_id) mod ceil(pop/chunk)` —
+    * deterministic, and balanced whp by the usual balls-in-bins bound. */
+  private[graft] val IvfChunkRows = 4096
+
   /** The IVF kNN join proper, shared by the seeded route and the
     * fitted-centroid variant the spec measures: each query explodes its
-    * nProbe probe cells, the index side anchors every vector at its
+    * nProbe probe cells; the index side anchors every vector at its
     * primary cell, so a (query, neighbor) candidate exists at most ONCE
     * (the neighbor has one primary — no dedup at all, simpler than the
-    * pair case). The per-query top-k is [[graft.functions.TopKByScore]],
-    * NOT a row_number window: the aggregate's k-bounded buffer lets the
-    * map-side partial pass trim every partition's candidates to k per
-    * query BEFORE the exchange, so the shuffle is ≤ N×k tiny rows —
-    * invariant in the nProbe·pop candidate volume that IS this
-    * operator's cost at corpus scale (a window would shuffle and sort
-    * every candidate row). Same (cos desc, nbr_id asc) order either
-    * way. UNSORTED by design (the ivfCellPairs convention): a global
-    * orderBy here would full-sort N×k output rows for every pipeline
-    * caller (semantic dedup, hard-negative mining) that doesn't need
-    * presentation order — the deterministic sort is a QUERY concern,
-    * applied at [[ss5KnnJoin]]. */
+    * pair case).
+    *
+    * Round 14 (VERDICT r13 #1): the index side now groups into per-
+    * (cell, chunk) member ARRAYS and the scoring happens INSIDE the
+    * joined row via [[graft.functions.CellTopK]] — one fused
+    * dot+round+insert loop per chunk, emitting at most k (score, id)
+    * structs. The previous shape materialized every candidate as a row
+    * (5.0G at the 100× probe) and fed them all into the TopKByScore
+    * ObjectHashAggregate, whose partial pass SORTS the full candidate
+    * stream once per-task group counts exceed the 128-key fallback
+    * threshold — a measured ≈302 s sort leg vs ≈17 s in hash mode, with
+    * the engine-wide threshold raise rejected as an OOM tail for
+    * unbounded-buffer aggregates (NOTES round-13). In-row scoring
+    * removes the candidate rows entirely, on BOTH sides of the
+    * broadcast gate: under it the whole pipeline is one codegen pass
+    * over N·nProbe probe rows; past it (at 100 TB the index IS the
+    * corpus) the shuffled cell join now moves ≤ N/chunk member-array
+    * rows and N·nProbe probe rows instead of materializing 5G joined
+    * rows through the SMJ. The only aggregation left is the per-query
+    * merge of k-bounded chunk lists with [[graft.functions.TopKByScore]]
+    * — ≤ N·nProbe·chunksPerCell·k tiny rows, where the map-side partial
+    * (even sort-based) is negligible. Per-chunk top-k then multiset
+    * merge take-k = global top-k: (score desc, id asc) totally orders
+    * candidates with distinct ids, and a global top-k member has < k
+    * candidates above it, in particular within its own chunk
+    * (CellTopKSpec pins bit-identity against the retired formulation).
+    *
+    * Output is UNSORTED by design (the ivfCellPairs convention): a
+    * global orderBy here would full-sort N×k output rows for every
+    * pipeline caller (semantic dedup, hard-negative mining) that
+    * doesn't need presentation order — the deterministic sort is a
+    * QUERY concern, applied at [[ss5KnnJoin]]. */
   private[graft] def knnJoinIvfKernel(e0: DataFrame, k: Int,
       centroids: Seq[Array[Float]], cnorms: Seq[Double],
       nProbe: Int, maxPop: Long): DataFrame = {
@@ -924,21 +966,36 @@ object Similarity {
       KMeans.assignTopCellsWith(e0, centroids, nProbe, cnorms), maxPop)
     val probe = assigned.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(col("cells")).as("cell"))
-    val index0 = assigned.select(col("vec_id").as("nbr_id"),
+    // try_element_at for the same inferred-isnotnull reason as
+    // [[ivfCellPairs]]' index side (see the comment there)
+    val idx = assigned.select(col("vec_id").as("nbr_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
-      element_at(col("cells"), 1).as("cell"))
+      try_element_at(col("cells"), lit(1)).as("cell"))
+    // per-cell populations: a tiny map-side-combined aggregate (≤ cells
+    // rows — a model parameter), broadcast unconditionally
+    val pops = idx.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val chunked = idx.join(broadcast(pops), Seq("cell"))
+      .withColumn("chunk",
+        pmod(xxhash64(col("nbr_id")),
+          ceil(col("pop").cast("double") / lit(IvfChunkRows.toDouble))
+            .cast("bigint")).cast("int"))
+    // member-array order is partition-dependent (collect_list), but the
+    // result is order-invariant: CellTopK's (score desc, id asc) buffer
+    // totally orders members with distinct ids (CellTopKSpec pins it)
+    val cellChunks = chunked.groupBy(col("cell"), col("chunk"))
+      .agg(collect_list(struct(col("nbr_id").as("id"),
+        col("emb_b").as("emb"), col("nrm_b").as("nrm"))).as("members"))
     // size-gated explicit broadcast (see [[ivfIndexBroadcastable]] —
-    // the 100× Ss5PerfProbe measured the un-broadcast SMJ's per-candidate
-    // row copies at ~80 % of this operator's wall); gated on the base
-    // frame e0, whose scan-derived byte statistics are trustworthy
-    val index = if (ivfIndexBroadcastable(e0)) broadcast(index0) else index0
+    // same bytes as the slim index, grouped); gated on the base frame
+    // e0, whose scan-derived byte statistics are trustworthy
+    val index =
+      if (ivfIndexBroadcastable(e0)) broadcast(cellChunks) else cellChunks
     probe.join(index, Seq("cell"))
-      .where(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-        round(try_divide(VectorFunctions.vecDot(col("embedding"), col("emb_b")),
-          col("nrm") * col("nrm_b")), 3).as("cos"))
+      .select(col("vec_id"),
+        explode(VectorFunctions.cellTopK(col("embedding"), col("nrm"),
+          col("members"), col("vec_id"), k)).as("t"))
       .groupBy(col("vec_id"))
-      .agg(VectorFunctions.topkByScore(col("cos"), col("nbr_id"), k).as("top"))
+      .agg(VectorFunctions.topkByScore(col("t.score"), col("t.id"), k).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("rk0", "t")))
       .select(col("vec_id"), col("t.id").as("nbr_id"),
         col("t.score").as("cos"), (col("rk0") + 1).cast("int").as("rk"))
