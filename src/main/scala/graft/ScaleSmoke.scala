@@ -486,6 +486,32 @@ object ScaleSmoke {
       barred("skew: dd5 mega-sig + chunks", 240) {
         graft.operators.Dedup.dd5From(adv).count()
       }
+      // round 14: the IVF kNN kernel's adversarial shape — a 90 % flood
+      // cluster whose shared primary cell holds ~27k members (7 chunks
+      // at the 4096 chunk size), driving ~729M candidates through the
+      // in-row CellTopK path's multi-chunk merge. Completion under the
+      // bar proves the chunked member arrays keep every row and buffer
+      // bounded on a flooded cell (an OOM regression kills the stage
+      // outright); the row assert proves the flood queries still each
+      // get their k — the no-wrong-answers contract under skew.
+      barred("skew: ss5 flood cell (in-row topk)", 240) {
+        val nV = 30000L
+        val dim = 64
+        val flood = spark.range(nV).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            when(col("id") % 10 === 0,
+              pmod(xxhash64(col("id"), j), lit(2000L)).cast("double") / 1000.0 - 1.0)
+            .otherwise(lit(1.0) +
+              pmod(xxhash64(col("id"), j), lit(100L)).cast("double") / 1000.0)
+            .cast("float")).as("embedding"))
+        val cs = graft.operators.Similarity.seededCentroidsForTest(16, dim)
+        val out = graft.operators.Similarity.knnJoinIvfKernel(
+          flood, 5, cs, Seq.fill(cs.size)(1.0), 4, maxPop = Long.MaxValue)
+        val rows = out.count()
+        assert(rows >= (0.9 * nV * 5).toLong,
+          s"flood-cell kNN returned $rows rows — every cluster query must get k=5")
+        rows
+      }
     }
     // approximation QUALITY at the scaled tiers, not just bounded work:
     // ground truth restricted to pairs within a ~1/7 sample (exact
