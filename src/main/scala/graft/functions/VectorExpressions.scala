@@ -183,6 +183,28 @@ object VectorFunctions {
     call_function("cell_topk", queryEmb, queryNrm, members, selfId,
       org.apache.spark.sql.functions.lit(k))
 
+  /** In-row top-`nProbe` IVF cell assignment ([[TopCells]]): best cells
+    * by `dot/(nrm*cnorm)`, best-first, ties to the lower cell id. The
+    * centroid matrix travels as a plan reference object, so this is not
+    * registry-routed (no literal encoding of model state). */
+  def topCells(queryEmb: Column, queryNrm: Column,
+               centroids: Seq[Array[Float]], cnorms: Seq[Double],
+               nProbe: Int): Column = {
+    require(centroids.nonEmpty, "topCells: need at least one centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "topCells: centroids disagree on dimensionality")
+    val flat = new Array[Float](centroids.size * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      TopCells(
+        org.apache.spark.sql.GraftExpressionBridge.expression(queryEmb),
+        org.apache.spark.sql.GraftExpressionBridge.expression(queryNrm),
+        flat, dim, cnorms.toArray, nProbe))
+  }
+
   /** Cosine similarity via the codegen kernel; norm factors composed from
     * the same kernel so bits match the zip_with formulation. try_divide,
     * not `/`: under ANSI mode (Spark 4 default) a zero-norm vector —

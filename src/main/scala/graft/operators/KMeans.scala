@@ -138,12 +138,14 @@ object KMeans {
     * path drops them structurally: no valid score rows survive the
     * filter, so the vector never reaches the groupBy).
     *
-    * Plan shape mirrors the argmax split: k ≤ [[MaxWhenChainCells]]
-    * scores all cells per row and top-n's them INSIDE the row (literal
-    * array sort — pure per-row codegen, zero shuffle, embedding carried
-    * on the same row); larger k explodes slim (vec_id, cell, score)
-    * rows, aggregates a per-vector sorted top-n (one tiny-key shuffle),
-    * and joins the embeddings back. */
+    * Plan shape (round 14): EVERY path is in-row, zero-shuffle —
+    * k ≤ [[MaxWhenChainCells]] keeps the literal scored-array sort
+    * (fixture-scale plans untouched); every larger k runs the codegen
+    * [[graft.functions.TopCells]] expression with the centroid matrix
+    * as a plan reference object. The former exploded-agg and
+    * broadcast-table middle/large tiers remain only as spec parity
+    * seams — recomputing them per consumer of an unpersisted
+    * assignment was the measured 1350 s cold-ss5 wall at 100×. */
   def assignTopCells(e: DataFrame, centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
     val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
     assignTopCellsWith(e, centroids, nProbe, cnorms)
@@ -158,12 +160,22 @@ object KMeans {
     require(centroids.forall(c => c.exists(_ != 0f)),
       "assignTopCells: centroids must be non-zero")
     val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
-    if (centroids.size > MaxLiteralCells) {
-      assignTopCellsBroadcast(e, centroids, nrm, cnorms, nProbe)
-    } else if (centroids.size > MaxWhenChainCells) {
-      val top = assignTopCellsExploded(e, centroids, nrm, cnorms, nProbe)
-      top.join(e.select(col("vec_id"), col("embedding"), nrm.as("nrm")), "vec_id")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cells"))
+    if (centroids.size > MaxWhenChainCells) {
+      // round 14: every tier past the when-chain cap scores IN THE ROW
+      // via the codegen [[graft.functions.TopCells]] expression — the
+      // centroid matrix rides as a plan reference object, so there is no
+      // fan-out shuffle, no collect_list sort-fallback, no interpreted
+      // sort_array, and no embedding re-join to re-execute when a
+      // multi-consumer plan recomputes the assignment unpersisted
+      // (knnJoinIvfKernel reads it from 4 subtrees: the measured cold
+      // knnJoinFitted wall at 100x was 1350.1 s on the exploded path vs
+      // a ~230 s phase sum — NOTES round 14). The retired exploded and
+      // broadcast-table paths stay below as spec parity seams
+      // (TopCellsSpec pins bit-identity against both).
+      e.select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+        .withColumn("cells", VectorFunctions.topCells(
+          col("embedding"), col("nrm"), centroids, cnorms, nProbe))
+        .where(size(col("cells")) > 0)
     } else {
       // literal scored array sorted per row: struct(score, -cell) sorted
       // descending = best score first, ties to the lower cell id; NULL
