@@ -184,12 +184,10 @@ object CellTopKOps {
             if (ok) {
               val div = qNrm * row.getDouble(2)
               if (div != 0.0) { // zero divisor -> NULL score (try_divide parity)
-                val raw = s / div
-                // Spark's Round passes non-finite doubles through unchanged
-                val score =
-                  if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
-                  else java.math.BigDecimal.valueOf(raw)
-                    .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+                // FastRound.round3 = Spark Round bits (non-finite passes
+                // through) without the per-candidate BigDecimal that
+                // measured as ~all of this kernel's CPU (round 14)
+                val score = FastRound.round3(s / div)
                 if (!java.lang.Double.isNaN(score)) buf.insert(score, id)
               }
             }

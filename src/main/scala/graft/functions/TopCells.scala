@@ -58,9 +58,19 @@ import org.apache.spark.sql.types._
   *    primitive comparisons match Spark's SQLOrderingUtil double
   *    ordering on every non-NaN input (NaN never inserts), including
   *    -0.0 == 0.0 ties falling to the cell id.
+  *
+  * `nanPoisons` selects between the two NaN contracts the retired
+  * plan paths implemented: the multi-probe paths FILTER a NaN score
+  * per-cell and keep the valid rest (`nanPoisons = false`), while the
+  * single-cell argmax paths mark the whole ROW unassignable when any
+  * score is NaN — NaN wins `max(struct)`/`greatest` and then fails the
+  * equality, collapsing to cell -1 (`nanPoisons = true` returns the
+  * EMPTY array so the argmax wrapper's fallback yields -1; reachable
+  * only with non-finite embedding/centroid values, pinned anyway).
   */
 case class TopCells(queryEmb: Expression, queryNrm: Expression,
-    flatCentroids: Array[Float], dim: Int, cnorms: Array[Double], k: Int)
+    flatCentroids: Array[Float], dim: Int, cnorms: Array[Double], k: Int,
+    nanPoisons: Boolean = false)
   extends Expression {
 
   require(dim > 0 && flatCentroids.length == cnorms.length * dim,
@@ -90,7 +100,7 @@ case class TopCells(queryEmb: Expression, queryNrm: Expression,
     val n = queryNrm.eval(input)
     if (q == null || n == null) null
     else TopCellsOps.compute(q.asInstanceOf[ArrayData],
-      n.asInstanceOf[Double], flatCentroids, dim, cnorms, k)
+      n.asInstanceOf[Double], flatCentroids, dim, cnorms, k, nanPoisons)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -113,7 +123,7 @@ case class TopCells(queryEmb: Expression, queryNrm: Expression,
         $resultType ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.TopCellsOps.compute(
-            ${cQ.value}, ${cN.value}, $cRef, $dim, $nRef, $k);
+            ${cQ.value}, ${cN.value}, $cRef, $dim, $nRef, $k, $nanPoisons);
         }
       """)
   }
@@ -129,7 +139,7 @@ object TopCellsOps {
   private val Empty = new GenericArrayData(Array.empty[Any])
 
   def compute(qEmb: ArrayData, qNrm: Double, flat: Array[Float], dim: Int,
-              cnorms: Array[Double], k: Int): ArrayData = {
+              cnorms: Array[Double], k: Int, nanPoisons: Boolean): ArrayData = {
     // dimension mismatch or a NULL element nulls every dot
     // (FloatVectorDot parity) -> every score skips -> empty probe set
     if (qEmb.numElements() != dim) return Empty
@@ -155,7 +165,9 @@ object TopCellsOps {
       val div = qNrm * cnorms(c)
       if (div != 0.0) { // zero divisor -> NULL score (try_divide parity)
         val score = s / div
-        if (!java.lang.Double.isNaN(score)) buf.insert(score, c.toLong)
+        if (java.lang.Double.isNaN(score)) {
+          if (nanPoisons) return Empty // argmax contract: the row degrades
+        } else buf.insert(score, c.toLong)
       }
       c += 1
       base += dim

@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.simhashDescriptor)
     ext.injectFunction(VectorFunctions.topkDescriptor)
     ext.injectFunction(VectorFunctions.cellTopkDescriptor)
+    ext.injectFunction(VectorFunctions.round3Descriptor)
   }
 }
 
@@ -143,6 +144,15 @@ object VectorFunctions {
       TopKByScore(children(0), children(1), children(2)).toAggregateExpression()
     })
 
+  private[functions] val round3Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("round3"),
+    new ExpressionInfo(classOf[Round3].getName, "round3"),
+    (children: Seq[Expression]) => {
+      requireArity("round3", 1, children)
+      Round3(children.head)
+    })
+
   private[functions] val cellTopkDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cell_topk"),
@@ -157,7 +167,7 @@ object VectorFunctions {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(vecDotDescriptor, simhashDescriptor, topkDescriptor,
-        cellTopkDescriptor).foreach {
+        cellTopkDescriptor, round3Descriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
@@ -175,6 +185,12 @@ object VectorFunctions {
   /** Codegen dot product of two float-array columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** `round(x, 3)` bits without the per-call BigDecimal ([[Round3]] /
+    * [[FastRound]]) — for the per-CANDIDATE score rounding in the
+    * similarity kernels, where Spark Round's stringify-and-reparse was
+    * the measured dominant CPU (round 14). */
+  def round3(x: Column): Column = call_function("round3", x)
+
   /** In-row chunk top-k cosine scorer ([[CellTopK]]): top `k`
     * (score, id) structs of one query row against one cell-chunk member
     * array, best-first, ties to the lower id. */
@@ -189,7 +205,7 @@ object VectorFunctions {
     * registry-routed (no literal encoding of model state). */
   def topCells(queryEmb: Column, queryNrm: Column,
                centroids: Seq[Array[Float]], cnorms: Seq[Double],
-               nProbe: Int): Column = {
+               nProbe: Int, nanPoisons: Boolean = false): Column = {
     require(centroids.nonEmpty, "topCells: need at least one centroid")
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim),
@@ -202,7 +218,7 @@ object VectorFunctions {
       TopCells(
         org.apache.spark.sql.GraftExpressionBridge.expression(queryEmb),
         org.apache.spark.sql.GraftExpressionBridge.expression(queryNrm),
-        flat, dim, cnorms.toArray, nProbe))
+        flat, dim, cnorms.toArray, nProbe, nanPoisons))
   }
 
   /** Cosine similarity via the codegen kernel; norm factors composed from

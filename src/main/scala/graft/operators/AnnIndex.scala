@@ -311,8 +311,8 @@ object AnnIndex {
       val exactByQ = byQid(full.crossJoin(broadcast(qdf))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(graft.functions.VectorFunctions
-            .vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+          graft.functions.VectorFunctions.round3(graft.functions.VectorFunctions
+            .vecCosine(col("embedding"), col("qemb"))).as("cos"))
         .groupBy(col("qid"))
         .agg(graft.functions.VectorFunctions
           .topkByScore(col("cos"), col("vec_id"), topK).as("top"))

@@ -212,7 +212,7 @@ object IvfPq {
       .join(e, "vec_id")
       .join(broadcast(qdf.select(col("qid"), col("qemb"))), "qid")
       .select(col("qid"), col("vec_id"),
-        round(VectorFunctions.vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+        VectorFunctions.round3(VectorFunctions.vecCosine(col("embedding"), col("qemb"))).as("cos"))
       .groupBy(col("qid"))
       .agg(VectorFunctions.topkByScore(col("cos"), col("vec_id"), topK).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
@@ -259,7 +259,7 @@ object IvfPq {
     val qLit = typedLit(query.toSeq)
     e.join(cand, "vec_id")
       .select(col("vec_id"),
-        round(VectorFunctions.vecCosine(col("embedding"), qLit), 3).as("cos"))
+        VectorFunctions.round3(VectorFunctions.vecCosine(col("embedding"), qLit)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(topK)
   }

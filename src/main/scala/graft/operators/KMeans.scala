@@ -107,8 +107,26 @@ object KMeans {
         when(isnan(c0) || c0.isNull, lit(-1)).otherwise(lit(0)).as("cell"))
     }
     val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    if (centroids.size > MaxWhenChainCells)
-      return assignCellsExploded(e, centroids, nrm, cnorms)
+    if (centroids.size > MaxWhenChainCells) {
+      // round 14: in-row argmax via TopCells k=1 (nanPoisons replicates
+      // the max(struct)/greatest contract: any NaN score degrades the
+      // whole row to -1). Replaces the cells x N fan-out + max-agg
+      // shuffle PER LLOYD'S ITERATION — at corpus scale that exchange
+      // moved corpus x cells slim rows five times per fit, and its
+      // per-iteration literal-explode codegen (cells inlined vec_dots)
+      // was the measured 254 s cold-fit wall at the 100x probe (NOTES
+      // round 14; warm 18 s — the giant generated methods never JIT).
+      // try_element_at + coalesce, not element_at: the ivfCellPairs
+      // inferred-isnotnull lesson — and an empty probe set must map to
+      // cell -1, not throw under ANSI. assignCellsExploded stays as the
+      // spec parity seam.
+      return e.select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+        .select(col("vec_id"), VectorFunctions.topCells(
+          col("embedding"), col("nrm"), centroids, cnorms, 1,
+          nanPoisons = true).as("cells"))
+        .select(col("vec_id"),
+          coalesce(try_element_at(col("cells"), lit(1)), lit(-1)).as("cell"))
+    }
     val scores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
       try_divide(VectorFunctions.vecDot(col("embedding"), typedLit(c.toSeq)),
         nrm * cnorms(i)).as(s"c_$i")

@@ -303,7 +303,7 @@ object ProductQuantizer {
       .join(e, "vec_id")
       .join(broadcast(withLut.select(col("qid"), col("qemb"))), "qid")
       .select(col("qid"), col("vec_id"),
-        round(VectorFunctions.vecCosine(col("embedding"), col("qemb")), 3).as("cos"))
+        VectorFunctions.round3(VectorFunctions.vecCosine(col("embedding"), col("qemb"))).as("cos"))
       .groupBy(col("qid"))
       .agg(VectorFunctions.topkByScore(col("cos"), col("vec_id"), topK).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
@@ -326,7 +326,7 @@ object ProductQuantizer {
       .limit(rerank)
     e.join(cand, "vec_id")
       .select(col("vec_id"),
-        round(VectorFunctions.vecCosine(col("embedding"), qLit), 3).as("cos"))
+        VectorFunctions.round3(VectorFunctions.vecCosine(col("embedding"), qLit)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(topK)
   }

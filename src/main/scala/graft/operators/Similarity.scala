@@ -59,7 +59,7 @@ object Similarity {
     e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(VectorFunctions.vecCosine(col("embedding"), col("q_emb")), 3).as("cos"))
+        VectorFunctions.round3(VectorFunctions.vecCosine(col("embedding"), col("q_emb"))).as("cos"))
       // degenerate rows (NULL/wrong-dim embedding, zero norm) score NULL
       // and are OUT of the ranking — not rows 11+ that leak in when the
       // valid corpus is smaller than k
@@ -135,9 +135,9 @@ object Similarity {
     // id-ordered. Output ids normalized to (min, max).
     a.join(blockPairs, "ba").join(b, Seq("bb"))
       .where(col("ba") < col("bb") || col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(
+      .withColumn("cos", VectorFunctions.round3(
         try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
-          col("nrm_a") * col("nrm_b")), 3))
+          col("nrm_a") * col("nrm_b"))))
       .where(col("cos") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
@@ -251,8 +251,8 @@ object Similarity {
       .where(col("a.vec_id") < col("b.vec_id"))
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
-          col("a.nrm") * col("b.nrm")), 3).as("cos"))
+        VectorFunctions.round3(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -458,9 +458,9 @@ object Similarity {
       // a<b one when the reverse row also exists, else keep regardless
       .where(col("vec_a") < col("vec_b") ||
         !array_contains(col("cells_b"), element_at(col("cells_a"), 1)))
-      .withColumn("cos", round(
+      .withColumn("cos", VectorFunctions.round3(
         try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
-          col("nrm_a") * col("nrm_b")), 3))
+          col("nrm_a") * col("nrm_b"))))
       .where(col("cos") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
@@ -1100,8 +1100,8 @@ object Similarity {
       .where(col("a.vec_id") =!= col("b.vec_id"))
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        round(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
-          col("a.nrm") * col("b.nrm")), 3).as("cos"))
+        VectorFunctions.round3(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm") * col("b.nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))
@@ -1140,8 +1140,8 @@ object Similarity {
     a.join(blockPairs, "ba").join(b, Seq("bb"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
-        round(try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
-          col("nrm_a") * col("nrm_b")), 3).as("cos"))
+        VectorFunctions.round3(try_divide(VectorFunctions.vecDot(col("emb_a"), col("emb_b")),
+          col("nrm_a") * col("nrm_b"))).as("cos"))
       // NULL cos (degenerate query or neighbor) never ranks: without the
       // filter a degenerate QUERY would emit k all-NULL rows (desc puts
       // NULLS LAST, but a query with ONLY null scores still numbers them)

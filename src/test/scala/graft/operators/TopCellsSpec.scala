@@ -100,6 +100,34 @@ class TopCellsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols == Seq("vec_id", "embedding", "nrm", "cells"))
   }
 
+  test("argmax via TopCells k=1 matches the exploded seam, NaN poison included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cs = Seq.fill(24)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val cnorms = cs.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    // adversarial geometry: an Infinity centroid makes cnorm infinite,
+    // so its score is Inf/Inf = NaN against every finite vector while
+    // the other cells stay finite — the MIXED case where the argmax
+    // contract (NaN wins max(struct) then fails the equality) degrades
+    // the whole row to -1 but the multi-probe contract would keep the
+    // valid cells. An Infinity EMBEDDING is the all-NaN case. Both
+    // seams must agree with the TopCells route per contract.
+    val infC = Array.fill(8)(Float.PositiveInfinity)
+    val csAdv = cs.take(22) :+ infC :+ cs(22)
+    val cnAdv = csAdv.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val vecs = Seq.tabulate(80)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      Seq((900L, Array.fill(8)(Float.PositiveInfinity)), (901L, Array.fill(8)(0f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val nrm = sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    for ((ctab, cn) <- Seq((cs, cnorms), (csAdv, cnAdv))) {
+      val now = KMeans.assignCells(e, ctab).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val seam = KMeans.assignCellsExploded(e, ctab, nrm, cn)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(now == seam, "TopCells argmax diverges from the exploded seam")
+    }
+  }
+
   test("degenerate rows drop out of the TopCells path (absent, not empty)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
