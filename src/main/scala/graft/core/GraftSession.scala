@@ -26,8 +26,8 @@ object GraftSession {
   def builder(appName: String = "graft",
               master: String = defaultMaster,
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
-      : SparkSession.Builder =
-    SparkSession.builder()
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -48,18 +48,20 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
-      // Local-mode resilience (round 14): the 100x smoke died when a
-      // ~150 s driver stall (full-GC of the 96 GB probe heap under
-      // 35 MB streaming task binaries, on a VM that also logs hrtimer
-      // hiccups) tripped HeartbeatReceiver's 120 s default and evicted
-      // the LOCAL executor — which in a single JVM is the driver
-      // itself, so "eviction" is a guaranteed context kill with zero
-      // recovery value. Only applied under a local master: on a real
-      // cluster the default stays, where eviction actually frees a
-      // wedged remote executor.
-      .config("spark.network.timeout",
-        if (master.startsWith("local")) "900s" else "120s")
       .config("spark.ui.enabled", "false")
+    // Local-mode resilience (round 14): the 100x smoke died when a
+    // ~150 s driver stall (full-GC of the 96 GB probe heap under
+    // 35 MB streaming task binaries, on a VM that also logs hrtimer
+    // hiccups) tripped HeartbeatReceiver's 120 s default and evicted
+    // the LOCAL executor — which in a single JVM is the driver
+    // itself, so "eviction" is a guaranteed context kill with zero
+    // recovery value. Only set under a local master: Builder .config
+    // OVERRIDES spark-submit --conf, so on a cluster the key is left
+    // entirely untouched for the operator to tune (and eviction there
+    // actually frees a wedged remote executor).
+    if (master.startsWith("local")) b.config("spark.network.timeout", "900s")
+    else b
+  }
 
   def create(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

@@ -131,6 +131,34 @@ case class TopCells(queryEmb: Expression, queryNrm: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(queryEmb = newChildren(0), queryNrm = newChildren(1))
+
+  // Case-class equality would compare the Array model fields by
+  // REFERENCE, so two expressions built from separate topCells() calls
+  // over the same fitted model would never semanticEquals — defeating
+  // subexpression elimination and exchange reuse (same-instance reuse,
+  // the knnJoinIvfKernel case, worked regardless). Compare content: the
+  // lazy matrix hash makes the overwhelmingly-common mismatch case O(1),
+  // and the full Arrays.equals runs only on a hash collision.
+  @transient private lazy val modelHash: Int =
+    31 * java.util.Arrays.hashCode(flatCentroids) +
+      java.util.Arrays.hashCode(cnorms)
+
+  override def hashCode(): Int = {
+    var h = modelHash
+    h = 31 * h + queryEmb.hashCode(); h = 31 * h + queryNrm.hashCode()
+    h = 31 * h + dim; h = 31 * h + k
+    31 * h + (if (nanPoisons) 1 else 0)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case t: TopCells =>
+      (this eq t) || (dim == t.dim && k == t.k &&
+        nanPoisons == t.nanPoisons && modelHash == t.modelHash &&
+        queryEmb == t.queryEmb && queryNrm == t.queryNrm &&
+        java.util.Arrays.equals(flatCentroids, t.flatCentroids) &&
+        java.util.Arrays.equals(cnorms, t.cnorms))
+    case _ => false
+  }
 }
 
 /** The [[TopCells]] hot loop, standalone so scalac emits a static

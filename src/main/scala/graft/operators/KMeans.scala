@@ -37,26 +37,30 @@ object KMeans {
     * assignments. */
   val MaxWhenChainCells = 16
 
-  /** Above this cell count the exploded LITERAL centroid table stops
-    * being free: a typedLit of cells×dim floats is serialized into every
-    * task binary (the "broadcasting large task binary" warning, repeated
-    * for every stage that scores), so past it the (cell, centroid, norm)
-    * table becomes a REAL broadcast DataFrame cross-joined against the
-    * vectors — one torrent-broadcast per executor, task/plan size
-    * independent of k. Scoring arithmetic and the downstream argmax /
-    * top-n aggregations are SHARED with the literal path, so assignments
-    * are bit-identical (proven in KMeansSpec). This is the 100 TB
-    * assignment shape for √N-scale cell counts (1024+ cells at 1M+
-    * vectors — [[graft.operators.Similarity.IvfCellTiers]]). */
+  /** SPEC-ONLY SEAM since round 14: production assignment at every tier
+    * above the small when-chain cap is in-row via
+    * [[graft.functions.TopCells]] (centroid matrix as a plan reference
+    * object — no fan-out, no shuffle, no join-back; see
+    * [[assignTopCellsWith]]); neither this constant nor the plan paths
+    * it used to pick between gate any production code. It survives as
+    * the boundary at which the retained bit-parity seams switch form:
+    * below it the exploded LITERAL centroid table (a typedLit of
+    * cells×dim floats pasted into every task binary), above it the
+    * broadcast-DataFrame cross join. TopCellsSpec/KMeansSpec force each
+    * seam to prove bit-identity against the in-row kernel — do not tune
+    * tiers off this value. */
   val MaxLiteralCells = 256
 
-  /** Slim (vec_id, cell, score) scoring rows of every vector against
-    * every centroid — the shared producer behind both large-k assignment
-    * paths. `broadcastPath = None` picks by [[MaxLiteralCells]]; specs
-    * force each variant to prove bit-identity. The broadcast variant's
-    * cross join is deliberate: every row scores every centroid, and a
-    * broadcast nested-loop with a cells-row build side IS that plan —
-    * the stream side never shuffles. */
+  /** SPEC-ONLY SEAM since round 14 (see [[MaxLiteralCells]]): slim
+    * (vec_id, cell, score) scoring rows of every vector against every
+    * centroid — the shared producer behind the two RETIRED plan-level
+    * assignment paths, kept so specs can pin the in-row
+    * [[graft.functions.TopCells]] kernel bit-identical to both.
+    * `broadcastPath = None` picks by [[MaxLiteralCells]]; specs force
+    * each variant explicitly. The broadcast variant's cross join is
+    * deliberate: every row scores every centroid, and a broadcast
+    * nested-loop with a cells-row build side IS that plan — the stream
+    * side never shuffles. */
   private[operators] def scoredCellRows(
       e: DataFrame, centroids: Seq[Array[Float]], nrm: Column,
       cnorms: Seq[Double], broadcastPath: Option[Boolean] = None): DataFrame = {

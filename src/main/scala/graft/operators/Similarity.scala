@@ -271,12 +271,15 @@ object Similarity {
   /** IVF coarse-cell count by estimated corpus rows: per-cell population
     * ≈ N/cells is what the within-cell self-join squares, so cells must
     * grow with N (production rule of thumb: cells ≈ √N; recall across
-    * cell boundaries comes from [[ivfNProbeFor]]-way multi-probe). The
-    * ≥1024-cell tiers run assignment through
-    * [[KMeans.assignTopCellsBroadcast]] — a genuine broadcast of the
-    * centroid table with in-row top-n, so neither task-binary size nor
-    * shuffle volume grows with the cell count; the tier ladder can keep
-    * extending by the same ×4-cells rule as N grows.
+    * cell boundaries comes from [[ivfNProbeFor]]-way multi-probe). Every
+    * tier above the small when-chain cap runs assignment in-row through
+    * [[graft.functions.TopCells]] (the centroid matrix rides as a plan
+    * reference object — no fan-out, no shuffle, no join-back), so
+    * neither task-binary size nor shuffle volume grows with the cell
+    * count; the tier ladder can keep extending by the same ×4-cells rule
+    * as N grows. (The retired broadcast-table form,
+    * [[KMeans.assignTopCellsBroadcast]], survives only as a spec-only
+    * bit-parity seam.)
     *
     * Boundaries follow the √N rule: each tier's cells ≈ √N across its
     * row range (×16-rows per ×4-cells step), so per-cell population and

@@ -73,6 +73,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }))
   }
 
+  test("round-14 kernels are reachable from SQL (round3, cell_topk)") {
+    // round3 must agree bit-for-bit with Spark's round(x, 3) — the
+    // property suite pins crafted boundaries; this pins the SQL name
+    val diff = spark.sql(
+      """SELECT count(*) AS n FROM (
+           SELECT round3(l_extendedprice * l_discount) AS a,
+                  round(l_extendedprice * l_discount, 3) AS b
+           FROM lineitem) WHERE a IS DISTINCT FROM b""").collect()(0).getLong(0)
+    assert(diff == 0L)
+    // in-row cell scoring: top-5 of a 50-member cell, self excluded,
+    // scores descending
+    val top = spark.sql(
+      """WITH m AS (
+           SELECT collect_list(struct(vec_id AS id, embedding AS emb,
+                    sqrt(vec_dot(embedding, embedding)) AS nrm)) AS members
+           FROM embeddings WHERE vec_id < 50)
+         SELECT cell_topk(q.embedding,
+                  sqrt(vec_dot(q.embedding, q.embedding)),
+                  m.members, q.vec_id, 5) AS top
+         FROM embeddings q CROSS JOIN m WHERE q.vec_id = 0""").collect()
+    val a = top(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(a.length == 5 && a.forall(_.getLong(1) != 0L) &&
+      a.map(_.getDouble(0)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("wrong arity from SQL raises a proper AnalysisException, not IndexOutOfBounds") {
     // the builders index children positionally; without the arity gate a
     // 2-arg topk_by_score died with IndexOutOfBoundsException instead of
