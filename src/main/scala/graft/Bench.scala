@@ -80,6 +80,8 @@ object Bench {
     // across box states. Sampled 3x, min taken. To compare two BENCH
     // artifacts: scale totals by the ratio of their calibration readings.
     val calCpuStart = Calibration.cal3(Calibration.calCpu _)
+    val calCpuMtStart = Calibration.cal3(() => Calibration.calCpuMt())
+    val calMemMtStart = Calibration.cal3(() => Calibration.calMemMt())
     val calSparkStart = Calibration.cal3(() => Calibration.calSpark(spark))
 
     def jstr(s: String): String = Calibration.jstr(s)
@@ -235,9 +237,20 @@ object Bench {
       s""""queries_median":${timesJson(warmMedian)},"sf":"$sfDir"}"""
     println(coldLine)
     val calCpuEnd = Calibration.cal3(Calibration.calCpu _)
+    val calCpuMtEnd = Calibration.cal3(() => Calibration.calCpuMt())
+    val calMemMtEnd = Calibration.cal3(() => Calibration.calMemMt())
     val calSparkEnd = Calibration.cal3(() => Calibration.calSpark(spark))
+    // cpu_mt_s / mem_mt_s: full-width compute and DRAM-bandwidth bursts
+    // next to the single-thread probe (round 15 — the r15 host ran
+    // untouched-path walls 1.4-1.7x the r13 records on +9% single-thread
+    // clock and full width; register-only probes and the cache-resident
+    // spark probe were blind to the bandwidth axis). Elevated at LOW
+    // load = slower box on that axis, at HIGH load = co-tenant.
     val calibration =
       s"""{"cpu_s":${fmt(calCpuStart)},"spark_s":${fmt(calSparkStart)},""" +
+      s""""cpu_mt_s":${fmt(calCpuMtStart)},"cpu_mt_s_end":${fmt(calCpuMtEnd)},""" +
+      s""""mem_mt_s":${fmt(calMemMtStart)},"mem_mt_s_end":${fmt(calMemMtEnd)},""" +
+      s""""width":${Runtime.getRuntime.availableProcessors()},""" +
       s""""cpu_s_end":${fmt(calCpuEnd)},"spark_s_end":${fmt(calSparkEnd)},""" +
       s""""load_end":${fmt(Calibration.hostLoad())},""" +
       s""""load_gate":{"bar":$loadGateBar,"start_load":${fmt(gateStartLoad)},""" +

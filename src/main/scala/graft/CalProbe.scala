@@ -10,7 +10,10 @@ object CalProbe {
   def main(args: Array[String]): Unit = {
     val spark = ProbeHarness.session("cal-probe")
     println(f"cal: cpu=${Calibration.cal3(Calibration.calCpu _)}%.3f " +
+      f"mt=${Calibration.cal3(() => Calibration.calCpuMt())}%.3f " +
+      f"mem=${Calibration.cal3(() => Calibration.calMemMt())}%.3f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.3f " +
+      f"load=${Calibration.hostLoad()}%.1f " +
       f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
     spark.stop()
   }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.SparkSession
   *
   * The probes are FIXED workloads so readings are comparable across
   * runs and artifacts: [[calCpu]] is a pinned single-core integer hash
-  * loop (pure CPU + scheduler pressure), [[calSpark]] a tiny fixed
-  * 32-partition Spark job (adds JVM/task-dispatch state). To compare
-  * two artifacts recorded on different box states, scale totals by the
-  * ratio of their calibration readings; [[RefCpuSec]] records the
-  * settled quiet-box value (NOTES round-11) that wall bars normalize
-  * against. */
+  * loop (single-thread clock + scheduler pressure), [[calCpuMt]] the
+  * same loop on every core at once (effective width / all-core clock),
+  * [[calMemMt]] a full-width DRAM-streaming burst (aggregate memory
+  * bandwidth), [[calSpark]] a tiny fixed 32-partition Spark job
+  * (JVM/task-dispatch state; cache-resident, so NOT a bandwidth
+  * probe). To compare two artifacts recorded on different box states,
+  * scale totals by the ratio of their calibration readings;
+  * [[RefCpuSec]] records the settled quiet-box value (NOTES round-11)
+  * that wall bars normalize against. */
 object Calibration {
 
   /** Settled quiet-box [[calCpu]] reading (NOTES round-11): readings
@@ -26,11 +29,87 @@ object Calibration {
   /** Pinned single-core integer hash loop, seconds. */
   def calCpu(): Double = {
     val t0 = System.nanoTime()
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < 400000000) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+    val h = hashLoop(400000000, 0x9E3779B97F4A7C15L)
     val s = (System.nanoTime() - t0) / 1e9
     if (h == 42) print("") // keep the loop live under JIT
+    s
+  }
+
+  private def hashLoop(iters: Int, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < iters) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+    h
+  }
+
+  /** Full-width companion to [[calCpu]] (round 15): one hash-loop
+    * thread per available core, wall = the SLOWEST thread. Exists
+    * because the single-thread probe structurally cannot see a
+    * parallel-throughput deficit — the r15 100× smoke ran on a host
+    * whose untouched-path walls read 1.4-1.7× the r13 records while
+    * calCpu read a near-quiet 1.07-1.10 (all-core clocks / effective
+    * width are invisible to one thread that always finds a free core;
+    * the r12 isolated-dd4 adjudication hit the same blind spot from
+    * the co-tenant side). Read the triple (cpu, cpu_mt, load):
+    * cpu_mt/cpu near the quiet-box ratio → healthy full-width box;
+    * elevated ratio + HIGH load → co-tenant; elevated ratio + LOW
+    * load → slower/narrower host, scale wall bars accordingly.
+    * `iters` is parameterized for specs only — artifact readings
+    * always use the pinned default so they stay cross-run comparable. */
+  def calCpuMt(iters: Int = 400000000): Double = {
+    val width = Runtime.getRuntime.availableProcessors().max(1)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val threads = (0 until width).map { tid =>
+      val t = new Thread(() => sink.addAndGet(hashLoop(iters, 0x9E3779B97F4A7C15L + tid)))
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    val s = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == 42) print("") // keep the loops live under JIT
+    s
+  }
+
+  /** Full-width memory-streaming burst, seconds (round 15): one thread
+    * per core, each sweep-summing a PRIVATE 32 MiB long array 32
+    * times — a ~1 GiB aggregate working set that no shared L3 holds,
+    * so the wall tracks aggregate DRAM bandwidth (~0.3 s on a
+    * ~100 GiB/s box; the 32-sweep burst keeps the reading above timer/
+    * scheduler noise). Exists because the other two
+    * cpu probes are register-only and [[calSpark]] is cache-resident
+    * (reads 0.14 s on boxes whose real-workload walls differ 1.5×): the
+    * r15 host ran untouched-path 100× walls 1.36-1.72× the r13 records
+    * on +9 % single-thread clock and full width — bandwidth was the
+    * only un-probed axis. `mb`/`sweeps` parameterized for specs only;
+    * artifact readings use the pinned defaults. */
+  def calMemMt(mb: Int = 32, sweeps: Int = 32): Double = {
+    val width = Runtime.getRuntime.availableProcessors().max(1)
+    val longsPerThread = mb * 1024 * 1024 / 8
+    val arrays = Array.fill(width) {
+      val a = new Array[Long](longsPerThread)
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong; i += 1 } // touch every page
+      a
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val threads = (0 until width).map { tid =>
+      val t = new Thread(() => {
+        val a = arrays(tid)
+        var acc = 0L
+        var s = 0
+        while (s < sweeps) {
+          var i = 0
+          while (i < a.length) { acc += a(i); i += 1 }
+          s += 1
+        }
+        sink.addAndGet(acc)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    val s = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == 42) print("") // keep the sweeps live under JIT
     s
   }
 

@@ -33,10 +33,13 @@ object ProbeHarness {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     println(f"probe-cal: cpu=${Calibration.cal3(Calibration.calCpu _)}%.3f " +
+      f"mt=${Calibration.cal3(() => Calibration.calCpuMt())}%.3f " +
+      f"mem=${Calibration.cal3(() => Calibration.calMemMt())}%.3f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(s))}%.3f " +
       f"load=${Calibration.hostLoad()}%.1f " +
       f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f; load is HOST-wide — " +
-      "the cpu probe alone understates a 32-thread job's penalty under co-tenants)")
+      "the cpu probe alone understates a 32-thread job's penalty under co-tenants; " +
+      "mt is the full-width burst that sees what one thread can't)")
     s
   }
 

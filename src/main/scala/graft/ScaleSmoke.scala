@@ -51,9 +51,13 @@ object ScaleSmoke {
     // (VERDICT r11 #5 — the 100× records swung up to 4× with
     // co-tenancy and each needed a manual GateProbe rerun).
     println(f"cal: start cpu=${Calibration.cal3(Calibration.calCpu _)}%.2f " +
+      f"mt=${Calibration.cal3(() => Calibration.calCpuMt())}%.2f " +
+      f"mem=${Calibration.cal3(() => Calibration.calMemMt())}%.2f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f " +
       f"load=${Calibration.hostLoad()}%.1f " +
-      f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f)")
+      f"(quiet-box ref cpu ${Calibration.RefCpuSec}%.2f; mt/mem are " +
+      "full-width compute/DRAM-bandwidth bursts — elevated at LOW load " +
+      "means a slower box on that axis, at HIGH load a co-tenant)")
 
     val docs = graft.ProbeHarness.replicaDocs(spark, sfDir, replicas)
     val embs = graft.ProbeHarness.replicaEmbeddings(spark, sfDir, replicas)
@@ -1240,6 +1244,8 @@ object ScaleSmoke {
     }
 
     println(f"cal: end cpu=${Calibration.cal3(Calibration.calCpu _)}%.2f " +
+      f"mt=${Calibration.cal3(() => Calibration.calCpuMt())}%.2f " +
+      f"mem=${Calibration.cal3(() => Calibration.calMemMt())}%.2f " +
       f"spark=${Calibration.cal3(() => Calibration.calSpark(spark))}%.2f " +
       f"load=${Calibration.hostLoad()}%.1f")
     println(s"smoke ${if (failed) "FAILED" else "ok"}; artifact: bench/smoke_latest.json")
