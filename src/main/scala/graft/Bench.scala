@@ -109,6 +109,8 @@ object Bench {
     def stampPass(label: String, waitedS: Int = 0,
                   cpuS: Double = Calibration.calCpu()): Unit = calPasses +=
       s"""{"pass":${jstr(label)},"cpu_s":${fmt(cpuS)},""" +
+        s""""cpu_mt_s":${fmt(Calibration.calCpuMt())},""" +
+        s""""mem_mt_s":${fmt(Calibration.calMemMt())},""" +
         s""""load":${fmt(Calibration.hostLoad())},"waited_s":$waitedS}"""
 
     // Per-pass quiet re-check (round 15 — VERDICT r14 #3: launch gating
