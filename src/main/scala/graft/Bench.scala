@@ -105,6 +105,11 @@ object Bench {
 
     // one box-state reading per pass (single sample — the pass itself is
     // the workload; cal3's warmup minima are only needed at the anchors)
+    // mem_mt is STAMP-ONLY, never a gate signal: the bench JVM's own
+    // heap/GC state swings the reading ±30% between passes on a quiet
+    // box (observed 0.232-0.308 s within one run), so a 1.3x gate on it
+    // would false-trip; the stamps still attribute a bandwidth-shaped
+    // co-tenant post-hoc, which is what the r14 degraded run lacked.
     val calPasses = scala.collection.mutable.ArrayBuffer[String]()
     def stampPass(label: String, waitedS: Int = 0,
                   cpuS: Double = Calibration.calCpu()): Unit = calPasses +=
