@@ -56,17 +56,23 @@ object Calibration {
     * load → slower/narrower host, scale wall bars accordingly.
     * `iters` is parameterized for specs only — artifact readings
     * always use the pinned default so they stay cross-run comparable. */
-  def calCpuMt(iters: Int = 400000000): Double = {
+  def calCpuMt(iters: Int = 400000000): Double =
+    fullWidthWall(tid => hashLoop(iters, 0x9E3779B97F4A7C15L + tid))
+
+  /** Shared full-width scaffolding: one daemon thread per core running
+    * `work(threadIndex)`, wall = all threads joined; the summed results
+    * feed a liveness guard so JIT cannot eliminate the work bodies. */
+  private def fullWidthWall(work: Int => Long): Double = {
     val width = Runtime.getRuntime.availableProcessors().max(1)
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val threads = (0 until width).map { tid =>
-      val t = new Thread(() => sink.addAndGet(hashLoop(iters, 0x9E3779B97F4A7C15L + tid)))
+      val t = new Thread(() => sink.addAndGet(work(tid)))
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join())
     val s = (System.nanoTime() - t0) / 1e9
-    if (sink.get() == 42) print("") // keep the loops live under JIT
+    if (sink.get() == 42) print("") // keep the work live under JIT
     s
   }
 
@@ -91,26 +97,17 @@ object Calibration {
       while (i < a.length) { a(i) = i.toLong; i += 1 } // touch every page
       a
     }
-    val sink = new java.util.concurrent.atomic.AtomicLong()
-    val t0 = System.nanoTime()
-    val threads = (0 until width).map { tid =>
-      val t = new Thread(() => {
-        val a = arrays(tid)
-        var acc = 0L
-        var s = 0
-        while (s < sweeps) {
-          var i = 0
-          while (i < a.length) { acc += a(i); i += 1 }
-          s += 1
-        }
-        sink.addAndGet(acc)
-      })
-      t.setDaemon(true); t.start(); t
+    fullWidthWall { tid =>
+      val a = arrays(tid)
+      var acc = 0L
+      var s = 0
+      while (s < sweeps) {
+        var i = 0
+        while (i < a.length) { acc += a(i); i += 1 }
+        s += 1
+      }
+      acc
     }
-    threads.foreach(_.join())
-    val s = (System.nanoTime() - t0) / 1e9
-    if (sink.get() == 42) print("") // keep the sweeps live under JIT
-    s
   }
 
   /** Fixed 32-partition Spark job, seconds. The mod keeps the ANSI sum

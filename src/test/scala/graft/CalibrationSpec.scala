@@ -22,22 +22,32 @@ class CalibrationSpec extends AnyFunSuite {
     assert(s > 0.0 && java.lang.Double.isFinite(s))
   }
 
-  test("full-width wall is bounded below by one thread's share of the work") {
-    // width threads each do `iters` work; even with perfect scaling the
-    // wall cannot beat a single thread running iters/width — a trivially
-    // fast reading would mean the loops were dead-code-eliminated
-    val iters = 20000000
-    val width = Runtime.getRuntime.availableProcessors().max(1)
-    val t0 = System.nanoTime()
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < iters / width) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
-    val share = (System.nanoTime() - t0) / 1e9
-    if (h == 42) print("")
+  test("full-width wall is bounded below by the single-thread wall for the same per-thread work") {
+    // calCpuMt gives EVERY thread the full `iters`, so even under
+    // perfect scaling the wall cannot materially beat one thread
+    // running `iters` alone. The bound must be the FULL single-thread
+    // wall, not iters/width: on a 32-core box a per-share bound sits
+    // below calCpuMt's thread spawn/join overhead (several ms), which
+    // would let fully-eliminated loops pass the very guard that exists
+    // to catch elimination. 200M iterations ≈ 100 ms single-thread
+    // JIT'd, so the /4 bar (~25 ms) is far above thread overhead.
+    def st(iters: Int): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < iters) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+      val s = (System.nanoTime() - t0) / 1e9
+      if (h == 42) print("")
+      s
+    }
+    st(20000000) // JIT warmup
+    Calibration.calCpuMt(iters = 1000000)
+    val iters = 200000000
+    val single = st(iters)
     val mt = Calibration.calCpuMt(iters = iters)
-    // generous 4x headroom under JIT warmup asymmetry: the guard only
-    // has to catch elimination (orders of magnitude, not fractions)
-    assert(mt > share / 4.0,
-      s"full-width wall $mt s impossibly fast vs single-thread share $share s")
+    // 4x headroom absorbs turbo/scheduling asymmetry; elimination is
+    // orders of magnitude, not fractions
+    assert(mt > single / 4.0,
+      s"full-width wall $mt s impossibly fast vs single-thread wall $single s")
   }
 }

@@ -148,4 +148,68 @@ class TopCellsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set(0L),
       s"only the well-formed row may survive assignment, got $out")
   }
+
+  test("separately-built TopCells expressions over the same model are semantically equal") {
+    // The equals/hashCode override exists so subexpression elimination
+    // and exchange reuse fire across two topCells() calls over the same
+    // fitted model — case-class equality compared the Array fields by
+    // reference and never matched. Build every model array FRESH
+    // (cloned) so reference equality cannot pass the test by accident.
+    // Children are BoundReferences: the resolved form the comparison
+    // runs on in a real plan (unresolved Column-API children carry a
+    // per-call-site Origin inside ColumnNodeExpression and never
+    // compare equal — see the analyzed-plan test below for that path).
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val rnd = new scala.util.Random(11)
+    val cs = Seq.fill(6)(Array.fill(4)(rnd.nextGaussian().toFloat))
+    val cn = cs.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def build(k: Int, cells: Seq[Array[Float]] = cs, norms: Seq[Double] = cn,
+              poisons: Boolean = false) = graft.functions.TopCells(
+      BoundReference(0, ArrayType(FloatType), nullable = true),
+      BoundReference(1, DoubleType, nullable = true),
+      cells.map(_.clone()).toArray.flatten, cells.head.length,
+      norms.toArray, k, poisons)
+    val a = build(3)
+    val b = build(3)
+    assert(a == b, "content-equal TopCells expressions must be ==")
+    assert(a.hashCode == b.hashCode, "equal expressions must hash equal")
+    assert(a.semanticEquals(b),
+      "semanticEquals is the property subexpression elimination needs")
+    // every semantic field must participate in the comparison
+    assert(a != build(2), "k must discriminate")
+    assert(a != build(3, poisons = true), "nanPoisons must discriminate")
+    val bumped = cs.map(_.clone())
+    bumped.head(0) += 1f
+    assert(a != build(3, cells = bumped), "centroid content must discriminate")
+    assert(a != build(3, norms = cn.updated(0, cn.head + 1.0)),
+      "cnorm content must discriminate")
+  }
+
+  test("two topCells() API calls converge to semantically equal analyzed expressions") {
+    // End-to-end form of the property above: the Column API wraps
+    // children in ColumnNodeExpression (whose Origin differs per call
+    // site), but the ANALYZED plan — where subexpression elimination
+    // and exchange reuse actually compare trees — resolves them to
+    // plain AttributeReferences, and the content-based model equality
+    // takes it from there.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cs = Seq.fill(5)(Array.fill(4)(rnd.nextGaussian().toFloat))
+    val cn = cs.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val df = Seq((1L, Array.fill(4)(1f), 2.0)).toDF("vec_id", "embedding", "nrm")
+    def analyzedTopCells(k: Int): graft.functions.TopCells = {
+      val out = df.select(VectorFunctions.topCells(
+        col("embedding"), col("nrm"), cs.map(_.clone()), cn, k).as("cells"))
+      out.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case t: graft.functions.TopCells => t
+      }).head
+    }
+    val a = analyzedTopCells(3)
+    val b = analyzedTopCells(3)
+    assert(a semanticEquals b,
+      "analyzed TopCells from separate API calls must semanticEquals")
+    assert(!(a semanticEquals analyzedTopCells(2)),
+      "different k must not semanticEquals")
+  }
 }
