@@ -291,7 +291,7 @@ object Dedup {
     hashed.join(dupFirsts, col("content_hash") <=> col("__dd2_hash"), "left_outer")
       .withColumn("keep",
         col("__dd2_first").isNull || col("doc_id") === col("__dd2_first"))
-      .select(docs.columns.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
+      .select(docs.columns.toIndexedSeq.map(col) ++ Seq(col("content_hash"), col("keep")): _*)
   }
 
   /** MinHash signatures + kept-set size over the KEPT (df-cutoff)
