@@ -465,6 +465,18 @@ object KMeans {
           means.foreach { r =>
             next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
           }
+          // A mean can floor-quantize to the all-zero vector: a member
+          // with every component in [0, 1e-6) is LEGAL input (norm > 0,
+          // passes every zero-norm filter, can even be a Gonzalez seed)
+          // but floor(v*1e6) = 0 per dim, and an all-zero centroid is an
+          // illegal argument to the next iteration's assignCells require
+          // (and to assignTopCells if maxIters lands first). Extend the
+          // documented "empty cells keep their previous centroid" rule
+          // to degenerate means — the previous centroid is non-zero by
+          // induction (seeds are required non-zero).
+          means.iterator.map(_.getInt(0)).toSet[Int].foreach { c =>
+            if (!next(c).exists(_ != 0f)) next(c) = centroids(c).clone()
+          }
           centroids = next.toSeq
         }
         prev.foreach(_.unpersist(false))

@@ -218,7 +218,12 @@ object Similarity {
     val packedSig = bucketCols.zipWithIndex
       .map { case (b, t) => shiftleft(b, lane * t) }
       .reduce((x, y) => x.bitwiseOR(y))
-    val bucketMask = (1L << bits) - 1
+    // bits == 64 must map to the full mask explicitly: JVM shift counts
+    // are mod 64, so (1L << 64) - 1 is 0 and every vector would land in
+    // bucket 0 of a single table — the exact quadratic self-join melt
+    // the tier geometry exists to prevent. (knnJoinGeom already guards
+    // this; the copies had drifted.)
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = e0
       .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
         sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
@@ -431,7 +436,12 @@ object Similarity {
     * estimate — callers pass ~4·nProbe for it (round-14 ADVICE). */
   private[graft] def ivfIndexBroadcastable(base: DataFrame,
                                            extraBytesPerRow: Long = 0L): Boolean =
-    estRowsOf(base) * (300L + extraBytesPerRow) <= MaxKnnBroadcastBytes
+    // BigInt BEFORE the multiply: a statless plan (defaultSizeInBytes =
+    // Long.MaxValue) makes estRowsOf huge and the Long product wraps
+    // NEGATIVE — passing the <= gate and broadcasting the full corpus
+    // at exactly the scale the gate exists to refuse. The sibling LSH
+    // gates already do this arithmetic in BigInt.
+    BigInt(estRowsOf(base)) * (300L + extraBytesPerRow) <= MaxKnnBroadcastBytes
 
   private[graft] def ivfCellPairs(assigned: DataFrame, threshold: Double,
                                   maxPop: Long = Long.MaxValue,
@@ -486,10 +496,21 @@ object Similarity {
   def ss4AnnIvf(s: SparkSession, dir: String): DataFrame =
     ss4From(Tables.embeddings(s, dir))
 
-  /** Seeded-centroid IVF over an arbitrary embedding DataFrame. */
+  /** Seeded-centroid IVF over an arbitrary embedding DataFrame. The
+    * seeded-centroid dimensionality is probed from the corpus (one
+    * tiny head(1) job at construction — the fitted variant already
+    * runs fit jobs by documented exception): hardcoding the house 64
+    * made every non-64-dim corpus SILENTLY EMPTY, because per-row
+    * dim-mismatch is the documented "unassignable row" tolerance and
+    * a whole-corpus mismatch dropped every row without an error.
+    * Mixed-dim corpora keep that per-row contract: rows not matching
+    * the probed dimension are excluded, same as before. */
   def ss4From(e: DataFrame): DataFrame = {
     val cells = ivfCellsFor(e)
-    ss4Seeded(e, cells, ivfNProbeFor(cells))
+    val dim = e.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).where(col("d") > 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(64)
+    ss4Seeded(e, cells, ivfNProbeFor(cells), dim)
   }
 
   /** Deterministic seeded coarse centroids (the oracle-free stand-in
@@ -506,14 +527,15 @@ object Similarity {
 
   /** Seeded IVF with explicit geometry (ScaleSmoke sweeps it; the public
     * entry binds the tier table + [[IvfNProbe]]). */
-  private[graft] def ss4Seeded(e: DataFrame, cells: Int, nProbe: Int): DataFrame = {
+  private[graft] def ss4Seeded(e: DataFrame, cells: Int, nProbe: Int,
+                               dim: Int = 64): DataFrame = {
     VectorFunctions.ensureRegistered(e.sparkSession)
     // Probe-set assignment keeps the argmax plan split: per-row sorted
     // literal array under the when-chain cap, slim exploded top-n +
     // embedding re-join past it, broadcast in-row past 256
     // (KMeans.assignTopCells).
     val assigned = KMeans.assignTopCellsWith(e,
-      seededCentroids(cells, 64), nProbe, Seq.fill(cells)(1.0))
+      seededCentroids(cells, dim), nProbe, Seq.fill(cells)(1.0))
     ivfCellPairs(assigned, 0.4, ivfMaxCellPop(e, cells, nProbe),
       indexBcast = ivfIndexBroadcastable(e, 4L * nProbe))
       .orderBy(col("vec_a"), col("vec_b"))

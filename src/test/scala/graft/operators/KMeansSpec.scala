@@ -274,4 +274,28 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!multi.contains(-1L),
       "zero-norm row must DROP OUT (not carry an empty probe set)")
   }
+
+  test("a lone tiny-positive member must not quantize its centroid to all-zero") {
+    import spark.implicits._
+    // Every component in [0, 1e-6) floor-quantizes to 0 in the Lloyd's
+    // mean, yet the vector is LEGAL input (norm > 0) and — being
+    // maximally far by cosine from an orthogonal cluster — a guaranteed
+    // Gonzalez seed that sits alone in its cell. Without the
+    // degenerate-mean fallback the next iteration's assignCells require
+    // crashes mid-fit (or a maxIters-terminated Model crashes
+    // assignTopCells downstream).
+    val rnd = new scala.util.Random(3)
+    val cluster = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(d => (if (d == 0) 10f else 0f) + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val tiny = (99L, Array.tabulate(8)(d => if (d == 7) 1e-7f else 0f))
+    val e = (cluster :+ tiny).toDF("vec_id", "embedding")
+    val m = KMeans.fit(e, k = 2, maxIters = 5)
+    assert(m.centroids.forall(c => c.exists(_ != 0f)),
+      "a degenerate mean must keep the previous centroid, not go all-zero")
+    // the model stays usable downstream
+    val cells = KMeans.assignCells(e, m.centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(99L) >= 0, "the tiny-positive row is assignable (norm > 0)")
+  }
 }

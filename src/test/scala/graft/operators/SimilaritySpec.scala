@@ -327,4 +327,39 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rFitted >= 0.8, f"multi-probe fitted recall $rFitted%.3f below the .8 bar")
     assert(rSeeded >= 0.6, f"multi-probe seeded recall $rSeeded%.3f collapsed")
   }
+
+  test("ss4From probes the corpus dimension instead of assuming the house 64") {
+    import spark.implicits._
+    // hardcoded 64-dim seeded centroids made every non-64-dim corpus
+    // SILENTLY EMPTY (per-row dim mismatch is the documented
+    // unassignable tolerance, so a whole-corpus mismatch dropped every
+    // row without an error); the dim is now probed from the data
+    val rnd = new scala.util.Random(5)
+    val base = Seq.fill(30)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val e = base.zipWithIndex.flatMap { case (v, i) =>
+      // a near-duplicate for every vector guarantees exact pairs exist
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, v.map(x => x + 0.001f)))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.exactNeardupPairs(e, 0.4).count()
+    val ivf = Similarity.ss4From(e).count()
+    assert(exact > 0, "fixture must contain exact pairs")
+    assert(ivf > 0, "an 8-dim corpus must produce IVF pairs, not silence")
+  }
+
+  test("the IVF broadcast gate refuses a statless plan instead of overflowing into it") {
+    import spark.implicits._
+    // an RDD-backed (statless) plan estimates sizeInBytes at
+    // defaultSizeInBytes = Long.MaxValue; the gate's Long row x bytes
+    // product then wrapped NEGATIVE and passed <=, explicitly
+    // broadcast()ing the full corpus at exactly the scale the gate
+    // exists to refuse. The arithmetic is BigInt now.
+    val rows = spark.sparkContext.parallelize(
+      Seq((1L, Array.fill(8)(1f)), (2L, Array.fill(8)(2f))))
+    val statless = rows.toDF("vec_id", "embedding")
+    val est = statless.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > BigInt(Long.MaxValue) / 600,
+      s"fixture must be statless for this regression (got $est)")
+    assert(!Similarity.ivfIndexBroadcastable(statless, 192L),
+      "a statless (huge-estimate) index must NOT pass the broadcast gate")
+  }
 }
