@@ -179,34 +179,77 @@ object Similarity {
     * the extra 4 bits cost nothing on high-cosine near-dup pairs. */
   private[graft] def lshNeardupGeom(e00: DataFrame, threshold: Double,
                                     dim: Int, geom: Option[(Int, Int)]): DataFrame = {
-    VectorFunctions.ensureRegistered(e00.sparkSession)
-    // NULL embedding = missing value (failed embed), out of scope like
-    // NULL text in the dd ops — dropped BEFORE the dim assert (size(NULL)
-    // is NULL, which assert_true treats as failure); a NON-null wrong-dim
-    // row stays the documented fail-fast (a dimension bug, not a missing
-    // value)
-    val e0 = e00.where(col("embedding").isNotNull)
-      .where(coalesce(
-      assert_true(size(col("embedding")) === dim,
-        lit(s"lshNeardupPairs: embedding dimension must be $dim")), lit(true)))
-      // zero-norm rows (failed-embedding padding) project 0 on EVERY
-      // hyperplane: `proj >= 0` parks them ALL in the all-ones bucket of
-      // every table, an uncapped N_zero-squared self-join whose pairs then
-      // verify to NULL cosine and vanish — filter them before bucketing
-      // (they can never pair; the tier tables bound only EXPECTED bucket
-      // sizes of hash-spread vectors)
-      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     val (tables, bits) = geom.getOrElse {
       val t = PairLshTiers.find(estRowsOf(e00) < _._1).getOrElse(PairLshTiers.last)
       (t._2, t._3)
     }
     // each table's bucket packs into its own 64/tables-wide LANE; `bits`
     // may be narrower than the lane (the 12-bit tier) — the spare high
-    // lane bits stay zero on both sides, which is what keeps the OR-fold
-    // below from ever reading a neighboring table's bits: the fold's
+    // lane bits stay zero on both sides, which is what keeps the kernel's
+    // OR-fold from ever reading a neighboring table's bits: the fold's
     // reach is lane-1, and bits [bits, lane) of each lane XOR to zero.
-    val lane = 64 / tables
-    require(bits <= lane, s"tier ($tables x $bits) does not pack into 64 bits")
+    lshCollisionPairs(e00, dim, tables, bits, stride = 64 / tables,
+        opName = "lshNeardupPairs", unorderedPairs = true)
+      .where(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("nbr_id").as("vec_b"), col("cos"))
+  }
+
+  /** THE hyperplane-LSH banding kernel, shared by the pair-threshold
+    * route ([[lshNeardupGeom]]) and the kNN route ([[knnJoinGeom]]) —
+    * one copy because the ~55 duplicated lines drifted once already
+    * (the bits=64 bucketMask guard existed in the kNN copy while the
+    * pair copy silently melted to bucket 0; round-15 review). The only
+    * structural difference between the routes is the signature LANE
+    * WIDTH, so `stride` is the parameter: the kNN route packs
+    * tables×bits = 64 exactly (stride = bits), the pair route gives
+    * each table a 64/tables lane that `bits` may underfill (stride =
+    * 64/tables).
+    *
+    * Shape (measured rationale in NOTES rounds 1-3): every vector gets
+    * `tables` bucket ids of `bits` sign-of-projection bits against
+    * seeded Gaussian hyperplanes, ALL packed into ONE long signature;
+    * the exploded (table, bucket) self-join yields each candidate pair
+    * once per colliding table, and the FIRST-collision rule dedups AT
+    * the join with pure integer work on the packed XOR (OR-fold each
+    * stride-wide lane down to its low marker bit, then demand every
+    * lane below this table is set = every earlier table's buckets
+    * DIFFER) — no distinct() shuffle of the candidate explosion.
+    * Marker bits only exist at multiples of `stride`, so
+    * sign-extension from the arithmetic shifts (≤ stride/2 positions)
+    * never reaches one. Embeddings travel THROUGH the bucket join (the
+    * exploded table is only N×tables rows), cosine is computed inline,
+    * and only slim (vec_id, nbr_id, cos) rows leave. The probe side is
+    * broadcast when `tables` × the base relation's optimizer BYTE
+    * statistics fit [[MaxKnnBroadcastBytes]] (BigInt — no job at
+    * construction, no Long wrap on statless plans); past the cap the
+    * shuffled bucket join is the plan and AQE may still convert it.
+    *
+    * Row contract: NULL embeddings (missing values) drop silently, a
+    * NON-null wrong-dim row fail-fasts via assert_true (a dimension
+    * bug, not a missing value), and zero-norm rows drop BEFORE
+    * bucketing — they project 0 on every hyperplane, so `proj >= 0`
+    * parks them ALL in the all-ones bucket of every table, an uncapped
+    * N_zero² self-join whose pairs then verify to NULL cosine and
+    * vanish (the tier tables bound only EXPECTED bucket sizes of
+    * hash-spread vectors).
+    *
+    * `unorderedPairs = true` keeps each unordered pair once (vec_id <
+    * nbr_id — the near-dup pair contract); `false` keeps both
+    * directions except self (each vector owns its own neighbor list —
+    * the kNN contract). Output: (vec_id, nbr_id, cos), cos already
+    * [[graft.functions.FastRound round3]]-rounded; UNSORTED (ordering
+    * is a query concern). */
+  private def lshCollisionPairs(e00: DataFrame, dim: Int,
+      tables: Int, bits: Int, stride: Int, opName: String,
+      unorderedPairs: Boolean): DataFrame = {
+    VectorFunctions.ensureRegistered(e00.sparkSession)
+    require(bits <= stride && tables.toLong * stride <= 64,
+      s"$opName: geometry ($tables x $bits, stride $stride) does not pack into 64 bits")
+    val e0 = e00.where(col("embedding").isNotNull)
+      .where(coalesce(
+      assert_true(size(col("embedding")) === dim,
+        lit(s"$opName: embedding dimension must be $dim")), lit(true)))
+      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
     val bucketCols = planes.map { tbl =>
@@ -216,49 +259,48 @@ object Similarity {
       }.reduce(_ + _)
     }
     val packedSig = bucketCols.zipWithIndex
-      .map { case (b, t) => shiftleft(b, lane * t) }
+      .map { case (b, t) => shiftleft(b, stride * t) }
       .reduce((x, y) => x.bitwiseOR(y))
     // bits == 64 must map to the full mask explicitly: JVM shift counts
     // are mod 64, so (1L << 64) - 1 is 0 and every vector would land in
     // bucket 0 of a single table — the exact quadratic self-join melt
-    // the tier geometry exists to prevent. (knnJoinGeom already guards
-    // this; the copies had drifted.)
+    // the tier geometry exists to prevent (the drift bug this kernel
+    // exists to make unrepeatable).
     val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = e0
       .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
         sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
         posexplode(array((0 until tables).map(t =>
-          shiftright(col("sig"), lane * t).bitwiseAND(lit(bucketMask))): _*))
+          shiftright(col("sig"), stride * t).bitwiseAND(lit(bucketMask))): _*))
           .as(Seq("table", "bucket")))
-    // first-collision dedup: OR-fold each lane of the packed XOR down to
-    // its low marker bit, then demand every lane below this table is set
-    // (= every earlier table's buckets DIFFER). Marker bits only exist
-    // at multiples of `lane`, so sign-extension from the arithmetic
-    // shifts (≤ lane/2 positions) never reaches one.
+    // one marker bit at the bottom of each stride-wide lane
     val groupBits = lit {
       var m = 0L; var i = 0
-      while (i < 64) { m |= 1L << i; i += lane }
+      while (i < 64) { m |= 1L << i; i += stride }
       m
     }
     val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
-    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < lane)
+    // log-shift OR-fold: low bit of each lane = OR of the whole lane
+    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < stride)
       .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
       .bitwiseAND(groupBits)
     val earlierMask = groupBits.bitwiseAND(
-      expr(s"shiftleft(CAST(1 AS BIGINT), table * $lane)") - 1)
+      expr(s"shiftleft(CAST(1 AS BIGINT), table * $stride)") - 1)
     val explodedBytes =
       e00.queryExecution.optimizedPlan.stats.sizeInBytes * tables
     val probeSide =
       if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
       else banded.as("b")
+    val pairRule =
+      if (unorderedPairs) col("a.vec_id") < col("b.vec_id")
+      else col("a.vec_id") =!= col("b.vec_id")
     banded.as("a").join(probeSide, Seq("table", "bucket"))
-      .where(col("a.vec_id") < col("b.vec_id"))
+      .where(pairRule)
       .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         VectorFunctions.round3(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
           col("a.nrm") * col("b.nrm"))).as("cos"))
-      .where(col("cos") >= threshold)
   }
 
   /** Scale-adaptive semantic near-dup edge set: the EXACT block-pair
@@ -498,18 +540,22 @@ object Similarity {
 
   /** Seeded-centroid IVF over an arbitrary embedding DataFrame. The
     * seeded-centroid dimensionality is probed from the corpus (one
-    * tiny head(1) job at construction — the fitted variant already
+    * tiny aggregate job at construction — the fitted variant already
     * runs fit jobs by documented exception): hardcoding the house 64
     * made every non-64-dim corpus SILENTLY EMPTY, because per-row
     * dim-mismatch is the documented "unassignable row" tolerance and
     * a whole-corpus mismatch dropped every row without an error.
-    * Mixed-dim corpora keep that per-row contract: rows not matching
-    * the probed dimension are excluded, same as before. */
+    * The probe is DETERMINISTIC — the dimension of the minimum-vec_id
+    * row (min_by), not whichever row head(1) surfaces first — so on a
+    * mixed-dim corpus the chosen dim (and therefore which rows are
+    * excluded under the per-row contract) cannot change with partition
+    * layout or row order between runs (round-16, r15 ADVICE). */
   def ss4From(e: DataFrame): DataFrame = {
     val cells = ivfCellsFor(e)
-    val dim = e.where(col("embedding").isNotNull)
-      .select(size(col("embedding")).as("d")).where(col("d") > 0)
-      .head(1).headOption.map(_.getInt(0)).getOrElse(64)
+    val dim = e.where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(min_by(size(col("embedding")), col("vec_id")).as("d"))
+      .head(1).headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+      .getOrElse(64)
     ss4Seeded(e, cells, ivfNProbeFor(cells), dim)
   }
 
@@ -565,29 +611,46 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val fittedModels =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KMeans.Model]()
+  /** One (session, scale dir) memo — the sweep/get/build/putIfAbsent
+    * discipline all five model/index caches share (was five hand-rolled
+    * copies through round 15; collapsed per the r15 review). The
+    * contract, once: entries of stopped sessions are swept on access;
+    * the build runs OUTSIDE the CHM bin lock (holding a bin lock for
+    * seconds of Spark jobs would serialize unrelated sessions — the
+    * dd6 pair-graph discipline); a rare concurrent duplicate build is
+    * resolved by putIfAbsent (first write wins, the loser adopts it) —
+    * safe because every cached build here is bit-deterministic. Builds
+    * that WRITE files (the persisted indexes) additionally serialize
+    * on [[indexBuildLock]] INSIDE their build and re-check [[cached]]
+    * under it, so one directory is never written twice. Staleness
+    * contract: `dir` is immutable for the session's life. */
+  private final class SessionDirMemo[T] {
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), T]()
+    def cached(s: SparkSession, dir: String): Option[T] = {
+      entries.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+      Option(entries.get((s, dir)))
+    }
+    def getOrBuild(s: SparkSession, dir: String)(build: => T): T =
+      cached(s, dir).getOrElse {
+        val v = build
+        Option(entries.putIfAbsent((s, dir), v)).getOrElse(v)
+      }
+    def clear(): Unit = entries.clear()
+  }
+
+  private val fittedModels = new SessionDirMemo[KMeans.Model]
 
   /** Fitted IVF model memo, one per (session, scale dir) — exactly the
     * production pattern (a coarse quantizer is fit once and reused by
-    * every query) and the dd6 pair-graph discipline: the fit is
-    * bit-deterministic, the model is k×dim floats of plain driver state
-    * (nothing persisted on executors, so no listener lifecycle needed),
-    * and entries of stopped sessions are swept on access. Same staleness
-    * contract as dd6's memo: `dir` is immutable for the session's life. */
-  private def cachedModel(s: SparkSession, dir: String, e: DataFrame): KMeans.Model = {
-    fittedModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    // the multi-job fit runs OUTSIDE computeIfAbsent — holding a CHM bin
-    // lock for seconds of Spark jobs would serialize unrelated sessions
-    // (the same discipline as dd6's pair-graph cache); a rare concurrent
-    // duplicate fit is harmless, the fit is deterministic
-    val key = (s, dir)
-    Option(fittedModels.get(key)).getOrElse {
-      val m = KMeans.fit(e.select(col("vec_id"), col("embedding")),
+    * every query); the model is k×dim floats of plain driver state
+    * (nothing persisted on executors, so no listener lifecycle needed).
+    * Caching contract: [[SessionDirMemo]]. */
+  private def cachedModel(s: SparkSession, dir: String, e: DataFrame): KMeans.Model =
+    fittedModels.getOrBuild(s, dir) {
+      KMeans.fit(e.select(col("vec_id"), col("embedding")),
         k = ivfCellsFor(e), maxIters = 5)
-      Option(fittedModels.putIfAbsent(key, m)).getOrElse(m)
     }
-  }
 
   /** Drop all memoized IVF models and persisted-index handles (tests /
     * after rewriting a dir). */
@@ -596,39 +659,26 @@ object Similarity {
     pqIndexes.clear(); ivfPqIndexes.clear(); indexBuildLocks.clear()
   }
 
-  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), ProductQuantizer.Model]()
+  private val pqModels = new SessionDirMemo[ProductQuantizer.Model]
 
-  /** PQ model memo — same contract as [[cachedModel]] (deterministic
-    * fit, k·dim driver floats, stopped-session sweep, fit outside the
-    * CHM bin lock). */
+  /** PQ model memo — [[SessionDirMemo]] contract (deterministic fit,
+    * k·dim driver floats). */
   private def cachedPqModel(s: SparkSession, dir: String,
-                            e: DataFrame): ProductQuantizer.Model = {
-    pqModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    val key = (s, dir)
-    Option(pqModels.get(key)).getOrElse {
-      val m = ProductQuantizer.fit(e.select(col("vec_id"), col("embedding")))
-      Option(pqModels.putIfAbsent(key, m)).getOrElse(m)
+                            e: DataFrame): ProductQuantizer.Model =
+    pqModels.getOrBuild(s, dir) {
+      ProductQuantizer.fit(e.select(col("vec_id"), col("embedding")))
     }
-  }
 
-  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), IvfPq.Model]()
+  private val ivfPqModels = new SessionDirMemo[IvfPq.Model]
 
-  /** IVF-PQ model memo — same contract as [[cachedModel]] (deterministic
-    * fits, driver-float model state, stopped-session sweep, fit outside
-    * the CHM bin lock). Coarse cell count comes from the same
-    * [[IvfCellTiers]] geometry as ss4. */
+  /** IVF-PQ model memo — [[SessionDirMemo]] contract. Coarse cell count
+    * comes from the same [[IvfCellTiers]] geometry as ss4. */
   private def cachedIvfPqModel(s: SparkSession, dir: String,
-                               e: DataFrame): IvfPq.Model = {
-    ivfPqModels.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    val key = (s, dir)
-    Option(ivfPqModels.get(key)).getOrElse {
-      val m = IvfPq.fit(e.select(col("vec_id"), col("embedding")),
+                               e: DataFrame): IvfPq.Model =
+    ivfPqModels.getOrBuild(s, dir) {
+      IvfPq.fit(e.select(col("vec_id"), col("embedding")),
         cells = ivfCellsFor(e))
-      Option(ivfPqModels.putIfAbsent(key, m)).getOrElse(m)
     }
-  }
 
   // -- persisted ANN indexes (ss8/ss9 serving path) -----------------------
 
@@ -674,10 +724,8 @@ object Similarity {
   private def indexComplete(lake: graft.lake.LakeClient, path: String): Boolean =
     lake.pathStatus(IndexFs, s"$path/codes/_SUCCESS").isDefined
 
-  private val pqIndexes = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, ProductQuantizer.Model)]()
-  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, IvfPq.Model)]()
+  private val pqIndexes = new SessionDirMemo[(DataFrame, ProductQuantizer.Model)]
+  private val ivfPqIndexes = new SessionDirMemo[(DataFrame, IvfPq.Model)]
 
   /** Per-PHYSICAL-TARGET build locks for the index memos, keyed by
     * (resolved root, index path) — NOT by session: two sessions in one
@@ -721,23 +769,19 @@ object Similarity {
     * bit-deterministic — same dir ⇒ same bits. Rebuild = delete the
     * index directory first. */
   private def cachedPqIndex(s: SparkSession, dir: String,
-                            e: DataFrame): (DataFrame, ProductQuantizer.Model) = {
-    pqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    val key = (s, dir)
-    Option(pqIndexes.get(key)).getOrElse {
+                            e: DataFrame): (DataFrame, ProductQuantizer.Model) =
+    pqIndexes.getOrBuild(s, dir) {
       val root = indexRoot(s)
       val path = indexPath(dir, "pq")
       indexBuildLock(root, path).synchronized {
-        Option(pqIndexes.get(key)).getOrElse {
+        pqIndexes.cached(s, dir).getOrElse {
           val lake = graft.lake.LakeClient.local(root)
           if (!indexComplete(lake, path))
             AnnIndex.writePq(lake, IndexFs, path, indexCorpus(e), cachedPqModel(s, dir, e))
-          val idx = AnnIndex.readPq(s, lake, IndexFs, path)
-          Option(pqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+          AnnIndex.readPq(s, lake, IndexFs, path)
         }
       }
     }
-  }
 
   /** Persisted IVF-PQ index memo — [[cachedPqIndex]]'s contract, plus
     * the cell layout: the coded table is written PARTITIONED BY CELL,
@@ -745,24 +789,20 @@ object Similarity {
     * (AnnIndexSpec asserts the PartitionFilters on this exact serving
     * path). */
   private def cachedIvfPqIndex(s: SparkSession, dir: String,
-                               e: DataFrame): (DataFrame, IvfPq.Model) = {
-    ivfPqIndexes.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    val key = (s, dir)
-    Option(ivfPqIndexes.get(key)).getOrElse {
+                               e: DataFrame): (DataFrame, IvfPq.Model) =
+    ivfPqIndexes.getOrBuild(s, dir) {
       val root = indexRoot(s)
       val path = indexPath(dir, "ivfpq")
       indexBuildLock(root, path).synchronized {
-        Option(ivfPqIndexes.get(key)).getOrElse {
+        ivfPqIndexes.cached(s, dir).getOrElse {
           val lake = graft.lake.LakeClient.local(root)
           if (!indexComplete(lake, path))
             AnnIndex.writeIvfPq(lake, IndexFs, path, indexCorpus(e),
               cachedIvfPqModel(s, dir, e))
-          val idx = AnnIndex.readIvfPq(s, lake, IndexFs, path)
-          Option(ivfPqIndexes.putIfAbsent(key, idx)).getOrElse(idx)
+          AnnIndex.readIvfPq(s, lake, IndexFs, path)
         }
       }
     }
-  }
 
   /** ss9_ivfpq_topk — the full production ANN composition ([[IvfPq]],
     * FAISS's IVFADC): coarse cells route the query to [[IvfNProbe]]
@@ -1031,17 +1071,6 @@ object Similarity {
     * corpus lands on it (the lshNeardupGeom convention). */
   private[graft] def knnJoinGeom(e00: DataFrame, k: Int, dim: Int,
                                  geom: Option[(Int, Int)]): DataFrame = {
-    VectorFunctions.ensureRegistered(e00.sparkSession)
-    // coalesce(assert_true(..)) -> true: a filter the optimizer cannot
-    // prune, throwing on the first wrong-dimension row; NULL embeddings
-    // (missing values) drop first per the lshNeardupPairs contract
-    val e0 = e00.where(col("embedding").isNotNull)
-      .where(coalesce(
-      assert_true(size(col("embedding")) === dim,
-        lit(s"knnJoin: embedding dimension must be $dim")), lit(true)))
-      // zero-norm degenerates flood one bucket per table (see
-      // lshNeardupPairs) and can never rank — drop before bucketing
-      .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     // many short tables, not few long ones, at small N: kNN needs recall
     // for moderate-cosine neighbors (p_match = 1-(1-p_bit^bits)^tables,
     // p_bit ~ .6 for cos ~.3) — 16x4 gives ~.9 where 4x8 gives ~.08. At
@@ -1050,83 +1079,13 @@ object Similarity {
       val t = KnnLshTiers.find(estRowsOf(e00) < _._1).getOrElse(KnnLshTiers.last)
       (t._2, t._3)
     }
-    require(tables * bits <= 64, s"kNN geometry ($tables x $bits) does not pack into 64 bits")
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
-    val bucketCols = planes.map { tbl =>
-      tbl.zipWithIndex.map { case (plane, b) =>
-        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
-        when(proj >= 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    // Join-time dedup instead of distinct(): all `tables` bits-wide
-    // buckets pack into ONE long per vector (tables*bits = 64), and a
-    // pair is kept ONLY in the first table where the two signatures
-    // collide. "No earlier table collides" is pure integer work on the
-    // packed XOR: collapse each bits-wide group to its OR'd low bit,
-    // then demand every group-bit below this table is set. A handful of
-    // codegen'd long ops per joined row, no allocation — whereas the
-    // round-1 distinct() was a full extra shuffle of the multi-table
-    // candidate explosion (tables x bucket^2 rows), and an array-slice
-    // formulation of the same rule measured slower than the distinct.
-    val packedSig = bucketCols.zipWithIndex
-      .map { case (b, t) => shiftleft(b, bits * t) }
-      .reduce((x, y) => x.bitwiseOR(y))
-    // Embeddings travel THROUGH the bucket join (the exploded table is
-    // only N x tables rows, so shuffling the vectors there is cheap);
-    // cosine is computed inline on the joined rows, and only slim
-    // (vec_id, nbr_id, cos) rows reach the top-k window shuffle. The
-    // round-1 shape instead re-joined the multi-million-pair candidate
-    // set against the embeddings TWICE — two shuffles of 256-byte arrays
-    // keyed by a huge pair table.
-    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
-    val banded = e0
-      .select(col("vec_id"), col("embedding"), packedSig.as("sig"),
-        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
-        posexplode(array((0 until tables).map(t =>
-          shiftright(col("sig"), bits * t).bitwiseAND(lit(bucketMask))): _*))
-          .as(Seq("table", "bucket")))
-    // one marker bit at the bottom of each bits-wide group
-    val groupBits = lit {
-      var m = 0L; var i = 0
-      while (i < 64) { m |= 1L << i; i += bits }
-      m
-    }
-    val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
-    // log-shift OR-fold: low bit of each group = OR of the whole group
-    val collapsed = Iterator.iterate(1)(_ * 2).takeWhile(_ < bits)
-      .foldLeft(xorSig)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh)))
-      .bitwiseAND(groupBits)
-    val earlierMask = groupBits.bitwiseAND(
-      expr(s"shiftleft(CAST(1 AS BIGINT), table * $bits)") - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    // Size-adaptive join strategy: when the exploded table (N x tables
-    // rows) fits in a broadcast, a broadcast hash join keeps the whole
-    // candidate pipeline — signature, explode, probe, dedup filter, dot
-    // product — in ONE whole-stage-codegen pass with no sort and no
-    // per-output-row copies (the sort-merge join materializes every
-    // joined row, copying both 256-byte embeddings). The decision is by
-    // BYTES from the optimizer's plan statistics (file-size based for a
-    // parquet scan) — estimating the exploded side as `tables` x the base
-    // relation — so building the query launches NO job (the round-2
-    // `e.count()` probe ran a full corpus scan per construction) and a
-    // row-blind threshold can't smuggle a multi-GB corpus into the
-    // driver. Above the cap the shuffled bucket join with log(N)-scaled
-    // `bits` is the plan, and AQE may still convert it back to broadcast
-    // if runtime sizes allow.
-    val explodedBytes =
-      e00.queryExecution.optimizedPlan.stats.sizeInBytes * tables
-    val probeSide =
-      if (explodedBytes <= MaxKnnBroadcastBytes) broadcast(banded.as("b"))
-      else banded.as("b")
-    banded.as("a").join(probeSide, Seq("table", "bucket"))
-      .where(col("a.vec_id") =!= col("b.vec_id"))
-      .where(collapsed.bitwiseAND(earlierMask) === earlierMask)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        VectorFunctions.round3(try_divide(VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")),
-          col("a.nrm") * col("b.nrm"))).as("cos"))
+    // stride = bits: the kNN tiers pack tables×bits = 64 exactly, every
+    // lane full. Only slim (vec_id, nbr_id, cos) rows reach the top-k
+    // window shuffle.
+    lshCollisionPairs(e00, dim, tables, bits, stride = bits,
+        opName = "knnJoin", unorderedPairs = false)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rk"))

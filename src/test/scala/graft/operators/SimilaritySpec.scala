@@ -346,6 +346,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf > 0, "an 8-dim corpus must produce IVF pairs, not silence")
   }
 
+  test("ss4From's dim probe is deterministic: the min-vec_id row wins on a mixed-dim corpus") {
+    import spark.implicits._
+    // head(1) made the probed dim depend on partition/row order (r15
+    // ADVICE); min_by(size, vec_id) pins it to the min-vec_id row, so
+    // which rows a mixed-dim corpus excludes cannot change with layout
+    val rnd = new scala.util.Random(6)
+    val eight = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val mixed = Seq((0L, eight), (1L, eight.map(_ + 0.001f))) ++
+      (2L to 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // repartition scrambles physical row order; the probe must still
+    // pick vec_id 0's dimension (8), excluding every 64-dim row
+    val e = mixed.toDF("vec_id", "embedding").repartition(7)
+    val got = Similarity.ss4From(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "the 8-dim near-dup pair must surface")
+    assert(got.forall { case (a, b) => a <= 1 && b <= 1 },
+      s"only the 8-dim rows are assignable under the probed dim, got $got")
+  }
+
   test("the IVF broadcast gate refuses a statless plan instead of overflowing into it") {
     import spark.implicits._
     // an RDD-backed (statless) plan estimates sizeInBytes at
