@@ -28,6 +28,11 @@ package graft
   * on every full r14 attempt): a probe >1.3× the launch anchor means
   * someone else is computing between passes, and the bench waits it out
   * under a bounded budget, stamping `waited_s` into the pass record.
+  * Round 16: a daemon sampler additionally stamps the cpu probe every
+  * ~20 s DURING passes into `timeline` (with the running pass/query),
+  * because boundary stamps provably miss a burst that starts and ends
+  * inside one multi-minute pass — three rounds of official artifacts
+  * were convicted only statistically with every boundary stamp quiet.
   *
   * Every run self-persists TWICE: `bench/latest.json` (the most recent
   * artifact) and `bench/history/<generated_unix_ms>.json` — append-only,
@@ -94,14 +99,52 @@ object Bench {
       SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
         .toSeq.sortBy(_._1)
 
-    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+    // what the run is doing right now, for the sampler's attribution
+    // (AtomicReference, not a local @volatile — captured locals lower to
+    // plain Ref cells with no cross-thread visibility guarantee)
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("-")
+    val currentPass = new java.util.concurrent.atomic.AtomicReference("launch")
+
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      currentQuery.set(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
+      } finally { currentQuery.set("-") }
     }
+
+    // Mid-pass contention sampler (round 16 — VERDICT r15 #2): the pass
+    // boundary stamps provably miss a burst that starts and ends INSIDE
+    // a multi-minute pass (the host's documented ~10-15 min co-tenant
+    // cycle fits; three rounds of official artifacts were convicted only
+    // statistically, every boundary stamp quiet). A daemon thread now
+    // samples the single-thread cpu probe every ~20 s for the whole
+    // timed window and stamps (t_s, cpu_s, pass, query) into the
+    // artifact's `timeline`, so a contended_queries flag is attributable
+    // to a time-localized burst from the artifact alone. Reading rule:
+    // in-pass samples are SELF-loaded (the bench's own 32 threads
+    // time-slice the probe), so only spikes vs the run's own in-pass
+    // distribution convict — compare within the run, not to the quiet
+    // between-pass level. Cost: ~1 s of one core per 20 s (0.16% of the
+    // box), identical in every pass, so warm-min comparability holds.
+    val runT0 = System.nanoTime()
+    val timeline = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val samplerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (!samplerStop.get()) {
+        Thread.sleep(20000)
+        if (!samplerStop.get()) {
+          val c = Calibration.calCpu()
+          val t = (System.nanoTime() - runT0) / 1e9
+          timeline.add(s"""{"t_s":${fmt(t)},"cpu_s":${fmt(c)},""" +
+            s""""pass":${jstr(currentPass.get())},"q":${jstr(currentQuery.get())}}""")
+        }
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
 
     // one box-state reading per pass (single sample — the pass itself is
     // the workload; cal3's warmup minima are only needed at the anchors)
@@ -118,10 +161,30 @@ object Bench {
     // bandwidth-shaped co-tenant post-hoc, which is what the r14
     // degraded run lacked.
     val calPasses = scala.collection.mutable.ArrayBuffer[String]()
-    var minInRunCpu = Double.MaxValue // seeded by the cold-pass stamp
+    // Gate reference (round 16 — r15 ADVICE low 3 + VERDICT #2): was a
+    // monotonic all-run min, which let one anomalously fast early probe
+    // (or a box that legitimately slows mid-run) tighten the 1.3x gate
+    // permanently and burn the full wait budget before every remaining
+    // pass. Now the min over the LAST FOUR in-run samples, capped from
+    // above by 1.25x the fresh-idle launch anchor — the cap is the
+    // anti-under-gate backstop: a contended LAUNCH inflates the
+    // cold-pass stamp, and an inflated reference gates nothing (quiet
+    // in-run samples read the measured ~1.25x of the min-of-3 anchor,
+    // NOTES r15, so the cap sits at the quiet in-run level, not below
+    // it). After a budget-exhausted wait the reference RESETS to the
+    // observed regime (cap dropped, window cleared) so one persistent
+    // shift — thermals, a parked co-tenant — costs at most one budget,
+    // not one per remaining pass; resets are counted in the artifact
+    // (`gate_resets`) and the timeline stamps still convict.
+    val gateSamples = scala.collection.mutable.Queue[Double]()
+    var gateAnchorCap: Option[Double] = Some(1.25 * calCpuStart)
+    var gateResets = 0
+    def gateRef: Double =
+      (gateSamples.toSeq ++ gateAnchorCap).foldLeft(Double.MaxValue)(math.min)
     def stampPass(label: String, waitedS: Int = 0,
                   cpuS: Double = Calibration.calCpu()): Unit = {
-      minInRunCpu = math.min(minInRunCpu, cpuS)
+      gateSamples.enqueue(cpuS)
+      if (gateSamples.size > 4) { gateSamples.dequeue(); () }
       calPasses +=
         s"""{"pass":${jstr(label)},"cpu_s":${fmt(cpuS)},""" +
           s""""cpu_mt_s":${fmt(Calibration.calCpuMt())},""" +
@@ -157,14 +220,23 @@ object Bench {
       var waited = 0
       def sample2() = math.min(Calibration.calCpu(), Calibration.calCpu())
       var probe = sample2()
-      while (probe > passGateRatio * minInRunCpu && waited < passGateBudgetS) {
+      while (probe > passGateRatio * gateRef && waited < passGateBudgetS) {
         println(f"pass-gate: cpu probe $probe%.2f s > $passGateRatio%.1fx " +
-          f"in-run reference ${minInRunCpu}%.2f s — waiting (${waited}s of " +
+          f"in-run reference ${gateRef}%.2f s — waiting (${waited}s of " +
           s"${passGateBudgetS}s budget)")
         Thread.sleep(30000); waited += 30
         probe = sample2()
       }
-      minInRunCpu = math.min(minInRunCpu, probe)
+      if (probe > passGateRatio * gateRef) {
+        // budget exhausted while still elevated: adopt the observed
+        // level as the new reference regime (see gateRef comment) — the
+        // next stampPass seeds the window with this probe
+        gateResets += 1
+        gateAnchorCap = None
+        gateSamples.clear()
+        println(f"pass-gate: budget exhausted at probe $probe%.2f s — " +
+          "reference reset to the observed regime (gate_resets stamps it)")
+      }
       (waited, probe)
     }
 
@@ -179,11 +251,12 @@ object Bench {
     val (cold: Map[String, Either[String, Double]],
          warmPasses: Seq[Map[String, Either[String, Double]]]) =
       if (protocol == "query-major") {
+        currentPass.set("query-major")
         val per = order.map { case (name, fn) =>
-          val c = once(fn)
+          val c = once(name, fn)
           val ws = (1 to 3).map { _ =>
             if (c.isLeft) Left("cold run failed"): Either[String, Double]
-            else once(fn)
+            else once(name, fn)
           }
           name -> ((c, ws))
         }.toMap
@@ -191,20 +264,25 @@ object Bench {
         (per.map { case (k, v) => k -> v._1 },
           (0 to 2).map(i => per.map { case (k, v) => k -> v._2(i) }))
       } else {
+        currentPass.set("cold")
         val c: Map[String, Either[String, Double]] =
-          order.map { case (name, fn) => name -> once(fn) }.toMap
+          order.map { case (name, fn) => name -> once(name, fn) }.toMap
         stampPass("cold") // post-pass: the bursts must not precede timed work
         val ws = (1 to 3).map { p =>
+          currentPass.set(s"gate$p")
           val (gateWaited, gateProbe) = passGate()
+          currentPass.set(s"warm$p")
           val m = order.map { case (name, fn) =>
             name -> (if (c(name).isLeft) Left("cold run failed"): Either[String, Double]
-                     else once(fn))
+                     else once(name, fn))
           }.toMap
           stampPass(s"warm$p", gateWaited, gateProbe)
           m
         }
         (c, ws)
       }
+    samplerStop.set(true) // timed window over; end anchors run unsampled
+    currentPass.set("end")
 
     val results: Seq[(String, (Either[String, Double], Either[String, Seq[Double]]))] =
       order.map { case (name, _) =>
@@ -285,13 +363,16 @@ object Bench {
       s""""load_gate":{"bar":$loadGateBar,"start_load":${fmt(gateStartLoad)},""" +
       s""""waited_s":$gateWaitedS,"launch_load":${fmt(gateEndLoad)},""" +
       s""""degraded":$gateDegraded},""" +
-      s""""passes":[${calPasses.mkString(",")}]}"""
+      s""""gate_resets":$gateResets,""" +
+      s""""passes":[${calPasses.mkString(",")}],""" +
+      s""""timeline":[${scala.jdk.CollectionConverters
+        .IteratorHasAsScala(timeline.iterator()).asScala.mkString(",")}]}"""
     val headline = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(warmMin)},""" +
       s""""errors":$errorsJson,"total_median":${fmt(totalMedian)},"spread":${fmt(spread)},""" +
       s""""contended":$contended,"contended_queries":$contendedQueriesJson,""" +
       s""""calibration":$calibration,""" +
       s""""protocol":${jstr(protocol)},""" +
-      s""""methodology":"$protocol sampling${if (protocol == "query-major") " (RETIRED r12 protocol, kept as the lineage-A/B seam; official artifacts are run-major)" else ": pass1=cold over whole suite, passes2-4=warm over whole suite (one query's warm samples minutes apart, so min() discards any single burst)"}; warm=min(pass2..4);median=median(pass2..4);contended_queries=per-query median/min>2 (skipped under 0.1 s);contended=total_median/total>1.3;calibration=min-of-3 fixed probes at start/end + post-pass cpu/mt/mem/load stamps + load-gated launch${if (protocol == "query-major") "" else " + cpu-probe-gated warm passes (min-of-2 probe>1.3x min in-run sample waits bounded; waited_s per pass)"}",""" +
+      s""""methodology":"$protocol sampling${if (protocol == "query-major") " (RETIRED r12 protocol, kept as the lineage-A/B seam; official artifacts are run-major)" else ": pass1=cold over whole suite, passes2-4=warm over whole suite (one query's warm samples minutes apart, so min() discards any single burst)"}; warm=min(pass2..4);median=median(pass2..4);contended_queries=per-query median/min>2 (skipped under 0.1 s);contended=total_median/total>1.3;calibration=min-of-3 fixed probes at start/end + post-pass cpu/mt/mem/load stamps + load-gated launch${if (protocol == "query-major") "" else " + cpu-probe-gated warm passes (min-of-2 probe>1.3x rolling in-run reference (last-4 samples, capped 1.25x launch anchor, reset on exhausted budget) waits bounded; waited_s per pass) + ~20s in-pass cpu timeline with pass/query attribution"}",""" +
       s""""sf":"$sfDir"}"""
     println(headline)
     // self-persist the COMPLETE artifact repo-side (round 12), and
