@@ -95,8 +95,7 @@ object Calibration {
     // burst instead of an OOM; the bench/smoke JVMs never clamp at the
     // pinned geometry, so artifact readings stay cross-run comparable.
     // A clamped reading is NOT comparable — the stdout note marks it.
-    val heapCapMb = (Runtime.getRuntime.maxMemory() / 4 / width / (1024L * 1024)).toInt
-    val effMb = math.max(4, math.min(mb, heapCapMb))
+    val effMb = memBurstMb(mb, width, Runtime.getRuntime.maxMemory())
     if (effMb != mb)
       println(s"calMemMt: burst clamped to $effMb MiB/thread by heap — reading not cross-comparable")
     val longsPerThread = effMb * 1024 * 1024 / 8
@@ -133,6 +132,17 @@ object Calibration {
     * the 96 GiB bench heap. */
   private val memBurstArrays =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  /** Effective per-thread burst MiB for [[calMemMt]] — all-Long
+    * arithmetic because maxMemory() is Long.MaxValue on an unbounded
+    * JVM, where an early toInt would wrap (possibly negative) and
+    * silently shrink the burst to the floor. The 4 MiB floor applies
+    * only when the HEAP forces a clamp — an explicit small `mb` (spec
+    * calls) is honored as asked. */
+  private[graft] def memBurstMb(mb: Int, width: Int, maxMemory: Long): Int = {
+    val heapCapMb: Long = maxMemory / 4 / width / (1024L * 1024)
+    math.min(mb.toLong, math.max(4L, heapCapMb)).toInt
+  }
 
   /** Fixed 32-partition Spark job, seconds. The mod keeps the ANSI sum
     * far from long overflow (50M × ±512). */

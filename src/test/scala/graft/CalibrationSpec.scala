@@ -22,6 +22,19 @@ class CalibrationSpec extends AnyFunSuite {
     assert(s > 0.0 && java.lang.Double.isFinite(s))
   }
 
+  test("memBurstMb clamps by heap without Int wrap and honors explicit small sizes") {
+    // unbounded JVM: maxMemory() = Long.MaxValue — an early toInt wrapped
+    // (possibly negative) and silently shrank the pinned 32 MiB burst to
+    // the 4 MiB floor, making the reading non-comparable with no note
+    assert(Calibration.memBurstMb(32, 32, Long.MaxValue) === 32)
+    // small heap: clamp engages, floor holds
+    assert(Calibration.memBurstMb(32, 32, 512L * 1024 * 1024) === 4)
+    // 96 GiB bench heap at width 32 (cap 768 MiB/thread): never clamps
+    assert(Calibration.memBurstMb(32, 32, 96L * 1024 * 1024 * 1024) === 32)
+    // a spec's explicit tiny burst is honored, not floored up to 4
+    assert(Calibration.memBurstMb(2, 32, Long.MaxValue) === 2)
+  }
+
   test("full-width wall is bounded below by the single-thread wall for the same per-thread work") {
     // calCpuMt gives EVERY thread the full `iters`, so even under
     // perfect scaling the wall cannot materially beat one thread
