@@ -161,30 +161,34 @@ object Bench {
     // bandwidth-shaped co-tenant post-hoc, which is what the r14
     // degraded run lacked.
     val calPasses = scala.collection.mutable.ArrayBuffer[String]()
-    // Gate reference (round 16 — r15 ADVICE low 3 + VERDICT #2): was a
-    // monotonic all-run min, which let one anomalously fast early probe
-    // (or a box that legitimately slows mid-run) tighten the 1.3x gate
-    // permanently and burn the full wait budget before every remaining
-    // pass. Now the min over the LAST FOUR in-run samples, capped from
-    // above by 1.25x the fresh-idle launch anchor — the cap is the
-    // anti-under-gate backstop: a contended LAUNCH inflates the
-    // cold-pass stamp, and an inflated reference gates nothing (quiet
-    // in-run samples read the measured ~1.25x of the min-of-3 anchor,
-    // NOTES r15, so the cap sits at the quiet in-run level, not below
-    // it). After a budget-exhausted wait the reference RESETS to the
-    // observed regime (cap dropped, window cleared) so one persistent
+    // Gate reference (round 16 — r15 ADVICE low 3 + VERDICT #2): the
+    // min over this run's in-run samples, capped from above by 1.25x
+    // the fresh-idle launch anchor — the cap is the anti-under-gate
+    // backstop: a contended LAUNCH inflates the cold-pass stamp, and
+    // an inflated reference gates nothing (quiet in-run samples read
+    // the measured ~1.25x of the min-of-3 anchor, NOTES r15, so the
+    // cap sits at the quiet in-run level, not below it). The ADVICE's
+    // stale-minimum hazard (one anomalously fast early probe gating
+    // every later pass) is bounded by the RESET, not a rolling window
+    // — a run only ever holds four samples, so a window cannot roll:
+    // after a budget-exhausted wait the reference resets to the
+    // observed regime (cap dropped, samples cleared) so one persistent
     // shift — thermals, a parked co-tenant — costs at most one budget,
     // not one per remaining pass; resets are counted in the artifact
     // (`gate_resets`) and the timeline stamps still convict.
-    val gateSamples = scala.collection.mutable.Queue[Double]()
+    val gateSamples = scala.collection.mutable.ArrayBuffer[Double]()
     var gateAnchorCap: Option[Double] = Some(1.25 * calCpuStart)
     var gateResets = 0
     def gateRef: Double =
       (gateSamples.toSeq ++ gateAnchorCap).foldLeft(Double.MaxValue)(math.min)
     def stampPass(label: String, waitedS: Int = 0,
                   cpuS: Double = Calibration.calCpu()): Unit = {
-      gateSamples.enqueue(cpuS)
-      if (gateSamples.size > 4) { gateSamples.dequeue(); () }
+      // label the stamp window for the sampler: the mt/mem bursts below
+      // saturate every core for ~1.5 s, and a sampler tick landing
+      // inside them must not read as an in-pass co-tenant spike
+      // attributed to the just-finished pass
+      currentPass.set(s"stamp:$label")
+      gateSamples += cpuS
       calPasses +=
         s"""{"pass":${jstr(label)},"cpu_s":${fmt(cpuS)},""" +
           s""""cpu_mt_s":${fmt(Calibration.calCpuMt())},""" +

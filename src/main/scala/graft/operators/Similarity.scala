@@ -535,28 +535,45 @@ object Similarity {
     * estimated corpus rows ([[IvfCellTiers]]) so per-cell population —
     * and the within-cell self-join — stays bounded as N grows. No
     * oracle (approximate): rows-only check. */
-  def ss4AnnIvf(s: SparkSession, dir: String): DataFrame =
-    ss4From(Tables.embeddings(s, dir))
-
-  /** Seeded-centroid IVF over an arbitrary embedding DataFrame. The
-    * seeded-centroid dimensionality is probed from the corpus (one
-    * tiny aggregate job at construction — the fitted variant already
-    * runs fit jobs by documented exception): hardcoding the house 64
-    * made every non-64-dim corpus SILENTLY EMPTY, because per-row
-    * dim-mismatch is the documented "unassignable row" tolerance and
-    * a whole-corpus mismatch dropped every row without an error.
-    * The probe is DETERMINISTIC — the dimension of the minimum-vec_id
-    * row (min_by), not whichever row head(1) surfaces first — so on a
-    * mixed-dim corpus the chosen dim (and therefore which rows are
-    * excluded under the per-row contract) cannot change with partition
-    * layout or row order between runs (round-16, r15 ADVICE). */
-  def ss4From(e: DataFrame): DataFrame = {
+  def ss4AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    // the probed dim is constant per (session, dir) — memoize it so
+    // repeated construction (four bench passes, pipeline re-entry) pays
+    // the one-aggregate probe once per JVM, not once per call
+    val e = Tables.embeddings(s, dir)
     val cells = ivfCellsFor(e)
-    val dim = e.where(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val dim = probedDims.getOrBuild(s, dir)(probeDim(e))
+    ss4Seeded(e, cells, ivfNProbeFor(cells), dim)
+  }
+
+  private val probedDims = new SessionDirMemo[Int]
+
+  /** Deterministic corpus dimension probe: the dimension of the
+    * minimum-vec_id row with a non-null non-empty embedding (min_by),
+    * NOT whichever row head(1) surfaces first — so on a mixed-dim
+    * corpus the chosen dim (and therefore which rows are excluded
+    * under the per-row contract) cannot change with partition layout
+    * or row order between runs (round-16, r15 ADVICE). One aggregate
+    * scan of (vec_id, size(embedding)); the (s, dir) entries memoize
+    * it ([[probedDims]]), arbitrary-frame callers pay it per call. */
+  private def probeDim(e: DataFrame): Int =
+    e.where(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(min_by(size(col("embedding")), col("vec_id")).as("d"))
       .head(1).headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
       .getOrElse(64)
-    ss4Seeded(e, cells, ivfNProbeFor(cells), dim)
+
+  /** Seeded-centroid IVF over an arbitrary embedding DataFrame. The
+    * seeded-centroid dimensionality is probed from the corpus
+    * ([[probeDim]] — one aggregate job at construction; the fitted
+    * variant already runs fit jobs by documented exception):
+    * hardcoding the house 64 made every non-64-dim corpus SILENTLY
+    * EMPTY, because per-row dim-mismatch is the documented
+    * "unassignable row" tolerance and a whole-corpus mismatch dropped
+    * every row without an error. The (session, dir) entry
+    * [[ss4AnnIvf]] memoizes the probe; this arbitrary-frame face pays
+    * it per call. */
+  def ss4From(e: DataFrame): DataFrame = {
+    val cells = ivfCellsFor(e)
+    ss4Seeded(e, cells, ivfNProbeFor(cells), probeDim(e))
   }
 
   /** Deterministic seeded coarse centroids (the oracle-free stand-in
@@ -657,6 +674,7 @@ object Similarity {
   def clearModelCache(): Unit = {
     fittedModels.clear(); pqModels.clear(); ivfPqModels.clear()
     pqIndexes.clear(); ivfPqIndexes.clear(); indexBuildLocks.clear()
+    probedDims.clear()
   }
 
   private val pqModels = new SessionDirMemo[ProductQuantizer.Model]
