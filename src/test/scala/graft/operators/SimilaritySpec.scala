@@ -197,6 +197,30 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ss6 == truth, "ss6_knn_exact must equal the brute-force top-k set")
   }
 
+  test("knnJoinGeom emits each neighbor at most once per query under all-table collisions") {
+    import spark.implicits._
+    // the kNN stride of the shared lshCollisionPairs kernel (stride =
+    // bits, every lane full) — the direct analogue of the pair route's
+    // 12-bit dedup test: clusters of near-identical vectors collide in
+    // EVERY table, exactly where a first-collision rule with a
+    // miscomputed earlier-mask would emit a (query, neighbor) pair once
+    // per colliding table; the per-query window would then rank the
+    // same nbr_id at several rk values
+    VectorFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val e = (0 until 40).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 5).map(i => (c.toLong * 5 + i,
+        center.map(x => x + 0.0001f * i): Seq[Float]))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.knnJoinGeom(e, k = 10, 64, Some((16, 4))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.length == out.distinct.length,
+      "join-time first-collision dedup emitted a duplicate (query, neighbor) pair")
+  }
+
   test("kNN tier geometries: measured rank-recall per KnnLshTiers row") {
     // every KnnLshTiers geometry gets a recall number against the exact
     // ground truth — the upper tiers never engage at fixture scale, so
