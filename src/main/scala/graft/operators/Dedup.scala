@@ -124,11 +124,23 @@ object Dedup {
     * itself is version-pinned by the spec that constructs the trap and
     * asserts the detector flips (OperatorSemanticsSpec). */
   private[operators] def statsUnmaterialized(docs: DataFrame): Boolean =
-    try docs.queryExecution.optimizedPlan.collectFirst {
+    fencedStatsProbe(docs.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
         if !r.cacheBuilder.isCachedColumnBuffersLoaded => r
-    }.nonEmpty
-    catch { case scala.util.control.NonFatal(e) =>
+    }.nonEmpty)
+
+  /** The exception fence around the internal-API probe, factored out so
+    * the spec can exercise it with a synthetic failure. Catches NonFatal
+    * AND [[LinkageError]]: the most likely Spark-upgrade breakage is a
+    * removed/renamed internal class or method, which surfaces as
+    * NoClassDefFoundError / NoSuchMethodError — LinkageErrors that
+    * NonFatal deliberately excludes, and which previously escaped the
+    * fence and crashed every dd3/dd4 call instead of degrading to the
+    * documented warn-once-and-disable behavior. Genuinely fatal throws
+    * (OOM, interrupts) still propagate. */
+  private[operators] def fencedStatsProbe(probe: => Boolean): Boolean =
+    try probe
+    catch { case e if scala.util.control.NonFatal(e) || e.isInstanceOf[LinkageError] =>
       if (statsProbeBroken.compareAndSet(false, true))
         log.warn("statsUnmaterialized probe broke against this Spark's " +
           s"internal InMemoryRelation API (${e.getClass.getSimpleName}: " +
@@ -857,18 +869,17 @@ object Dedup {
       Tables.documents(s, dir).select(col("doc_id")),
       cachedPairGraph(s, dir))
 
-  private val pairGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Persisted dd4 pair graph per (session, scale dir) — see
+    * [[cachedPairGraph]]. Memo contract: [[SessionDirMemo]]. */
+  private val pairGraphs = new SessionDirMemo[DataFrame]
 
   /** Persisted discriminative-shingle frame per (session, dir): dd3's
     * verification sets, dd4's inverted index and (through dd4) dd6's
     * pair graph all start from the SAME exploded df-cutoff shingles —
     * the window count over `sh` is the single most expensive shared
     * stage, and a pipeline running dd3 -> dd4 -> dd6 was paying it
-    * three times through lineage. Same staleness/eviction contract as
-    * [[cachedPairGraph]]. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * three times through lineage. Memo contract: [[SessionDirMemo]]. */
+  private val shingleFrames = new SessionDirMemo[DataFrame]
 
   /** Sessions that already carry the shutdown-eviction listener: ONE
     * listener per SparkSession however many dirs it clusters (a listener
@@ -876,20 +887,22 @@ object Dedup {
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  private def sweepAndHook(s: SparkSession): Unit = {
-    pairGraphCache.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    shingleCache.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
+  /** Register the shutdown-eviction listener at most once per session —
+    * the memo's access-time sweep only runs if the memo is consulted
+    * again, which a teardown never does. Runs outside any map lock
+    * (SessionDirMemo builds outside the bin lock, so the pair-graph
+    * build re-entering the shingle memo — and both memos' sweeps — no
+    * longer mutate a ConcurrentHashMap from inside its own
+    * computeIfAbsent mapping function, which the CHM spec forbids;
+    * round-16 review finding). */
+  private def hookEviction(s: SparkSession): Unit = {
     evictionHooked.removeIf(_.sparkContext.isStopped)
-    // evict on session shutdown too — the access-time sweep above only
-    // runs if the memo is consulted again, which a teardown never does.
-    // Hooked OUTSIDE computeIfAbsent (no bus registration under the CHM
-    // bin lock) and at most once per session.
     if (evictionHooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          pairGraphCache.keySet().removeIf { case (sess, _) => sess eq s }
-          shingleCache.keySet().removeIf { case (sess, _) => sess eq s }
+          pairGraphs.evictSession(s)
+          shingleFrames.evictSession(s)
           evictionHooked.remove(s)
           ()
         }
@@ -905,11 +918,11 @@ object Dedup {
     * for the fixture dirs); after rewriting data in place, call
     * [[invalidate]] (or [[clearCaches]]) before re-clustering. */
   private def cachedPairGraph(s: SparkSession, dir: String): DataFrame = {
-    sweepAndHook(s)
-    pairGraphCache.computeIfAbsent((s, dir), { _ =>
+    hookEviction(s)
+    pairGraphs.getOrBuildWith(s, dir) {
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    } { df => df.unpersist(false); () }
   }
 
   /** Memoized [[keptShingles]] over the fixture documents of `dir` —
@@ -917,36 +930,32 @@ object Dedup {
     * tokenize + one shuffle on `sh`) is computed once per (session,
     * dir) however many of dd3/dd4/dd6 run. */
   private def cachedKeptShingles(s: SparkSession, dir: String): DataFrame = {
-    sweepAndHook(s)
-    shingleCache.computeIfAbsent((s, dir), { _ =>
+    hookEviction(s)
+    shingleFrames.getOrBuildWith(s, dir) {
       val docs = Tables.documents(s, dir)
       keptShingles(withShingles(docs), shingleDfCap(docs))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    } { df => df.unpersist(false); () }
   }
 
   /** Drop the memoized pair graph + shingle frame for one data dir (call
     * after rewriting the documents under it). */
-  def invalidate(s: SparkSession, dir: String): Unit = {
-    Option(pairGraphCache.remove((s, dir)))
-      .foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () })
-    Option(shingleCache.remove((s, dir)))
-      .foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () })
-  }
+  def invalidate(s: SparkSession, dir: String): Unit =
+    Seq(pairGraphs.remove(s, dir), shingleFrames.remove(s, dir)).foreach(
+      _.foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () }))
 
   /** Drop all memoized pair graphs and shingle frames (tests / session
     * teardown). */
-  def clearCaches(): Unit = {
-    Seq(pairGraphCache, shingleCache).foreach { cache =>
-      cache.forEach { (k, df) =>
-        if (!k._1.sparkContext.isStopped) {
+  def clearCaches(): Unit =
+    Seq(pairGraphs, shingleFrames).foreach { memo =>
+      memo.foreachEntry { (sess, _, df) =>
+        if (!sess.sparkContext.isStopped) {
           try { df.unpersist(false); () }
           catch { case scala.util.control.NonFatal(_) => }
         }
       }
-      cache.clear()
+      memo.clear()
     }
-  }
 
   /** Connected components over an arbitrary precomputed pair graph —
     * callers that already materialized the dd4 pairs (or any other edge

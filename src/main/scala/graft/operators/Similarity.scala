@@ -628,33 +628,8 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** One (session, scale dir) memo — the sweep/get/build/putIfAbsent
-    * discipline all five model/index caches share (was five hand-rolled
-    * copies through round 15; collapsed per the r15 review). The
-    * contract, once: entries of stopped sessions are swept on access;
-    * the build runs OUTSIDE the CHM bin lock (holding a bin lock for
-    * seconds of Spark jobs would serialize unrelated sessions — the
-    * dd6 pair-graph discipline); a rare concurrent duplicate build is
-    * resolved by putIfAbsent (first write wins, the loser adopts it) —
-    * safe because every cached build here is bit-deterministic. Builds
-    * that WRITE files (the persisted indexes) additionally serialize
-    * on [[indexBuildLock]] INSIDE their build and re-check [[cached]]
-    * under it, so one directory is never written twice. Staleness
-    * contract: `dir` is immutable for the session's life. */
-  private final class SessionDirMemo[T] {
-    private val entries =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), T]()
-    def cached(s: SparkSession, dir: String): Option[T] = {
-      entries.keySet().removeIf { case (sess, _) => sess.sparkContext.isStopped }
-      Option(entries.get((s, dir)))
-    }
-    def getOrBuild(s: SparkSession, dir: String)(build: => T): T =
-      cached(s, dir).getOrElse {
-        val v = build
-        Option(entries.putIfAbsent((s, dir), v)).getOrElse(v)
-      }
-    def clear(): Unit = entries.clear()
-  }
+  // The (session, dir) memo discipline lives in [[SessionDirMemo]]
+  // (shared with Dedup's pair-graph/shingle caches since round 16).
 
   private val fittedModels = new SessionDirMemo[KMeans.Model]
 

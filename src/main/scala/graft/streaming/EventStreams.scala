@@ -178,21 +178,43 @@ object EventStreams {
     * sorted by (ts, is_purchase, event_id) — st4's ordering — before
     * folding.
     *
-    * BATCH-DIVERGENCE BOUND: `maxClicks` caps per-user state. If one user
-    * produces more than `maxClicks` clicks inside the attribution band,
-    * the OLDEST in-band clicks are evicted, and a late (in-watermark)
-    * purchase whose true last-touch was an evicted click silently
-    * attributes to a newer click (or nothing) — a deliberate
-    * bounded-state / exactness trade the batch st4 does not make. Cap
-    * evictions (as opposed to watermark pruning) are counted in the
-    * "attribution.capEvictions" spark metric; size the cap to the
-    * heaviest plausible per-user in-band click storm. */
+    * BATCH-DIVERGENCE BOUND — two divergences, one sizeable, one not:
+    * (1) `maxClicks` caps per-user state. If one user produces more than
+    * `maxClicks` clicks inside the attribution band, the OLDEST in-band
+    * clicks are evicted, and a late (in-watermark) purchase whose true
+    * last-touch was an evicted click silently attributes to a newer
+    * click (or nothing) — a deliberate bounded-state / exactness trade
+    * the batch st4 does not make. Cap evictions (as opposed to watermark
+    * pruning) are counted in the "attribution.capEvictions" spark
+    * metric; size the cap to the heaviest plausible per-user in-band
+    * click storm. (2) Append-mode emission is IRREVOCABLE: a purchase is
+    * attributed against the clicks known when its micro-batch runs, so
+    * an in-band click arriving in a LATER micro-batch (event-time before
+    * the purchase, arrival after) cannot retroactively claim it — batch
+    * st4, which sees all rows at once, would. No cap removes this one;
+    * it is inherent to emit-on-arrival streaming (the alternative —
+    * holding every purchase until the watermark passes its band — trades
+    * it for band-length output latency). EventStreamsSpec pins the
+    * behavior (purchase 6 / late click 7). */
+  /** Epoch MICROSECONDS of a [[java.sql.Timestamp]] — Catalyst's native
+    * timestamp precision. `getTime` alone truncates to milliseconds (the
+    * sub-millisecond part lives only in `getNanos`), which mis-ordered
+    * same-millisecond events against batch st4's full-precision sort. */
+  private def epochUs(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   def streamingAttribution(events: DataFrame, watermark: String = "2 hours",
                            maxClicks: Int = 64): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
     import spark.implicits._
-    val bandMs = 30L * 60 * 1000
+    // Catalyst timestamps are MICROSECOND-precision and batch st4 orders
+    // and band-checks at full precision; Timestamp.getTime truncates to
+    // milliseconds and mis-ordered same-millisecond click/purchase pairs
+    // (a purchase 200 us before a click sorted after it and attributed to
+    // the future click). All ordering, band math and state therefore run
+    // in epoch MICROS; only the watermark/timeout API stays in millis.
+    val bandUs = 30L * 60 * 1000 * 1000
     val typed = events
       .withWatermark("ts", watermark)
       .select(col("event_id").as[Long], col("user_id").as[Long],
@@ -216,35 +238,41 @@ object EventStreams {
           // same-instant click sorts before the purchase (st4's
           // (t, is_purchase) rule), ties then by id
           val ordered = rows.toSeq.sortBy(r =>
-            (r._4.getTime, if (r._3 == "purchase") 1 else 0, r._1))
-          var clicks = state.getOption.getOrElse(Nil) // (clickId, clickMs)
+            (epochUs(r._4), if (r._3 == "purchase") 1 else 0, r._1))
+          var clicks = state.getOption.getOrElse(Nil) // (clickId, clickUs)
           val out = ordered.flatMap {
             case (id, _, "click", ts, _) =>
-              val grown = ((id, ts.getTime) :: clicks)
-                .sortBy { case (cid, cms) => (-cms, -cid) }
+              val grown = ((id, epochUs(ts)) :: clicks)
+                .sortBy { case (cid, cus) => (-cus, -cid) }
               if (grown.lengthCompare(maxClicks) > 0)
                 capEvictions.add(grown.size - maxClicks)
               clicks = grown.take(maxClicks)
               None
             case (id, _, "purchase", ts, v) =>
-              val ms = ts.getTime
+              val us = epochUs(ts)
               // newest-first order: the first in-band click is last-touch;
               // equal-ts clicks resolve to the higher id like st4's dedupe
               val attributed = clicks.collectFirst {
-                case (cid, cms) if cms >= ms - bandMs && cms <= ms => cid
+                case (cid, cus) if cus >= us - bandUs && cus <= us => cid
               }
               Some((id, userId, attributed, v))
             case _ => None
           }
           val wm = state.getCurrentWatermarkMs()
-          val kept = clicks.filter { case (_, cms) => cms + bandMs > wm }
+          // the watermark is millis; a click is prunable only once NO
+          // in-watermark purchase can sit in its band — compare in micros
+          // against the watermark's microsecond floor
+          val kept = clicks.filter { case (_, cus) => cus + bandUs > wm * 1000 }
           if (kept.isEmpty) state.remove()
           else {
             state.update(kept)
             // survives until the watermark passes newest-click+band; only
             // then can no in-band, non-late purchase still arrive. Spark
             // requires the timeout to sit above the current watermark.
-            state.setTimeoutTimestamp(math.max(kept.head._2 + bandMs, wm + 1))
+            // The timeout API is millis: round the micro deadline UP so
+            // state never dies a sub-millisecond early.
+            state.setTimeoutTimestamp(
+              math.max(Math.floorDiv(kept.head._2 + bandUs + 999, 1000), wm + 1))
           }
           out.iterator
         }
@@ -274,21 +302,27 @@ object EventStreams {
       .select(col("user_id").as[Long], col("value").as[Double],
         col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-    typed.flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+    // state = (count, sum, lastSeenMs). lastSeenMs — the max event time
+    // EVER seen, not just this batch's max — must persist: a batch of
+    // only late-but-in-watermark events would otherwise re-anchor the
+    // timeout BACKWARD (max of the late batch + idle) and could evict
+    // state before idleTimeout has elapsed past the user's true last
+    // event, silently restarting the lifetime totals from zero.
+    typed.flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
       OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      case (userId, rows, state: GroupState[(Long, Double)]) =>
+      case (userId, rows, state: GroupState[(Long, Double, Long)]) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
-          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          val (n0, sum0, last0) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
           var n = n0; var sum = sum0
-          var lastTs = Long.MinValue
+          var lastTs = last0
           rows.foreach { case (_, v, ts) =>
             n += 1; sum += v
             if (ts.getTime > lastTs) lastTs = ts.getTime
           }
-          state.update((n, sum))
+          state.update((n, sum, lastTs))
           // idle = no events for idleTimeout after the user's LAST SEEN
           // event time (streamingAttribution's anchor-on-data rule — a
           // watermark-anchored timeout would be an absolute 1970 instant

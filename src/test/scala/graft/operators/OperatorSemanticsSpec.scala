@@ -680,6 +680,26 @@ class OperatorSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.shingleDfCap(5000000L) == 1000)
   }
 
+  test("stats-probe fence degrades LinkageError and NonFatal to false; fatal throws propagate") {
+    // A Spark upgrade that removes/renames the internal InMemoryRelation
+    // API surfaces as NoSuchMethodError / NoClassDefFoundError — both
+    // LinkageErrors, which NonFatal excludes. The fence must degrade them
+    // to "no warning" (returning false) exactly like a NonFatal throw,
+    // instead of crashing every dd3/dd4 call (round-16 review finding).
+    assert(!Dedup.fencedStatsProbe(throw new NoSuchMethodError(
+      "org.apache.spark.sql.execution.columnar.CachedRDDBuilder.isCachedColumnBuffersLoaded()")),
+      "LinkageError from the internal probe must degrade to false")
+    assert(!Dedup.fencedStatsProbe(throw new RuntimeException("probe broke")),
+      "NonFatal from the internal probe must degrade to false")
+    // the fence is transparent for a working probe
+    assert(Dedup.fencedStatsProbe(true))
+    assert(!Dedup.fencedStatsProbe(false))
+    // genuinely fatal control throws still propagate
+    intercept[InterruptedException] {
+      Dedup.fencedStatsProbe(throw new InterruptedException("fatal"))
+    }
+  }
+
   test("shingleDfCap: floor at fixture scale, 0.1% of docs above, hard ceiling") {
     // without CBO, plan stats carry only sizeInBytes (8 B/row for range
     // plans), and the estimator divides by the house ~300 B/row — the

@@ -41,6 +41,14 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def ts(minutes: Int): Timestamp =
     Timestamp.valueOf(s"2024-01-01 ${"%02d".format(minutes / 60)}:${"%02d".format(minutes % 60)}:00")
 
+  /** [[ts]] plus `micros` microseconds — sub-millisecond event times
+    * (Catalyst's native precision; the events fixture carries them). */
+  private def tsUs(minutes: Int, micros: Int): Timestamp = {
+    val t = ts(minutes)
+    t.setNanos(micros * 1000)
+    t
+  }
+
   test("streaming tumbling agg: windows close when watermark passes; late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -177,6 +185,73 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(rows == Map(3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None,
       9L -> Some(7L), 10L -> Some(8L), 12L -> Some(13L)))
+    q.stop()
+  }
+
+  test("streaming attribution orders and band-checks at microsecond precision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingAttribution(in.toDF())
+      .writeStream.format("memory").queryName("lasttouch_us")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      // user 11: the click is 500 us AFTER the purchase, same millisecond.
+      // Millisecond truncation sorted the click first (is_purchase=0) and
+      // attributed the purchase to a FUTURE click; batch st4 (full
+      // precision) leaves it unattributed.
+      Ev(101, tsUs(50, 200), 11, "purchase", 1.0),
+      Ev(102, tsUs(50, 700), 11, "click", 0.0),
+      // user 12: same millisecond, click 200 us BEFORE the purchase —
+      // attribution must still work inside a millisecond
+      Ev(103, tsUs(50, 100), 12, "click", 0.0),
+      Ev(104, tsUs(50, 300), 12, "purchase", 2.0),
+      // user 13: the purchase sits 500 us PAST the 30-minute band edge —
+      // millisecond truncation put it exactly on the edge and attributed
+      Ev(105, ts(0), 13, "click", 0.0),
+      Ev(106, tsUs(30, 500), 13, "purchase", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("lasttouch_us").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows == Map(101L -> None, 104L -> Some(103L), 106L -> None),
+      s"microsecond ordering/band must match batch st4, got $rows")
+    q.stop()
+  }
+
+  test("streamingUserTotals: a late-only batch must not pull the idle timeout backward") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    // idle 10 min, watermark delay 20 min: late events up to 20 min old
+    // are accepted. The timeout must anchor on the user's LAST SEEN event
+    // time ever — a batch holding only a late event previously re-anchored
+    // on that older time and evicted state before 10 idle minutes had
+    // passed since the true last event.
+    val q = EventStreams.streamingUserTotals(in.toDF(),
+        watermark = "20 minutes", idleTimeout = "10 minutes")
+      .writeStream.format("memory").queryName("totals_late")
+      .outputMode(OutputMode.Append()).start()
+    // NOTE on timing: the eviction watermark of batch N already includes
+    // batch N's own data (timeouts fire in the same batch that advances
+    // the watermark past them — the pre-existing idle test depends on it
+    // too), so the discriminating window is wm 106: past the buggy
+    // re-anchor (95), short of the correct one (110).
+    in.addData(Ev(1, ts(100), 7, "a", 1.0))          // timeout anchor: 110
+    q.processAllAvailable()                           // wm -> 80
+    in.addData(Ev(2, ts(85), 7, "a", 2.0),            // late (85 > wm 80): kept
+               Ev(3, ts(114), 8, "b", 9.0))           // wm -> 94 (< both anchors)
+    q.processAllAvailable()
+    // buggy re-anchor: max(85+10, wm+1) = 95; correct anchor stays 110
+    in.addData(Ev(4, ts(126), 8, "b", 9.0))           // wm -> 106: bug evicts 7 (106 > 95),
+    q.processAllAvailable()                           // fix keeps it (106 < 110)
+    in.addData(Ev(5, ts(125), 7, "a", 4.0))           // 125 > wm 106: kept
+    q.processAllAvailable()
+    val snaps = spark.table("totals_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(snaps.contains((7L, 3L, 7.0)),
+      s"user 7's totals must survive the late-only batch, got $snaps")
+    assert(!snaps.contains((7L, 1L, 4.0)),
+      "totals restarted: state was evicted before 10 idle minutes past the last-seen event")
     q.stop()
   }
 
