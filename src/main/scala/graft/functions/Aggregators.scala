@@ -22,24 +22,42 @@ object Aggregators {
 
   /** Weighted mean of `value` with weight `weight`: inputs quantized to
     * 6 dp, sums exact, final division rounded to scale-2 HALF_UP
-    * (mirroring SQL round(x, 2)). */
-  class WeightedMean extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    * (mirroring SQL round(x, 2)).
+    *
+    * Degenerate inputs follow built-in-aggregate conventions instead of
+    * killing the task (BigDecimal(NaN) throws NumberFormatException —
+    * one corrupt row in a 100 TB scan must not fail the stage): a NULL
+    * value or weight skips the row (avg()'s rule); any non-finite value
+    * or weight POISONS the aggregate to NaN (NaN is what double summing
+    * would propagate; signed-infinity arithmetic is not representable
+    * under the quantized-DECIMAL convention, so both collapse to NaN —
+    * the buffer carries the poison flag through merges). */
+  class WeightedMean extends Aggregator[(java.lang.Double, java.lang.Double),
+      (BigDecimal, BigDecimal, Boolean), Double] {
     private def d2(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
-    override def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)): (BigDecimal, BigDecimal) =
-      (b._1 + d2(in._1) * d2(in._2), b._2 + d2(in._2))
-    override def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
-      (a._1 + b._1, a._2 + b._2)
-    override def finish(b: (BigDecimal, BigDecimal)): Double =
-      if (b._2.signum == 0) Double.NaN
+    override def zero: (BigDecimal, BigDecimal, Boolean) =
+      (BigDecimal(0), BigDecimal(0), false)
+    override def reduce(b: (BigDecimal, BigDecimal, Boolean),
+                        in: (java.lang.Double, java.lang.Double)): (BigDecimal, BigDecimal, Boolean) = {
+      val (v, w) = (in._1, in._2)
+      if (v == null || w == null) b
+      else if (v.isNaN || v.isInfinite || w.isNaN || w.isInfinite) (b._1, b._2, true)
+      else (b._1 + d2(v) * d2(w), b._2 + d2(w), b._3)
+    }
+    override def merge(a: (BigDecimal, BigDecimal, Boolean),
+                       b: (BigDecimal, BigDecimal, Boolean)): (BigDecimal, BigDecimal, Boolean) =
+      (a._1 + b._1, a._2 + b._2, a._3 || b._3)
+    override def finish(b: (BigDecimal, BigDecimal, Boolean)): Double =
+      if (b._3 || b._2.signum == 0) Double.NaN
       else (b._1 / b._2).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-    override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
-      Encoders.tuple(ExpressionEncoder[BigDecimal](), ExpressionEncoder[BigDecimal]())
+    override def bufferEncoder: Encoder[(BigDecimal, BigDecimal, Boolean)] =
+      Encoders.tuple(ExpressionEncoder[BigDecimal](), ExpressionEncoder[BigDecimal](),
+        Encoders.scalaBoolean)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
   /** Column-API handle: `weightedMean(value, weight)`. */
   val weightedMean: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new WeightedMean, Encoders.tuple(
-      Encoders.scalaDouble, Encoders.scalaDouble))
+      Encoders.DOUBLE, Encoders.DOUBLE))
 }

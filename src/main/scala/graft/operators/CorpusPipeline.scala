@@ -42,32 +42,43 @@ object CorpusPipeline {
       .persist(Disk)
     val nExact = exact.count()
 
-    // 2. near-dup: cluster the survivors, keep representatives
+    // 2. near-dup: cluster the survivors, keep representatives. The
+    // explicit-count dd4 overload: nExact is already in hand, and the
+    // plan-statistics route would re-trip the statsCache trap on the
+    // freshly-persisted-unmaterialized `exact` frame it exists to avoid.
     val clusters = Dedup.dd6ClusterFrom(
       exact.select(col("doc_id")),
-      Dedup.dd4From(exact).select(col("doc_a"), col("doc_b")))
+      Dedup.dd4From(exact, nExact).select(col("doc_a"), col("doc_b")))
     val reps = exact.join(
       clusters.where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
       .persist(Disk)
     val nNearDup = reps.count()
 
     // 3. quality floor — ta2's composite score, same rounding, so a
-    // threshold means the same thing in analysis and filtering
+    // threshold means the same thing in analysis and filtering. Persisted
+    // BEFORE counting: with no language gate this frame IS the result
+    // (counting an unpersisted frame here scored quality over the whole
+    // corpus twice), and with one it feeds both the detector and the
+    // semi-join below.
     val qualified = reps.where(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .persist(Disk)
     val nQuality = qualified.count()
 
     // 4. optional language allow-list via the ta3 detector (no claimed
     // lang needed)
-    val cleaned = (langs match {
-      case None => qualified
+    val (cleaned, nLang) = langs match {
+      case None => (qualified, nQuality)
       case Some(allowed) =>
         val detected = TextAnalysis.detectLang(qualified)
           .where(col("detected_lang").isin(allowed.toSeq: _*))
           .select(col("doc_id"))
-        qualified.join(detected, Seq("doc_id"), "left_semi")
-    }).persist(Disk)
-    val nLang = cleaned.count() // materializes `cleaned` before the
-    exact.unpersist(false)      // upstream cached stages are dropped
+        val gated = qualified.join(detected, Seq("doc_id"), "left_semi")
+          .persist(Disk)
+        val n = gated.count()       // materialize before dropping the stage
+        qualified.unpersist(false)
+        (gated, n)
+    }
+    exact.unpersist(false) // upstream cached stages are dropped
     reps.unpersist(false)
 
     (cleaned, Stats(input, nExact, nNearDup, nQuality, nLang))
@@ -84,6 +95,13 @@ object CorpusPipeline {
     * engine-independent, so DuckDB mirrors it exactly. */
   def hashSplit(df: DataFrame, idCol: String = "doc_id",
                 trainUpper: String = "e666", valUpper: String = "f333"): DataFrame = {
+    // md5 output is LOWERCASE hex; an uppercase or short bound would pass
+    // a bare ordering check yet compare garbage against every hash (e.g.
+    // "E666" sorts below all digit-leading hashes -> ~62/0/38 split, no
+    // error), so the shape is validated, not just the order
+    val hex4 = "^[0-9a-f]{4}$"
+    require(trainUpper.matches(hex4) && valUpper.matches(hex4),
+      s"split boundaries must be 4-char lowercase hex, got '$trainUpper'/'$valUpper'")
     require(trainUpper < valUpper, "train boundary must precede val boundary")
     val hx = substring(md5(col(idCol).cast("string")), 1, 4)
     df.withColumn("split",

@@ -113,7 +113,11 @@ object TextAnalysis {
     * detection across formatting variants), plus a short prefix key used
     * for sharded storage. */
   def ta4Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // explicit class, not \s: Java's \s includes vertical tab (\x0B),
+    // RE2's (DuckDB's) does not — the one whitespace char the two
+    // engines disagree on would silently fork the fingerprint (the
+    // same Java/RE2-identical-subset discipline as the PII patterns)
+    val norm = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
@@ -133,6 +137,12 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("bigram"))
     Tables.documents(s, dir)
       .withColumn("toks", toks(col("text")))
+      // single-token documents have no bigram: without this filter the
+      // greatest(...,1) anti-descending-sequence guard emitted the lone
+      // unigram as a fake "bigram", polluting per-source document
+      // frequencies (the oracle mirrored the artifact, so only review
+      // caught it)
+      .where(size(col("toks")) >= 2)
       .select(col("source"), col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 1)), " +
           "i -> concat_ws(' ', slice(toks, i, 2))))")).as("bigram"))
@@ -224,10 +234,14 @@ object TextAnalysis {
       "\\b\\d{10}\\b|\\b\\d{3}-\\d{4}\\b"
   private[operators] val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** PII redaction over an arbitrary text column: counts then replaces
-    * emails, phone numbers, and IPv4 addresses with typed placeholders.
-    * Emails scrub first so their digit-bearing domains can't be half-eaten
-    * by the IP pattern. Per-row regex maps inside codegen — zero shuffle. */
+  /** PII redaction over an arbitrary text column. Returns, IN ORDER:
+    * (email count, IPv4 count, phone count, cleaned text) — the counts
+    * follow the scrub order, which is emails first (so their digit-
+    * bearing domains can't be half-eaten by the IP pattern), then IPs
+    * (so dotted phones can't collide with them), then phones. The two
+    * middle slots are both bare count Columns, so destructure against
+    * THIS comment, not the type. Per-row regex maps inside codegen —
+    * zero shuffle. */
   def piiScrub(text: Column): (Column, Column, Column, Column) = {
     val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     val noIp    = regexp_replace(noEmail, IpRe, "<IP>")
@@ -354,7 +368,7 @@ object TextAnalysis {
         SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS mx
         FROM s)
        SELECT doc_id, lang AS claimed_lang,
-            CASE WHEN mx = 0 THEN 'und'
+            CASE WHEN mx = 0 OR mx IS NULL THEN 'und'
                  WHEN score_en = mx THEN 'en'
                  WHEN score_es = mx THEN 'es'
                  WHEN score_fr = mx THEN 'fr'
@@ -363,8 +377,8 @@ object TextAnalysis {
        FROM m ORDER BY doc_id""",
     "ta4_fingerprint" ->
       """SELECT doc_id,
-              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-              substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
+              md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint,
+              substring(md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 4) AS shard_key
        FROM documents ORDER BY doc_id""",
     "ta5_top_ngrams" ->
       """WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
@@ -372,7 +386,7 @@ object TextAnalysis {
         SELECT source, doc_id,
                unnest(list_distinct([array_to_string(t[i:i+1], ' ')
                                      FOR i IN range(1, greatest(len(t), 2))])) AS bigram
-        FROM toks),
+        FROM toks WHERE len(t) >= 2),
       counts AS (
         SELECT source, bigram, count(*) AS n_docs FROM bg GROUP BY 1, 2),
       ranked AS (

@@ -156,4 +156,38 @@ class DegenerateInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(1))
     assert(out.sorted.sameElements(again.sorted), "split assignment must be stable")
   }
+
+  test("hashSplit rejects malformed bounds loudly (md5 hex is lowercase)") {
+    // "E666" < "F333" passes a bare ordering check but compares garbage
+    // against lowercase md5 output (~62/0/38 split, silently)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.hashSplit(corpus, trainUpper = "E666", valUpper = "F333")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.hashSplit(corpus, trainUpper = "e66", valUpper = "f333")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.hashSplit(corpus, trainUpper = "f333", valUpper = "e666")
+    }
+  }
+
+  test("weightedMean: null rows skip, non-finite poisons to NaN, never a task kill") {
+    import spark.implicits._
+    import graft.functions.Aggregators.weightedMean
+    def agg(rows: Seq[(Option[Double], Option[Double])]): Double =
+      rows.toDF("v", "w").agg(weightedMean(col("v"), col("w")).as("m"))
+        .head.getDouble(0)
+    assert(agg(Seq(Some(2.0) -> Some(1.0), Some(4.0) -> Some(3.0))) == 3.5)
+    // NULL value or weight skips the row (avg()'s rule) — previously an
+    // encoder/NumberFormat task kill
+    assert(agg(Seq(Some(2.0) -> Some(1.0), None -> Some(5.0),
+      Some(9.0) -> None, Some(4.0) -> Some(3.0))) == 3.5)
+    // non-finite input poisons the aggregate to NaN instead of throwing
+    // NumberFormatException from BigDecimal
+    assert(agg(Seq(Some(Double.NaN) -> Some(1.0), Some(2.0) -> Some(1.0))).isNaN)
+    assert(agg(Seq(Some(2.0) -> Some(Double.PositiveInfinity),
+      Some(2.0) -> Some(1.0))).isNaN)
+    // zero weight mass (all rows skipped) is NaN, not a divide error
+    assert(agg(Seq(None -> Some(1.0))).isNaN)
+  }
 }
