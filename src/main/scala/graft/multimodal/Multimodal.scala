@@ -278,15 +278,22 @@ object Multimodal {
     }
   }
 
-  /** Resize: REAL for image formats (ImageIO decode → bilinear scale →
-    * PNG re-encode, aspect preserved, no upscale) and for PCM audio
-    * (frame-aware decimation → WAV re-encode, width = frames); corrupt
-    * → empty payload with zeroed dims, the same filterable convention
-    * as extractFeatures. Remaining media (video, compressed audio —
-    * codecs absent in this environment) keeps the documented
-    * deterministic byte-subsample STUB. Per-partition decoder
-    * lifecycle, no shuffle — the pipeline contract either way. */
+  /** Resize: REAL for single-frame image formats (ImageIO decode →
+    * bilinear scale → PNG re-encode, aspect preserved, no upscale) and
+    * for PCM audio (frame-aware decimation → WAV re-encode, width =
+    * frames); corrupt → empty payload with zeroed dims, the same
+    * filterable convention as extractFeatures. Multi-frame containers
+    * (animated GIF) pass through unchanged — see the in-body note.
+    * Remaining media (video, compressed audio — codecs absent in this
+    * environment) keeps the documented deterministic byte-subsample
+    * STUB. Per-partition decoder lifecycle, no shuffle — the pipeline
+    * contract either way. */
   def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
+    // fail fast on the driver (sampleFrames' discipline): targetWidth 0
+    // reached BufferedImage(0, h) — an opaque in-task crash — for images,
+    // and an Int-overflowing step that silently WIPED the payload for
+    // audio
+    require(targetWidth >= 1, s"resize: targetWidth ($targetWidth) must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val dec = MediaDecoder.init()
@@ -294,7 +301,15 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
       it.map { m =>
         val fmt0 = m.format.toLowerCase(java.util.Locale.ROOT)
-        if (MediaDecoder.ImageFormats(fmt0))
+        // multi-frame containers pass through UNTOUCHED: ImageIO.read
+        // decodes only frame 0, so "resizing" an animated GIF would
+        // silently flatten it to a static PNG — and the format retag
+        // would then steer sampleFrames away from the real per-frame
+        // decode. Frame-preserving scaling needs an animation-aware
+        // re-encoder (the same codec seam as video); data integrity
+        // beats a lossy resize here.
+        if (MediaDecoder.MultiFrameFormats(fmt0)) m
+        else if (MediaDecoder.ImageFormats(fmt0))
           dec.resizeImage(m.payload, targetWidth) match {
             case Some((bytes, w, h)) =>
               // re-encoded as PNG whenever scaling happened

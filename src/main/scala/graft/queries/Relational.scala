@@ -160,11 +160,17 @@ object Relational {
   }
 
   /** q9_broadcast_join — fact ⋈ small dim with an explicit broadcast hint:
-    * zero shuffle of lineitem; `.explain` must show BroadcastHashJoin. */
+    * zero shuffle of lineitem; `.explain` must show BroadcastHashJoin.
+    * `part` is an SF-SCALED table (not a fixed dim like nation/region),
+    * so the hint is statistics-guarded: past
+    * [[graft.operators.Guards.MaxHintedBroadcastBytes]] it detaches and
+    * AQE owns the strategy — a bare hint would hit Spark's 8 GB
+    * broadcast hard limit at the 100 TB design point. */
   def q9BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(graft.operators.Guards.broadcastIfEstimatedUnder(p),
+        l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
@@ -232,13 +238,16 @@ object Relational {
 
   /** q14_star_join — full star: lineitem ⋈ supplier ⋈ nation ⋈ region,
     * revenue by region. Dims broadcast; the fact table never shuffles
-    * until the final tiny-key aggregation. */
+    * until the final tiny-key aggregation. nation (25 rows) and region
+    * (5) are FIXED-size and broadcast unconditionally; supplier scales
+    * with SF, so its hint is statistics-guarded (see q9). */
   def q14StarJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val su = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
-    l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+    l.join(graft.operators.Guards.broadcastIfEstimatedUnder(su),
+        l("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
@@ -484,11 +493,13 @@ object Relational {
 
   /** wa1_weighted_avg — custom typed Aggregator (UDAF surface): quantity-
     * weighted mean unit price per brand, exact partial sums (see
-    * [[graft.functions.Aggregators.WeightedMean]]), dims broadcast. */
+    * [[graft.functions.Aggregators.WeightedMean]]), part's broadcast
+    * hint statistics-guarded like q9's (SF-scaled dim). */
   def wa1WeightedAvg(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(graft.operators.Guards.broadcastIfEstimatedUnder(p),
+        l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(graft.functions.Aggregators.weightedMean(
         col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))

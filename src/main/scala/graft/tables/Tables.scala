@@ -20,9 +20,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Schema-normalizing accessor (events gets its ns→µs ts fix). */
+  /** Schema-normalizing accessor — routes through the SAME per-table
+    * treatment as the typed accessors (events' ns→µs ts fix; documents/
+    * embeddings' [[balanced]] rebalance), so the SQL temp-view catalog
+    * path (GraftSession.registerTables) and the typed path see identical
+    * frames. Dispatching to raw load here previously gave SQL queries
+    * over documents/embeddings the 1-split scan balanced() exists to
+    * fix — two access paths, silently different parallelism. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else load(spark, dir, name)
+    name match {
+      case "events"     => events(spark, dir)
+      case "documents"  => documents(spark, dir)
+      case "embeddings" => embeddings(spark, dir)
+      case _            => load(spark, dir, name)
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -28,6 +28,14 @@ class GraftSessionSpec extends AnyFunSuite {
           "FROM documents WHERE doc_id = 0)").collect()(0).getLong(0)
       assert(sh != 0L)
       assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      // the SQL catalog path must see the SAME rebalanced frames as the
+      // typed accessors: a 1-file fixture scan through the views
+      // previously ran the LLM-ops kernels in a single task
+      val slots = spark.sparkContext.defaultParallelism
+      assert(spark.table("documents").rdd.getNumPartitions >= slots,
+        "documents view must carry the balanced() rebalance")
+      assert(spark.table("embeddings").rdd.getNumPartitions >= slots,
+        "embeddings view must carry the balanced() rebalance")
     } finally spark.stop()
   }
 }

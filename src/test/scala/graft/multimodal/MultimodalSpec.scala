@@ -224,6 +224,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampleFrames(ds, 10, 2).where("media_id = 2").count() == 0)
   }
 
+  test("resize passes animated GIFs through untouched (no silent frame flattening)") {
+    import spark.implicits._
+    val gif = animatedGif(6)
+    // 8px wide > targetWidth 4: the old path ImageIO-decoded frame 0 only,
+    // re-encoded a single-frame PNG and retagged the format — destroying
+    // frames 1-5 AND steering sampleFrames away from the real gif decode
+    val out = resize(Seq(MediaRecord(1L, gif, "gif", 8, 8)).toDS(), targetWidth = 4)
+    val rec = out.collect()(0)
+    assert(rec.format == "gif" && (rec.payload sameElements gif),
+      "multi-frame container must pass through byte-identical")
+    // downstream frame extraction still sees all stored frames
+    val idx = sampleFrames(out, frameBytes = 10, everyK = 2).collect()
+      .map(_.getInt(1)).sorted
+    assert(idx.sameElements(Array(0, 2, 4)))
+  }
+
+  test("resize fail-fasts on a non-positive targetWidth (driver-side, not in-task)") {
+    import spark.implicits._
+    val ds = Seq(media(1, Array.tabulate[Byte](10)(_.toByte))).toDS()
+    // width 0 previously crashed image tasks in BufferedImage(0, h) and
+    // silently WIPED audio payloads via an Int-overflowing step
+    intercept[IllegalArgumentException] { resize(ds, targetWidth = 0) }
+    intercept[IllegalArgumentException] { resize(ds, targetWidth = -3) }
+  }
+
   test("sampleFrames: chunking + every-k selection") {
     import spark.implicits._
     val ds = Seq(media(7, Array.tabulate[Byte](100)(_.toByte))).toDS()

@@ -48,6 +48,37 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftOuter.count() == left.count())
   }
 
+  test("saltedJoin spreads IDENTICAL left rows and accepts MapType columns") {
+    import spark.implicits._
+    // 4k bit-identical rows of one hot key: the old content-hash salt
+    // sent all of them to ONE (key, salt) bucket (1x balance); the
+    // round-robin salt must spread them while keeping the exact multiset
+    val left = Seq.fill(4000)((1, "same")).toDF("k", "lv")
+      .withColumn("props", map(lit("a"), lit(1))) // xxhash64 rejected maps
+    val right = Seq((1, "one"), (2, "two")).toDF("k", "rv")
+    val salted = SkewJoin.saltedJoin(left, right, "k", salt = 8)
+    assert(salted.count() == 4000, "every identical row joins exactly once")
+    // the salt expression itself: round-robin over a single partition
+    // covers all salt values (the balance the doc promises)
+    val salts = left.repartition(1)
+      .withColumn("_s", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("_s").distinct().count()
+    assert(salts == 8, s"round-robin must cover all 8 salts, got $salts")
+  }
+
+  test("guarded broadcast hint attaches under the byte cap and detaches above it") {
+    val small = spark.range(10).toDF("k")
+    val big = spark.range(1000L * 1000 * 1000).toDF("k") // ~8 GB estimate
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hinted(Guards.broadcastIfEstimatedUnder(small)),
+      "a tiny frame must carry the broadcast hint")
+    assert(!hinted(Guards.broadcastIfEstimatedUnder(big)),
+      "an over-cap frame must pass through un-hinted (AQE owns the strategy)")
+  }
+
   test("saltedJoin rejects right-preserving join types (right rows are replicated)") {
     import spark.implicits._
     val left = Seq((1, "l")).toDF("k", "lv")
