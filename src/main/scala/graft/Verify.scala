@@ -1,18 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The session comes from GraftSession.builder — ONE source of config
+  * truth (Bench's discipline): a hand-rolled session here silently
+  * missed the local-eviction fix (network.timeout under driver GC
+  * stalls) and the RocksDB state store, and would drift further with
+  * every GraftSession change the correctness gate then never sees. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession
+      .builder("graft-verify", s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -21,6 +22,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any output under this name — a PREVIOUS run's parquet
+        // (or this run's partial overwrite) would otherwise pass the
+        // DuckDB compare and mask the regression as a stale green
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
+        ()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -23,9 +23,20 @@ object GraftSession {
     sys.props.getOrElse("spark.master",
       s"local[${Runtime.getRuntime.availableProcessors()}]")
 
+  /** Cluster-safe default shuffle parallelism — the [[defaultMaster]]
+    * discipline: Builder .config OVERRIDES spark-submit --conf, so an
+    * unconditional core-count default would clobber the operator's
+    * `--conf spark.sql.shuffle.partitions=2000` with the SUBMIT host's
+    * core count on a real cluster. spark-submit propagates every --conf
+    * into driver system properties; honor it when present, size to the
+    * local cores (not Spark's 200 default) otherwise. */
+  private[core] def defaultShufflePartitions: Int =
+    sys.props.get("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
   def builder(appName: String = "graft",
               master: String = defaultMaster,
-              shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+              shufflePartitions: Int = defaultShufflePartitions)
       : SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(master)

@@ -38,9 +38,32 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
 
   // -- path helpers -------------------------------------------------------
 
-  /** Leading-`/` tolerance: client.py:221-222,244-245,... */
-  private def norm(p: String): String = p.stripPrefix("/")
-  private def fsRoot(filesystem: String): Path = new Path(accountRoot, norm(filesystem))
+  /** Leading-`/` tolerance: client.py:221-222,244-245,... — plus the
+    * traversal sanitation a filesystem FACADE needs that the REST
+    * reference got for free: the reference sent names/paths as literal
+    * URL segments (".." could never leave the account), but Hadoop's
+    * Path resolution treats an absolute child as a NEW root and
+    * normalizes dot segments, so "//etc/x" resolved to /etc/x and
+    * deletePath("fs", "../sib", recursive) destroyed a SIBLING
+    * filesystem. Reject both shapes loudly; single-leading-slash
+    * tolerance is preserved. */
+  private def norm(p: String): String = {
+    val n = p.stripPrefix("/")
+    require(!n.startsWith("/"),
+      s"lake path '$p' is absolute after the tolerated leading slash — " +
+        "it would escape the account root")
+    require(n.split('/').forall(seg => seg != ".." && seg != "."),
+      s"lake path '$p' contains dot segments — it would traverse outside " +
+        "its filesystem")
+    n
+  }
+  private def fsRoot(filesystem: String): Path = {
+    val n = norm(filesystem)
+    require(n.nonEmpty,
+      "filesystem name must be non-empty (an empty name would address the " +
+        "whole account root — deleteFilesystem(\"\") would destroy it)")
+    new Path(accountRoot, n)
+  }
   private[graft] def resolve(filesystem: String, path: String): Path =
     if (norm(path).isEmpty) fsRoot(filesystem)
     else new Path(fsRoot(filesystem), norm(path))
@@ -321,6 +344,9 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     * sequential loop. */
   def upload(filesystem: String, path: String, in: InputStream,
              chunkSize: Int = ChunkSize): Long = {
+    // a zero-length buffer makes InputStream.read return 0 (not -1)
+    // forever — copyStream would hang, not error
+    require(chunkSize > 0, s"upload: chunkSize ($chunkSize) must be > 0")
     val p = resolve(filesystem, path)
     fs.delete(fileSidecar(p), false) // overwrite resets properties (see createPath)
     val out = fs.create(p, true)
@@ -352,10 +378,17 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     finally out.close()
   }
 
-  /** update_path action=setProperties — client.py:587,602. */
+  /** update_path action=setProperties — client.py:587,602. Requires the
+    * path to exist (the reference PATCH 404s on a missing path):
+    * without the check, properties set on a not-yet-created DIRECTORY
+    * landed in a file-style sidecar the directory's later reads never
+    * consult — silently lost, with the orphan sidecar left behind. */
   def setPathProperties(filesystem: String, path: String,
-                        properties: Map[String, String]): Unit =
-    writeProps(resolve(filesystem, path), properties)
+                        properties: Map[String, String]): Unit = {
+    val p = resolve(filesystem, path)
+    require(fs.exists(p), s"setPathProperties: no such path: $path")
+    writeProps(p, properties)
+  }
 
   /** update_path action=setAccessControl — client.py:587-588 with the
     * x-ms-acl / x-ms-permissions / x-ms-owner / x-ms-group attrs of the
@@ -657,15 +690,15 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     require(partitionBy.nonEmpty,
       "upsertPartitions: partitionBy must be non-empty (an unpartitioned " +
         "overwrite would replace the whole table)")
-    val spark = updates.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try updates.write.mode("overwrite").partitionBy(partitionBy: _*)
+    // the PER-WRITER option, not the session conf: toggling the session
+    // conf in a try/finally raced concurrent writers on the same session
+    // — a write planning after another call's restore ran under mode
+    // `static`, turning this partition upsert into a FULL-TABLE
+    // overwrite (exactly the loss the require above guards against)
+    updates.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
       .parquet(resolve(filesystem, path).toString)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   def readCsv(spark: SparkSession, filesystem: String, path: String): DataFrame =

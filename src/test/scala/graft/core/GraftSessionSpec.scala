@@ -38,4 +38,34 @@ class GraftSessionSpec extends AnyFunSuite {
         "embeddings view must carry the balanced() rebalance")
     } finally spark.stop()
   }
+
+  test("defaultShufflePartitions honors a spark-submit --conf over the core count") {
+    // spark-submit propagates --conf into driver system properties;
+    // Builder .config overrides them, so the default must yield to the
+    // operator's value — an unconditional core-count default ran every
+    // cluster shuffle at the SUBMIT host's width
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sys.props.get(key)
+    try {
+      sys.props(key) = "2000"
+      assert(GraftSession.defaultShufflePartitions == 2000)
+      sys.props(key) = "not-a-number" // malformed -> fall back, don't throw
+      assert(GraftSession.defaultShufflePartitions ==
+        Runtime.getRuntime.availableProcessors())
+      sys.props.remove(key)
+      assert(GraftSession.defaultShufflePartitions ==
+        Runtime.getRuntime.availableProcessors())
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
+
+  test("SparkEntry registry: no cross-module name collisions, no orphan oracles") {
+    // forcing both maps runs the merged-unique + orphan checks; the
+    // driver contract (oracle keys name real queries) is load-bearing
+    val qs = graft.SparkEntry.queries
+    val os = graft.SparkEntry.oracleSql
+    assert(qs.size >= 78, s"query registry shrank: ${qs.size}")
+    assert(os.keySet.subsetOf(qs.keySet))
+  }
 }

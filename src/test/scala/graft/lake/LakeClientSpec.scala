@@ -52,6 +52,48 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.deleteFilesystem("cp")
   }
 
+  test("path traversal is rejected: absolute escape, dot segments, empty fs name") {
+    client.createFilesystem("tv")
+    client.uploadString("tv", "ok.txt", "x")
+    // single leading slash stays tolerated (client.py:221-222)
+    assert(new String(client.readBytes("tv", "/ok.txt"), "UTF-8") == "x")
+    // the REST reference sent these as literal URL segments; through
+    // Hadoop Path resolution they would ESCAPE the account root
+    intercept[IllegalArgumentException] { client.readBytes("tv", "//etc/passwd") }
+    intercept[IllegalArgumentException] { client.deletePath("tv", "../tv2", recursive = true) }
+    intercept[IllegalArgumentException] { client.createPath("tv", "a/../../b") }
+    intercept[IllegalArgumentException] { client.setPathProperties("tv", "./ok.txt", Map("k" -> "v")) }
+    intercept[IllegalArgumentException] { client.deleteFilesystem("..") }
+    intercept[IllegalArgumentException] { client.deleteFilesystem("") }
+    client.deleteFilesystem("tv")
+  }
+
+  test("setPathProperties on a missing path errors like the reference PATCH") {
+    client.createFilesystem("mp")
+    // previously this wrote a FILE-style sidecar for the future
+    // directory that the directory's reads never consult — silently
+    // lost properties plus a hidden orphan
+    intercept[IllegalArgumentException] {
+      client.setPathProperties("mp", "future-dir", Map("k" -> "v"))
+    }
+    client.createPath("mp", "future-dir", directory = true)
+    assert(client.getPathProperties("mp", "future-dir") == Map.empty)
+    client.setPathProperties("mp", "future-dir", Map("k" -> "v"))
+    assert(client.getPathProperties("mp", "future-dir") == Map("k" -> "v"))
+    client.deleteFilesystem("mp")
+  }
+
+  test("upload rejects a non-positive chunkSize instead of hanging") {
+    client.createFilesystem("cz")
+    // read(buf) on a 0-length buffer returns 0 forever: the copy loop
+    // would spin, not error
+    intercept[IllegalArgumentException] {
+      client.upload("cz", "f.bin",
+        new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3)), chunkSize = 0)
+    }
+    client.deleteFilesystem("cz")
+  }
+
   test("upload, read, ranged read") {
     client.createFilesystem("data")
     val payload = "The quick brown fox jumps over the lazy dog"

@@ -246,10 +246,19 @@ class LakeIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.writeParquet(base, "up", "t", partitionBy = Seq("part"))
     // update partition B only (new value + new row), leave A and C alone
     val updates = Seq((2L, "B", 99.0), (4L, "B", 44.0)).toDF("id", "part", "v")
+    val modeBefore = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     client.upsertPartitions(updates, "up", "t", Seq("part"))
     val back = client.readParquet(spark, "up", "t")
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toMap
     assert(back == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 44.0))
+    // the dynamic mode must be per-WRITER, never the session conf: the
+    // old try/finally toggle raced concurrent writers on one session,
+    // turning a partition upsert into a full-table overwrite. The upsert
+    // above overwrote only B, so the writer-scoped option took effect
+    // while the session conf stayed exactly as found (the default is
+    // STATIC — a leaked toggle would read DYNAMIC mid-flight).
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == modeBefore,
+      "upsertPartitions must not touch the session-global overwrite mode")
     client.deleteFilesystem("up")
   }
 
