@@ -27,12 +27,22 @@ object PlanAudit {
       val df = fn(spark, sfDir)
       df.collect() // finalize AQE
       val plan = df.queryExecution.executedPlan.toString
-      def count(op: String) = plan.split(op).length - 1
+      // occurrence count via indexOf, not String.split: split drops a
+      // trailing match (an operator name ending the plan string went
+      // uncounted) and needs regex-quoting care
+      def count(op: String): Int = {
+        var n = 0; var i = plan.indexOf(op)
+        while (i >= 0) { n += 1; i = plan.indexOf(op, i + op.length) }
+        n
+      }
       val cartesian = count("CartesianProduct")
       val bnlj = count("BroadcastNestedLoopJoin")
       val smj = count("SortMergeJoin")
       val bhj = count("BroadcastHashJoin")
-      val exchanges = count("Exchange")
+      // exch = SHUFFLE count (what the header promises): a bare
+      // "Exchange" substring also matches every BroadcastExchange, so a
+      // shuffle-to-broadcast regression left the metric unchanged
+      val exchanges = count("Exchange") - count("BroadcastExchange")
       val flags = new StringBuilder
       if (cartesian > 0) flags.append(" CARTESIAN!")
       if (bnlj > 0 && !expectedNestedLoop(name)) flags.append(" NESTED-LOOP!")
@@ -41,5 +51,8 @@ object PlanAudit {
     }
     println(s"\nflagged: $flagged")
     spark.stop()
+    // the sibling mains' discipline (ScaleSmoke/StreamStateBench): a
+    // scripted invocation gating on exit status must see the flag
+    if (flagged > 0) sys.exit(1)
   }
 }

@@ -44,6 +44,20 @@ object ScaleSmoke {
       catch { case scala.util.control.NonFatal(e) =>
         Predef.println(s"smoke artifact persist FAILED (stdout above is complete): $e")
       }
+    // Abnormal-exit guard: an uncaught throw below (stage CONSTRUCTION
+    // sites sit outside the per-stage try blocks — e.g. a bad sfDir dies
+    // at the first count) used to skip persistTranscript entirely,
+    // leaving a PREVIOUS run's possibly-"failed":false artifact in place
+    // to be misattributed to the crashed run. The hook persists whatever
+    // transcript exists with failed=true; the normal exit disarms it.
+    var transcriptPersisted = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!transcriptPersisted) {
+        transcript += ("smoke ABORTED before completion (uncaught throw " +
+          "or external kill) — artifact persisted by the shutdown hook")
+        persistTranscript(failed = true)
+      }
+    }))
     // warmed min-of-3 start reading anchors the per-stage single
     // samples (JIT warmup lives in the discarded samples); each stage
     // then carries its own calCpu so a contended stage reading is
@@ -85,6 +99,28 @@ object ScaleSmoke {
         .repartition(cpus)
     }
 
+    // Orthogonal drift shared by the IVF-isotropic and PQ-control drift
+    // stages: seeded coordinate permutation + sign flips (preserves every
+    // pairwise cosine and the per-subspace statistics) over an appended
+    // id range. The IVF-vs-PQ comparison is only valid because both
+    // stages apply the IDENTICAL transform (same seed, same derivation
+    // order) — factored so an edit cannot fork them silently.
+    def orthogonalDrift(base: DataFrame): DataFrame = {
+      val rnd = new scala.util.Random(3)
+      val perm = rnd.shuffle((0 until 64).toVector)
+      val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      base.select((col("vec_id") + 10000000L).as("vec_id"),
+        array((0 until 64).map(i =>
+          (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
+          .as("embedding"))
+    }
+
+    // The clustered-drift (base, appended) corpus pair shared by the IVF
+    // and flat-PQ cluster-move drift stages — their comparison assumes
+    // the IDENTICAL pair, so the seeds live in one place.
+    def clusteredDriftPair(): (DataFrame, DataFrame) =
+      (clustered(11, 0L), clustered(97, 1000000L))
+
     var failed = false
     def timed(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -96,6 +132,79 @@ object ScaleSmoke {
         case e: Throwable =>
           failed = true
           println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+
+    // Shared ADC batch-vs-loop harness (ss9 probed / ss8 flat-PQ): warm
+    // one query, time the honest per-query loop (including its per-job
+    // planning — what a caller without the batch API pays), time the
+    // one-pass batch, assert every query answered identically, then the
+    // recall@10 bar vs exact brute force (VERDICT r11 #4's loud
+    // sketch-regression bars). Factored from two ~70-line copies whose
+    // unpersist-on-failure handling had already forked (r16 review);
+    // persists release in the finally, once, for both call sites.
+    def adcBatchStage(label: String, recallLabel: String, recallBar: Double,
+                      barMsg: String, corpus: DataFrame,
+                      loopTopK: Array[Float] => DataFrame,
+                      batchTopK: DataFrame => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      var qdf: DataFrame = null
+      var batchDf: DataFrame = null
+      try {
+        qdf = embs.where(col("vec_id") % 1250 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb")).persist()
+        val qvecs = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val nq = qvecs.length
+        // one throwaway query warms both code paths (JIT + codegen cache)
+        loopTopK(qvecs.head._2).count()
+        val tL0 = System.nanoTime()
+        var loopRows = 0L
+        qvecs.foreach { case (_, q) => loopRows += loopTopK(q).count() }
+        val tLoop = (System.nanoTime() - tL0) / 1e9
+        val tB0 = System.nanoTime()
+        batchDf = batchTopK(qdf).persist()
+        val batchRows = batchDf.count()
+        val tBatch = (System.nanoTime() - tB0) / 1e9
+        assert(batchRows == nq.toLong * 10 && loopRows == batchRows,
+          s"batch must answer every query: $batchRows vs $loopRows rows for $nq queries")
+        println(f"${(label + s" ${nq}q vs loop").padTo(28, ' ')}${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+          f"batch $tBatch%.1f s vs loop $tLoop%.1f s (x${tLoop / tBatch}%.1f)")
+        if (tBatch > tLoop) {
+          failed = true
+          println(s"$label serving slower than the per-query loop — adoption premise broken")
+        }
+        // recall@10 vs exact brute force for the SAME queries; truth uses
+        // the identical 3-decimal rounding + lower-id tie rule as the
+        // kernel, so set membership compares deterministically even on
+        // the tie-heavy replica corpus.
+        val tR0 = System.nanoTime()
+        val exactTop = corpus.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("vec_id"), round(
+            graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qemb")),
+            3).as("cos"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.VectorFunctions
+            .topkByScore(col("cos"), col("vec_id"), 10).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.id").as("vec_id"))
+        val hit = batchDf.select(col("qid"), col("vec_id"))
+          .join(exactTop, Seq("qid", "vec_id"), "left_semi").count()
+        val recall = hit.toDouble / (nq.toLong * 10)
+        println(f"${recallLabel.padTo(29, ' ')}${(System.nanoTime() - tR0) / 1e9}%8.1f s  " +
+          f"recall $recall%.3f ($hit/${nq * 10} vs exact top-10)" +
+          "  " + Calibration.stamp())
+        if (recall < recallBar) {
+          failed = true
+          println(f"$barMsg $recall%.3f below the $recallBar%.2f bar")
+        }
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"$label FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+      } finally {
+        if (batchDf != null) batchDf.unpersist()
+        if (qdf != null) qdf.unpersist()
       }
     }
 
@@ -285,12 +394,18 @@ object ScaleSmoke {
     // loudly), while the fixture spec owns the fine-grained .786 number.
     locally {
       val t0 = System.nanoTime()
+      // unpersists live in the finally: a mid-stage throw (the crossJoin
+      // is the smoke's heaviest single plan) previously leaked both
+      // caches into every later stage — the leak class the exactTruth /
+      // ss2-hits fixes below already closed elsewhere
+      var routed: DataFrame = null
+      var exact: DataFrame = null
       try {
-        val routed = graft.operators.Similarity.knnJoinFitted(embs).persist()
+        routed = graft.operators.Similarity.knnJoinFitted(embs).persist()
         val n = routed.count()
         val qs = embs.where(col("vec_id") % 80 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        val exact = embs.crossJoin(broadcast(qs))
+        exact = embs.crossJoin(broadcast(qs))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), round(
             graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qemb")),
@@ -312,12 +427,14 @@ object ScaleSmoke {
           failed = true
           println(f"ss5 fitted-route rank-recall $recall%.3f below the .80 bar")
         }
-        routed.unpersist(); exact.unpersist()
       } catch {
         case e: Throwable =>
           failed = true
           println(s"recall: ss5 routed (fitted) FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
+      } finally {
+        if (routed != null) routed.unpersist()
+        if (exact != null) exact.unpersist()
       }
     }
     val dd5Pairs = graft.operators.Dedup.dd5From(docs)
@@ -665,7 +782,13 @@ object ScaleSmoke {
       locally {
         val t0 = System.nanoTime()
         try {
+          // the zero-norm filter is part of fit()'s pool (KMeans.scala:
+          // a zero vector in the head makes gonzalez cosines NaN and
+          // seedIndices non-distinct) — mirror it or the measured pool
+          // is not fit's real one on a corpus with failed-embedding rows
           def pool(k: Int): Array[(Long, Array[Float])] = embs
+            .where(graft.functions.VectorFunctions.vecDot(
+              col("embedding"), col("embedding")) > 0)
             .orderBy(xxhash64(col("vec_id")), col("vec_id"))
             .limit(math.max(8 * k, 1024))
             .select(col("vec_id"), col("embedding")).collect()
@@ -756,80 +879,24 @@ object ScaleSmoke {
         // batch shape for the index that matters: Q queries in ONE
         // probed-partition pass (the driver-computed union of probed
         // cells keeps file-level pruning; AnnIndexSpec owns row-level
-        // parity with per-query topK) vs the honest per-query loop
-        // including its per-job planning. Self-adjudicated like the
-        // flat-PQ batch stage: slower-than-loop breaks the premise.
-        locally {
-          val t0 = System.nanoTime()
-          try {
-            val (enc, m) =
-              graft.operators.AnnIndex.readIvfPq(spark, lake, "smoke9", "ivfpq")
-            val corpus = embs.where(col("vec_id") =!= 0)
-            val nProbe = graft.operators.Similarity.IvfNProbe
-            val qdf = embs.where(col("vec_id") % 1250 === 0)
-              .select(col("vec_id").as("qid"), col("embedding").as("qemb")).persist()
-            val qvecs = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-            val nq = qvecs.length
-            // one throwaway query warms both code paths (JIT + codegen cache)
-            graft.operators.IvfPq.topK(corpus, enc, m, qvecs.head._2,
-              nProbe, 10, 100).count()
-            val tL0 = System.nanoTime()
-            var loopRows = 0L
-            qvecs.foreach { case (_, q) =>
-              loopRows += graft.operators.IvfPq.topK(corpus, enc, m, q,
-                nProbe, 10, 100).count()
-            }
-            val tLoop = (System.nanoTime() - tL0) / 1e9
-            val tB0 = System.nanoTime()
-            val batchDf = graft.operators.IvfPq.topKBatch(corpus, enc, m, qdf,
-              nProbe, topK = 10, rerank = 100).persist()
-            val batchRows = batchDf.count()
-            val tBatch = (System.nanoTime() - tB0) / 1e9
-            assert(batchRows == nq.toLong * 10 && loopRows == batchRows,
-              s"batch must answer every query: $batchRows vs $loopRows rows for $nq queries")
-            println(f"ss9 ADC batch ${nq}q vs loop   ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-              f"batch $tBatch%.1f s vs loop $tLoop%.1f s (x${tLoop / tBatch}%.1f)")
-            if (tBatch > tLoop) {
-              failed = true
-              println(f"ss9 batch serving slower than the per-query loop — adoption premise broken")
-            }
-            // recall@10 vs exact brute force for the SAME queries — the
-            // loud sketch-regression bar ss9 lacked (VERDICT r11 #4):
-            // dd3/dd5/ss4/ss5 all have asserted smoke bars, ss8/ss9 had
-            // only the fixture parity specs. Truth uses the identical
-            // 3-decimal rounding + lower-id tie rule as the kernel, so
-            // set membership compares deterministically even on the
-            // tie-heavy replica corpus.
-            locally {
-              val tR0 = System.nanoTime()
-              val exactTop = corpus.crossJoin(broadcast(qdf))
-                .select(col("qid"), col("vec_id"), round(
-                  graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qemb")),
-                  3).as("cos"))
-                .groupBy(col("qid"))
-                .agg(graft.functions.VectorFunctions
-                  .topkByScore(col("cos"), col("vec_id"), 10).as("top"))
-                .select(col("qid"), explode(col("top")).as("t"))
-                .select(col("qid"), col("t.id").as("vec_id"))
-              val hit = batchDf.select(col("qid"), col("vec_id"))
-                .join(exactTop, Seq("qid", "vec_id"), "left_semi").count()
-              val recall = hit.toDouble / (nq.toLong * 10)
-              println(f"recall: ss9 ivfpq@10         ${(System.nanoTime() - tR0) / 1e9}%8.1f s  " +
-                f"recall $recall%.3f ($hit/${nq * 10} vs exact top-10)" +
-                "  " + Calibration.stamp())
-              if (recall < 0.6) {
-                failed = true
-                println(f"ss9 recall@10 $recall%.3f below the .60 bar — IVF-PQ sketch regressed")
-              }
-            }
-            batchDf.unpersist()
-            qdf.unpersist()
-          } catch {
-            case e: Throwable =>
-              failed = true
-              println(s"ss9 ADC batch FAILED: ${e.getClass.getSimpleName}: " +
-                String.valueOf(e.getMessage).take(300))
-          }
+        // parity with per-query topK) vs the honest per-query loop.
+        // Recall bar: probed ss9's loud sketch-regression bar (VERDICT
+        // r11 #4 — dd3/dd5/ss4/ss5 all have asserted smoke bars).
+        try {
+          val (enc, m) =
+            graft.operators.AnnIndex.readIvfPq(spark, lake, "smoke9", "ivfpq")
+          val corpus = embs.where(col("vec_id") =!= 0)
+          val nProbe = graft.operators.Similarity.IvfNProbe
+          adcBatchStage("ss9 ADC batch", "recall: ss9 ivfpq@10",
+            recallBar = 0.6, barMsg = "ss9 recall@10", corpus,
+            q => graft.operators.IvfPq.topK(corpus, enc, m, q, nProbe, 10, 100),
+            qdf => graft.operators.IvfPq.topKBatch(corpus, enc, m, qdf,
+              nProbe, topK = 10, rerank = 100))
+        } catch {
+          case e: Throwable => // index-read setup (the stage body self-catches)
+            failed = true
+            println(s"ss9 ADC batch FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(300))
         }
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(idxRoot.toFile)
@@ -850,7 +917,6 @@ object ScaleSmoke {
     // is the honest per-query serving cost INCLUDING its per-job
     // planning — that is what a caller without the batch API pays.
     locally {
-      val t0 = System.nanoTime()
       val idxRoot = java.nio.file.Files.createTempDirectory("graft-smoke-batch")
       try {
         val lake = graft.lake.LakeClient.local(idxRoot.toString)
@@ -860,63 +926,16 @@ object ScaleSmoke {
           embs.where(col("vec_id") =!= 0), model)
         val (enc, back) = graft.operators.AnnIndex.readPq(spark, lake, "b", "pq")
         val corpus = embs.where(col("vec_id") =!= 0)
-        val qdf = embs.where(col("vec_id") % 1250 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qemb")).persist()
-        val qvecs = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        val nq = qvecs.length
-        // one throwaway query warms both code paths (JIT + codegen cache)
-        graft.operators.ProductQuantizer.pqTopK(
-          corpus, enc, back, qvecs.head._2, 10, 100).count()
-        val tL0 = System.nanoTime()
-        var loopRows = 0L
-        qvecs.foreach { case (_, q) =>
-          loopRows += graft.operators.ProductQuantizer.pqTopK(
-            corpus, enc, back, q, 10, 100).count()
-        }
-        val tLoop = (System.nanoTime() - tL0) / 1e9
-        val tB0 = System.nanoTime()
-        val batchDf = graft.operators.ProductQuantizer.pqTopKBatch(
-          corpus, enc, back, qdf, topK = 10, rerank = 100).persist()
-        val batchRows = batchDf.count()
-        val tBatch = (System.nanoTime() - tB0) / 1e9
-        assert(batchRows == nq.toLong * 10 && loopRows == batchRows,
-          s"batch must answer every query: $batchRows vs $loopRows rows for $nq queries")
-        println(f"pq ADC batch ${nq}q vs loop    ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
-          f"batch $tBatch%.1f s vs loop $tLoop%.1f s (x${tLoop / tBatch}%.1f)")
-        if (tBatch > tLoop) {
-          failed = true
-          println(f"batch serving slower than the per-query loop — adoption premise broken")
-        }
-        // recall@10 vs exact brute force — ss8's loud regression bar
-        // (VERDICT r11 #4). Flat PQ scans the WHOLE coded table and
-        // exact-re-ranks a 100-deep shortlist, so its bar is stiffer
-        // than probed ss9's.
-        locally {
-          val tR0 = System.nanoTime()
-          val exactTop = corpus.crossJoin(broadcast(qdf))
-            .select(col("qid"), col("vec_id"), round(
-              graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qemb")),
-              3).as("cos"))
-            .groupBy(col("qid"))
-            .agg(graft.functions.VectorFunctions
-              .topkByScore(col("cos"), col("vec_id"), 10).as("top"))
-            .select(col("qid"), explode(col("top")).as("t"))
-            .select(col("qid"), col("t.id").as("vec_id"))
-          val hit = batchDf.select(col("qid"), col("vec_id"))
-            .join(exactTop, Seq("qid", "vec_id"), "left_semi").count()
-          val recall = hit.toDouble / (nq.toLong * 10)
-          println(f"recall: ss8 pq@10            ${(System.nanoTime() - tR0) / 1e9}%8.1f s  " +
-            f"recall $recall%.3f ($hit/${nq * 10} vs exact top-10)" +
-            "  " + Calibration.stamp())
-          if (recall < 0.7) {
-            failed = true
-            println(f"ss8 recall@10 $recall%.3f below the .70 bar — PQ sketch regressed")
-          }
-        }
-        batchDf.unpersist()
-        qdf.unpersist()
+        // recall bar: flat PQ scans the WHOLE coded table and exact-
+        // re-ranks a 100-deep shortlist, so its bar is stiffer than
+        // probed ss9's.
+        adcBatchStage("pq ADC batch", "recall: ss8 pq@10",
+          recallBar = 0.7, barMsg = "ss8 recall@10", corpus,
+          q => graft.operators.ProductQuantizer.pqTopK(corpus, enc, back, q, 10, 100),
+          qdf => graft.operators.ProductQuantizer.pqTopKBatch(
+            corpus, enc, back, qdf, topK = 10, rerank = 100))
       } catch {
-        case e: Throwable =>
+        case e: Throwable => // fit/write/read setup (the stage self-catches)
           failed = true
           println(s"pq ADC batch FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
@@ -965,13 +984,7 @@ object ScaleSmoke {
         lake.createFilesystem("smoke")
         val base = graft.tables.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding"))
-        val rnd = new scala.util.Random(3)
-        val perm = rnd.shuffle((0 until 64).toVector)
-        val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
-        val drifted = base.select((col("vec_id") + 10000000L).as("vec_id"),
-          array((0 until 64).map(i =>
-            (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
-            .as("embedding"))
+        val drifted = orthogonalDrift(base)
         val staleModel = graft.operators.IvfPq.fit(base, cells = 256)
         graft.operators.AnnIndex.writeIvfPq(lake, "smoke", "drift", base, staleModel)
         graft.operators.AnnIndex.appendIvfPq(lake, "smoke", "drift", drifted)
@@ -1025,8 +1038,7 @@ object ScaleSmoke {
       try {
         val lake = graft.lake.LakeClient.local(idxRoot.toString)
         lake.createFilesystem("cdrift")
-        val base = clustered(11, 0L)
-        val drifted = clustered(97, 1000000L)
+        val (base, drifted) = clusteredDriftPair()
         val staleModel = graft.operators.IvfPq.fit(base, cells = 64)
         graft.operators.AnnIndex.writeIvfPq(lake, "cdrift", "drift", base, staleModel)
         graft.operators.AnnIndex.appendIvfPq(lake, "cdrift", "drift", drifted)
@@ -1075,8 +1087,9 @@ object ScaleSmoke {
       try {
         val lake = graft.lake.LakeClient.local(idxRoot.toString)
         lake.createFilesystem("pqdrift")
-        val base = clustered(11, 0L)
-        val drifted = clustered(97, 1000000L)
+        val (base, driftedClusters) = clusteredDriftPair()
+        // range drift: the appended slice additionally scaled x10
+        val drifted = driftedClusters
           .select(col("vec_id"), transform(col("embedding"),
             x => (x * 10.0f).cast("float")).as("embedding"))
         val staleModel = graft.operators.ProductQuantizer.fit(base)
@@ -1123,13 +1136,7 @@ object ScaleSmoke {
         lake.createFilesystem("pqiso")
         val base = graft.tables.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding"))
-        val rnd = new scala.util.Random(3)
-        val perm = rnd.shuffle((0 until 64).toVector)
-        val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
-        val drifted = base.select((col("vec_id") + 10000000L).as("vec_id"),
-          array((0 until 64).map(i =>
-            (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
-            .as("embedding"))
+        val drifted = orthogonalDrift(base)
         val staleModel = graft.operators.ProductQuantizer.fit(base)
         graft.operators.AnnIndex.writePq(lake, "pqiso", "pq", base, staleModel)
         graft.operators.AnnIndex.appendPq(lake, "pqiso", "pq", drifted)
@@ -1250,6 +1257,7 @@ object ScaleSmoke {
       f"load=${Calibration.hostLoad()}%.1f")
     println(s"smoke ${if (failed) "FAILED" else "ok"}; artifact: bench/smoke_latest.json")
     persistTranscript(failed)
+    transcriptPersisted = true // disarm the abnormal-exit hook
     spark.stop()
     if (failed) sys.exit(1)
   }
