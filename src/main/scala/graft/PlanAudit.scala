@@ -40,9 +40,12 @@ object PlanAudit {
       val smj = count("SortMergeJoin")
       val bhj = count("BroadcastHashJoin")
       // exch = SHUFFLE count (what the header promises): a bare
-      // "Exchange" substring also matches every BroadcastExchange, so a
-      // shuffle-to-broadcast regression left the metric unchanged
-      val exchanges = count("Exchange") - count("BroadcastExchange")
+      // "Exchange" substring also matches every BroadcastExchange — and
+      // every ReusedExchange (a cached exchange output, not a new
+      // shuffle) — so a shuffle-to-broadcast regression or an added
+      // reuse left the metric wrong
+      val exchanges =
+        count("Exchange") - count("BroadcastExchange") - count("ReusedExchange")
       val flags = new StringBuilder
       if (cartesian > 0) flags.append(" CARTESIAN!")
       if (bnlj > 0 && !expectedNestedLoop(name)) flags.append(" NESTED-LOOP!")

@@ -55,6 +55,12 @@ final class LakeClient(val fs: FileSystem, val accountRoot: Path) {
     require(n.split('/').forall(seg => seg != ".." && seg != "."),
       s"lake path '$p' contains dot segments — it would traverse outside " +
         "its filesystem")
+    // third escape shape (r16 self-review): a ':' before the first '/'
+    // parses as a URI SCHEME, and Path(parent, "file:/etc/x") resolves
+    // to the scheme-qualified child verbatim — outside the account root
+    require(!n.takeWhile(_ != '/').contains(':'),
+      s"lake path '$p' starts with a scheme-like segment — it would " +
+        "resolve as an absolute URI outside the account root")
     n
   }
   private def fsRoot(filesystem: String): Path = {

@@ -301,14 +301,16 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
       it.map { m =>
         val fmt0 = m.format.toLowerCase(java.util.Locale.ROOT)
-        // multi-frame containers pass through UNTOUCHED: ImageIO.read
-        // decodes only frame 0, so "resizing" an animated GIF would
-        // silently flatten it to a static PNG — and the format retag
-        // would then steer sampleFrames away from the real per-frame
-        // decode. Frame-preserving scaling needs an animation-aware
-        // re-encoder (the same codec seam as video); data integrity
-        // beats a lossy resize here.
-        if (MediaDecoder.MultiFrameFormats(fmt0)) m
+        // ANIMATED multi-frame containers pass through UNTOUCHED:
+        // ImageIO.read decodes only frame 0, so "resizing" an animated
+        // GIF would silently flatten it to a static PNG — and the format
+        // retag would then steer sampleFrames away from the real
+        // per-frame decode. Frame-preserving scaling needs an
+        // animation-aware re-encoder (the same codec seam as video);
+        // data integrity beats a lossy resize here. A STATIC (1-frame)
+        // gif has nothing to lose and resizes like any image below —
+        // the probe costs one header decode for gif rows only.
+        if (MediaDecoder.MultiFrameFormats(fmt0) && frameCount(m.payload) > 1) m
         else if (MediaDecoder.ImageFormats(fmt0))
           dec.resizeImage(m.payload, targetWidth) match {
             case Some((bytes, w, h)) =>
@@ -371,6 +373,25 @@ object Multimodal {
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Stored-frame count of a multi-frame container payload; 1 on any
+    * decode failure (the caller's single-frame path then applies its own
+    * corrupt-tolerance convention). Used by [[resize]] to tell a STATIC
+    * gif (resize like any image) from an animated one (pass through). */
+  private[multimodal] def frameCount(payload: Array[Byte]): Int =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) 1
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); r.getNumImages(true) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => 1 }
 
   /** Frame sampling for video-like payloads: REAL for animated GIF
     * (per-frame ImageIO decode → PNG, every k-th frame); other formats

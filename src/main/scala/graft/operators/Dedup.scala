@@ -919,10 +919,15 @@ object Dedup {
     * [[invalidate]] (or [[clearCaches]]) before re-clustering. */
   private def cachedPairGraph(s: SparkSession, dir: String): DataFrame = {
     hookEviction(s)
-    pairGraphs.getOrBuildWith(s, dir) {
+    // the putIfAbsent LOSER's frame is NOT unpersisted: Spark's
+    // CacheManager keys on the canonicalized plan, so the loser's
+    // persist was a no-op on the winner's shared entry — and an
+    // unpersist here would evict that shared entry, leaving the memo
+    // holding a permanently-uncached frame (r16 self-review)
+    pairGraphs.getOrBuild(s, dir) {
       dd4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    } { df => df.unpersist(false); () }
+    }
   }
 
   /** Memoized [[keptShingles]] over the fixture documents of `dir` —
@@ -931,11 +936,13 @@ object Dedup {
     * dir) however many of dd3/dd4/dd6 run. */
   private def cachedKeptShingles(s: SparkSession, dir: String): DataFrame = {
     hookEviction(s)
-    shingleFrames.getOrBuildWith(s, dir) {
+    // no loser-unpersist — same shared-cache-entry reasoning as
+    // [[cachedPairGraph]]
+    shingleFrames.getOrBuild(s, dir) {
       val docs = Tables.documents(s, dir)
       keptShingles(withShingles(docs), shingleDfCap(docs))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    } { df => df.unpersist(false); () }
+    }
   }
 
   /** Drop the memoized pair graph + shingle frame for one data dir (call

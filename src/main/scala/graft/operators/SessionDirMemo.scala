@@ -42,8 +42,12 @@ private[operators] final class SessionDirMemo[T] {
 
   /** [[getOrBuild]] with a loser hook: when two threads race the same
     * key, the putIfAbsent loser's freshly-built value is handed to
-    * `discardDup` (unpersist a frame, drop a handle) before the winner's
-    * value is adopted. */
+    * `discardDup` before the winner's value is adopted. CAUTION for
+    * persisted DataFrames: Spark's CacheManager keys on the
+    * CANONICALIZED PLAN, so a loser's `unpersist` would evict the
+    * winner's shared cache entry — same-plan builds must pass a no-op
+    * (use [[getOrBuild]]); the hook is for values owning genuinely
+    * distinct resources (files, handles). */
   def getOrBuildWith(s: SparkSession, dir: String)(build: => T)(
       discardDup: T => Unit): T =
     cached(s, dir).getOrElse {

@@ -7,25 +7,30 @@ import org.apache.spark.sql.functions._
   * automatic skew-join splitting, for engines/paths where AQE can't help
   * — e.g. skewed aggregations feeding a join, or deterministic plans).
   *
-  * `saltedJoin(left, right, key, salt)`: every left row gets a
-  * round-robin salt; the small side is exploded `salt`× so every
+  * `saltedJoin(left, right, key, salt)`: the skewed (large) side gets a
+  * content-derived salt; the small side is exploded `salt`× so every
   * (key, salt) bucket finds its partner. One shuffle on (key, salt) with
-  * `salt`× better balance; results are identical to the unsalted join.
+  * up to `salt`× better balance; results are identical to the unsalted
+  * join.
   */
 object SkewJoin {
 
   /** Equi-join `left ⋈ right` on `key`, salting the left (skewed) side.
-    * The salt is a round-robin over each partition's row sequence
-    * (monotonically_increasing_id mod salt) — NOT a hash of the row
-    * content: content hashing sent every identical row of a hot key
-    * (sentinel values, narrow projections) to ONE bucket, quietly
-    * reducing the promised `salt`× balance to 1× while still paying the
-    * right-side replication, and it rejected MapType columns outright
-    * (xxhash64 can't hash maps). Round-robin spreads duplicates
-    * uniformly, touches no data column, and is deterministic for a
-    * given partition layout (the salt only routes rows — the join
-    * RESULT is layout-independent either way). `right` rows are
-    * replicated `salt` times — keep `right` the smaller side.
+    * The salt is RETRY-DETERMINISTIC: xxhash64 of the left row's
+    * hashable columns mod `salt` (map-typed columns, which xxhash64
+    * rejects, are excluded). A positional salt (round-robin over
+    * monotonically_increasing_id, briefly shipped here) can change when
+    * a lost-executor retry recomputes a map task in a different row
+    * order — the SPARK-23207 class of bug: reducers that already
+    * fetched the old output see a row under one salt and the re-fetched
+    * output under another, silently duplicating or dropping joined
+    * rows. Content hashing is immune (same row → same salt on any
+    * recompute). The cost, stated honestly: BIT-IDENTICAL duplicate
+    * rows of a hot key share a salt and are not spread — no
+    * deterministic function of row content can separate identical rows.
+    * Pre-aggregate duplicates first, or lean on AQE skew-join
+    * splitting, for that shape. `right` rows are replicated `salt`
+    * times — keep `right` the smaller side.
     *
     * Only LEFT-preserving join types are accepted: the right side is
     * replicated `salt`×, so a right-preserving type (right/full outer)
@@ -42,8 +47,17 @@ object SkewJoin {
     require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
       "saltedJoin: an input already has a _salt column — rename it first " +
         "(withColumn would silently overwrite it and drop() would delete it)")
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    // the equi-join key is always hashable (maps can't be join keys), so
+    // the hash input is never empty
+    val hashable = left.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
     val l = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salt)).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

@@ -261,8 +261,11 @@ object EventStreams {
           val wm = state.getCurrentWatermarkMs()
           // the watermark is millis; a click is prunable only once NO
           // in-watermark purchase can sit in its band — compare in micros
-          // against the watermark's microsecond floor
-          val kept = clicks.filter { case (_, cus) => cus + bandUs > wm * 1000 }
+          // against the watermark's microsecond floor. >=, not >: a
+          // purchase with event time EXACTLY at the watermark is still
+          // admitted, and its band's lower edge is exactly cus when
+          // cus + bandUs == wm*1000 (r16 self-review boundary case)
+          val kept = clicks.filter { case (_, cus) => cus + bandUs >= wm * 1000 }
           if (kept.isEmpty) state.remove()
           else {
             state.update(kept)

@@ -60,6 +60,10 @@ class LakeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the REST reference sent these as literal URL segments; through
     // Hadoop Path resolution they would ESCAPE the account root
     intercept[IllegalArgumentException] { client.readBytes("tv", "//etc/passwd") }
+    // a ':' before the first '/' parses as a URI scheme and Path
+    // resolution returns the absolute child verbatim — the third shape
+    intercept[IllegalArgumentException] { client.readBytes("tv", "file:/etc/passwd") }
+    intercept[IllegalArgumentException] { client.deletePath("tv", "hdfs://host/x", recursive = true) }
     intercept[IllegalArgumentException] { client.deletePath("tv", "../tv2", recursive = true) }
     intercept[IllegalArgumentException] { client.createPath("tv", "a/../../b") }
     intercept[IllegalArgumentException] { client.setPathProperties("tv", "./ok.txt", Map("k" -> "v")) }

@@ -238,6 +238,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = sampleFrames(out, frameBytes = 10, everyK = 2).collect()
       .map(_.getInt(1)).sorted
     assert(idx.sameElements(Array(0, 2, 4)))
+    // a STATIC (1-frame) gif has no frames to lose: it resizes like any
+    // image (the pass-through gate probes the stored frame count)
+    val oneFrame = animatedGif(1)
+    val resized = resize(
+      Seq(MediaRecord(2L, oneFrame, "gif", 8, 8)).toDS(), targetWidth = 4)
+      .collect()(0)
+    assert(resized.format == "png" && resized.width == 4,
+      s"static gif must resize, got ${resized.format}@${resized.width}")
   }
 
   test("resize fail-fasts on a non-positive targetWidth (driver-side, not in-task)") {

@@ -48,22 +48,26 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftOuter.count() == left.count())
   }
 
-  test("saltedJoin spreads IDENTICAL left rows and accepts MapType columns") {
+  test("saltedJoin accepts MapType columns and spreads DISTINCT hot-key rows deterministically") {
     import spark.implicits._
-    // 4k bit-identical rows of one hot key: the old content-hash salt
-    // sent all of them to ONE (key, salt) bucket (1x balance); the
-    // round-robin salt must spread them while keeping the exact multiset
-    val left = Seq.fill(4000)((1, "same")).toDF("k", "lv")
-      .withColumn("props", map(lit("a"), lit(1))) // xxhash64 rejected maps
+    // a hot key with 4k DISTINCT rows plus a map column (xxhash64
+    // rejects maps — they are excluded from the salt hash, not fatal)
+    val left = (0 until 4000).map(i => (1, s"row$i")).toDF("k", "lv")
+      .withColumn("props", map(lit("a"), lit(1)))
     val right = Seq((1, "one"), (2, "two")).toDF("k", "rv")
     val salted = SkewJoin.saltedJoin(left, right, "k", salt = 8)
-    assert(salted.count() == 4000, "every identical row joins exactly once")
-    // the salt expression itself: round-robin over a single partition
-    // covers all salt values (the balance the doc promises)
-    val salts = left.repartition(1)
-      .withColumn("_s", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
-      .select("_s").distinct().count()
-    assert(salts == 8, s"round-robin must cover all 8 salts, got $salts")
+    assert(salted.count() == 4000, "every row joins exactly once")
+    // the salt must be a pure function of row CONTENT (retry-determinism
+    // — a positional salt silently duplicates/drops rows when a lost
+    // executor recomputes a map task; SPARK-23207 class) and must still
+    // spread distinct rows of the hot key across buckets
+    val saltOf = pmod(xxhash64(col("k"), col("lv")), lit(8)).cast("int")
+    val spread = left.select(saltOf.as("s")).distinct().count()
+    assert(spread == 8, s"distinct rows must cover all 8 salts, got $spread")
+    val perContent = left.repartition(13) // any layout: same row -> same salt
+      .select(col("lv"), saltOf.as("s")).distinct()
+      .groupBy("lv").count().where(col("count") > 1).count()
+    assert(perContent == 0, "a row's salt must not depend on layout or order")
   }
 
   test("guarded broadcast hint attaches under the byte cap and detaches above it") {
