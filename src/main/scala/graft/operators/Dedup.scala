@@ -931,25 +931,57 @@ object Dedup {
   }
 
   /** Memoized [[keptShingles]] over the fixture documents of `dir` —
-    * persisted so the shingle explosion + df-cutoff window (a full-text
+    * materialized so the shingle explosion + df-cutoff (a full-text
     * tokenize + one shuffle on `sh`) is computed once per (session,
-    * dir) however many of dd3/dd4/dd6 run. */
+    * dir) however many of dd3/dd4/dd6 run.
+    *
+    * Materialized with `localCheckpoint()`, NOT `persist()` (round-16
+    * optimization, measured): under AQE, Spark 4.1 wraps every
+    * InMemoryTableScan in a `TableCacheQueryStageExec(id, plan)` whose
+    * canonicalization — unlike ShuffleQueryStageExec, which carries an
+    * explicit `_canonicalized` — includes the stage `id` and the
+    * un-normalized `plan`, so two scans of the SAME cache canonicalize
+    * DIFFERENTLY and every Exchange above them loses stage reuse
+    * (`AdaptiveExecutionContext.stageCache` keys on
+    * `Exchange.canonicalized`). Measured on dd3 at sf0.1: the minhash
+    * partial-aggregation map stage (cache scan → xxhash64 per shingle →
+    * 65-column min agg → 58 MiB exchange) executed SIX times per run —
+    * once per self-join side, chain path, and each over-bucket
+    * broadcast — ~360 MiB shuffled where ~70 should move. A
+    * `localCheckpoint` frame scans as a LogicalRDD leaf, which
+    * canonicalizes by RDD identity, so the exchanges above it match and
+    * AQE reuses them (probe: self-join over a persisted source = 0
+    * reuses, 2× the shuffle; over a checkpointed source = 1 reuse,
+    * exactly half the shuffle — ReuseProbe).
+    *
+    * Trade (documented, accepted): checkpoint blocks are
+    * NON-REPLAYABLE — on a cluster, losing an executor mid-query fails
+    * the query instead of recomputing the lost partitions (local mode:
+    * no such executor to lose), and after [[invalidate]] previously
+    * returned dd3/dd4/dd6 frames must not be re-collected (their
+    * blocks are released; before, they would silently recompute — from
+    * a rewritten dir, i.e. wrong data, so the contract was already
+    * "don't"). The build runs its job at memo-build time (the cold
+    * run pays it — same honesty as the old lazy persist, which the
+    * cold run also materialized). A putIfAbsent race loser owns
+    * genuinely distinct checkpoint blocks (no shared CacheManager
+    * entry), so the loser hook releases them. */
   private def cachedKeptShingles(s: SparkSession, dir: String): DataFrame = {
     hookEviction(s)
-    // no loser-unpersist — same shared-cache-entry reasoning as
-    // [[cachedPairGraph]]
-    shingleFrames.getOrBuild(s, dir) {
+    shingleFrames.getOrBuildWith(s, dir) {
       val docs = Tables.documents(s, dir)
-      keptShingles(withShingles(docs), shingleDfCap(docs))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+      keptShingles(withShingles(docs), shingleDfCap(docs)).localCheckpoint()
+    }(releaseSuperseded)
   }
 
   /** Drop the memoized pair graph + shingle frame for one data dir (call
     * after rewriting the documents under it). */
   def invalidate(s: SparkSession, dir: String): Unit =
     Seq(pairGraphs.remove(s, dir), shingleFrames.remove(s, dir)).foreach(
-      _.foreach(df => if (!s.sparkContext.isStopped) { df.unpersist(false); () }))
+      _.foreach(df => if (!s.sparkContext.isStopped) {
+        df.unpersist(false)        // persisted entries (pair graph)
+        releaseSuperseded(df)      // checkpointed entries (shingle frame)
+      }))
 
   /** Drop all memoized pair graphs and shingle frames (tests / session
     * teardown). */
@@ -957,7 +989,7 @@ object Dedup {
     Seq(pairGraphs, shingleFrames).foreach { memo =>
       memo.foreachEntry { (sess, _, df) =>
         if (!sess.sparkContext.isStopped) {
-          try { df.unpersist(false); () }
+          try { df.unpersist(false); releaseSuperseded(df) }
           catch { case scala.util.control.NonFatal(_) => }
         }
       }
