@@ -970,7 +970,8 @@ object Dedup {
     hookEviction(s)
     shingleFrames.getOrBuildWith(s, dir) {
       val docs = Tables.documents(s, dir)
-      keptShingles(withShingles(docs), shingleDfCap(docs)).localCheckpoint()
+      keptShingles(withShingles(docs), shingleDfCap(docs))
+        .repartition(col("doc_id")).localCheckpoint()
     }(releaseSuperseded)
   }
 
