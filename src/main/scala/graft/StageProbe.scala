@@ -23,6 +23,10 @@ object StageProbe {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val warmRuns = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = ProbeHarness.session("stage-probe")
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES").foreach { r =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", r)
+      println(s"excludedRules=$r")
+    }
 
     val stages = ArrayBuffer[St]()
     val listener = new SparkListener {

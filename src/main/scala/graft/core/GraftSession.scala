@@ -34,6 +34,33 @@ object GraftSession {
     sys.props.get("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  /** Optimizer rules excluded engine-wide — honoring a spark-submit
+    * --conf override like [[defaultShufflePartitions]] does.
+    *
+    * `InferFiltersFromGenerate` (round-16 optimization, measured): for
+    * every `explode(expr)` the rule infers `size(expr) > 0 AND
+    * isnotnull(expr)` and filter pushdown then sinks that predicate
+    * below projections and exchanges to the SCAN — so the exploded
+    * expression is evaluated twice per row (once in the pushed filter,
+    * once in the Generate), and the filter copy runs at the scan's
+    * parallelism, i.e. single-threaded on a one-split table before the
+    * [[graft.tables.Tables]] `balanced()` exchange. Measured at sf0.1:
+    * dd8's corpus-shingling filter copy was a 1.85 s one-task stage of
+    * a 2.7 s query (the whole 3-shingle transform per doc, computed and
+    * discarded); exclusion took the stage to 68 ms and dd8 to 1.4 s;
+    * q31 evaluates `from_json` twice per event row the same way. Ten of
+    * the 78 query plans carried such a filter (grep `DataFilters:
+    * .*size(` over plans/r16). The rule only ever adds predicates the
+    * Generate re-applies — rows producing zero generator output are
+    * dropped either way, so plans differ, results cannot. The rows it
+    * would pre-drop before a shuffle are shingle-less/token-less docs —
+    * a negligible fraction at any scale, and at production scale the
+    * LLM tables arrive in many splits so `balanced()` adds no exchange
+    * for them to cross at all. */
+  private[core] def defaultExcludedRules: String =
+    sys.props.getOrElse("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
   def builder(appName: String = "graft",
               master: String = defaultMaster,
               shufflePartitions: Int = defaultShufflePartitions)
@@ -42,6 +69,7 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.optimizer.excludedRules", defaultExcludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -60,6 +60,26 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("defaultExcludedRules excludes InferFiltersFromGenerate, yields to --conf") {
+    // the rule duplicates every explode()'s generator expression into a
+    // pushed-down filter evaluated at the scan's parallelism (measured:
+    // dd8's shingle transform ran twice, the filter copy single-threaded
+    // — OPTIMIZATION_r16.md); the exclusion must hold by default but an
+    // operator's own spark-submit --conf wins, per the
+    // defaultShufflePartitions discipline
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = sys.props.get(key)
+    try {
+      sys.props.remove(key)
+      assert(GraftSession.defaultExcludedRules ==
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      sys.props(key) = "my.custom.Rule"
+      assert(GraftSession.defaultExcludedRules == "my.custom.Rule")
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
+
   test("SparkEntry registry: no cross-module name collisions, no orphan oracles") {
     // forcing both maps runs the merged-unique + orphan checks; the
     // driver contract (oracle keys name real queries) is load-bearing
