@@ -398,6 +398,18 @@ object Bench {
         println(s"bench artifact persist FAILED for $path (stdout JSON above is complete): $e")
       }
     }
+    // Driver contract line (round 17 — VERDICT r16 #2): the driver tail-
+    // captures only the last ~2-3 KB of stdout and parses the last JSON
+    // line it finds. The rich headline above embeds calibration + a
+    // ~20 s CPU timeline (tens of KB) and is followed by the persist
+    // messages, so `parsed` has been null in every BENCH_rNN.json since
+    // round 10. Print a COMPACT duplicate — total + per-query warm map +
+    // sf, nothing else — as the LAST program stdout line, after the
+    // persist messages; the full artifact stays in bench/latest.json.
+    // Same numbers, same methodology: this is a reporting fix, not a
+    // measurement change.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${timesJson(warmMin)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2._2.isLeft)) sys.exit(1)
   }

@@ -32,8 +32,10 @@ object ReuseProbe {
       stages.set(0); shuffleW.set(0L)
       spark.sparkContext.addSparkListener(listener)
       df.collect()
-      spark.sparkContext.removeSparkListener(listener)
+      // drain the async bus BEFORE removal (r16 ADVICE), or queued
+      // stage-completion events never reach the listener
       Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(listener)
       print(s"[stages=${stages.get()} shuffleWriteKiB=${shuffleW.get() / 1024}] ")
       val p = df.queryExecution.executedPlan.toString
       if (sys.env.contains("REUSE_PROBE_PLANS")) println("\n" + p)

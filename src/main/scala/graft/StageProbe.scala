@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   * Usage: runMain graft.StageProbe <query[,query...]> [sfDir] [warmRuns]
   */
 object StageProbe {
-  private case class St(name: String, details: String, ms: Long, tasks: Int,
+  private case class St(name: String, ms: Long, tasks: Int,
                         inB: Long, srB: Long, swB: Long, outRows: Long)
 
   def main(args: Array[String]): Unit = {
@@ -35,7 +35,7 @@ object StageProbe {
         val m = si.taskMetrics
         val ms = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
         stages.synchronized {
-          stages += St(si.name.takeWhile(_ != '\n'), si.details.take(0), ms,
+          stages += St(si.name.takeWhile(_ != '\n'), ms,
             si.numTasks, m.inputMetrics.bytesRead, m.shuffleReadMetrics.remoteBytesRead
               + m.shuffleReadMetrics.localBytesRead,
             m.shuffleWriteMetrics.bytesWritten, m.outputMetrics.recordsWritten)
@@ -58,9 +58,11 @@ object StageProbe {
         val t1 = System.nanoTime()
         fn(spark, sfDir).count()
         val w = (System.nanoTime() - t1) / 1e9
-        spark.sparkContext.removeSparkListener(listener)
-        // listener bus is async; let the last stage events drain
+        // listener bus is async; drain BEFORE removing the listener —
+        // events still queued at removal never reach a removed listener
+        // (r16 ADVICE: the old remove-then-sleep order undercounted)
         Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
         println(f"$name warm$r: $w%.3f s (${stages.size} stages)")
         if (w < best) { best = w; bestStages = stages.synchronized(stages.toSeq) }
       }

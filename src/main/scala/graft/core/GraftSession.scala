@@ -56,7 +56,16 @@ object GraftSession {
     * would pre-drop before a shuffle are shingle-less/token-less docs —
     * a negligible fraction at any scale, and at production scale the
     * LLM tables arrive in many splits so `balanced()` adds no exchange
-    * for them to cross at all. */
+    * for them to cross at all.
+    *
+    * OVERRIDE CAVEAT (r16 ADVICE): an operator's own `--conf
+    * spark.sql.optimizer.excludedRules=...` REPLACES this default, not
+    * merges with it — silently re-enabling InferFiltersFromGenerate and
+    * its measured 27× single-task-stage regression. Overrides must
+    * include `org.apache.spark.sql.catalyst.optimizer.
+    * InferFiltersFromGenerate` in their comma list (replacement, not
+    * merge, is deliberate: it is the only way to A/B the exclusion
+    * itself, which the r16→r17 dd4 bisect depends on). */
   private[core] def defaultExcludedRules: String =
     sys.props.getOrElse("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
