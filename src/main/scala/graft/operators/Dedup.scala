@@ -970,6 +970,13 @@ object Dedup {
     hookEviction(s)
     shingleFrames.getOrBuildWith(s, dir) {
       val docs = Tables.documents(s, dir)
+      // Width note (round 17, measured): `repartition(col)` lets AQE
+      // coalesce the memo to ~4 partitions at sf0.1 (advisory-size
+      // coalescing of 26 MB). An explicit conf-width repartition was
+      // A/B'd and REJECTED: 32 tiny partitions cost 4-5x the task CPU
+      // (dd4 taskCpu 1.7-2.2 s -> 4.8-10.2 s) for no wall gain, and the
+      // size-adaptive form is the one that scales — at corpus size the
+      // same advisory coalescing yields thousands of partitions.
       keptShingles(withShingles(docs), shingleDfCap(docs))
         .repartition(col("doc_id")).localCheckpoint()
     }(releaseSuperseded)
@@ -1059,20 +1066,36 @@ object Dedup {
         val touched = edges.select(col("u").as("doc_id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         labels = touched.select(col("doc_id"), col("doc_id").as("label"))
+        // the checkpointed frame backing `labels` (carries the per-round
+        // `chg` flag); tracked separately so releaseSuperseded sees the
+        // LogicalRDD root, not the slimming Project above it
+        var labelsCk: DataFrame = null
         var converged = false
         var stalled = false
         var iters = 0
         var prevChanged = Long.MaxValue
         while (!converged && !stalled && iters < FastLabelRounds) {
+          // ONE job per round (round 17 — the converge-count fold): the
+          // old label rides the same aggregation as the new one (every
+          // doc_id has exactly one `own` row, so min(when(own,label)) IS
+          // last round's label), the checkpoint is LAZY, and the changed-
+          // count action both materializes the checkpoint blocks and
+          // returns the count — replacing the separate join(next, labels)
+          // + count job (2 exchanges + a hash join per round, and at
+          // 100 TB a full extra stage barrier per round).
           val prop = edges.join(labels, edges("u") === labels("doc_id"))
-            .select(col("v").as("doc_id"), col("label"))
-          val next = labels.union(prop)
-            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-            .localCheckpoint() // truncate iteration lineage
-          val changed = next.as("n").join(labels.as("o"), "doc_id")
-            .where(col("n.label") =!= col("o.label")).count()
-          releaseSuperseded(labels) // changed-count was its last consumer
-          labels = next
+            .select(col("v").as("doc_id"), col("label"), lit(false).as("own"))
+          val next = labels.select(col("doc_id"), col("label"), lit(true).as("own"))
+            .union(prop)
+            .groupBy(col("doc_id"))
+            .agg(min(col("label")).as("label"),
+              min(when(col("own"), col("label"))).as("old"))
+            .withColumn("chg", col("label") =!= col("old"))
+            .localCheckpoint(false) // lazy: the count below materializes it
+          val changed = next.where(col("chg")).count()
+          if (labelsCk != null) releaseSuperseded(labelsCk)
+          labelsCk = next
+          labels = next.select(col("doc_id"), col("label"))
           converged = changed == 0
           iters += 1
           // convergence trend: a clique-ish graph decays geometrically
@@ -1088,7 +1111,7 @@ object Dedup {
           else if (stalled) s"star-early:$iters" else s"star-budget:$iters")
         // high-diameter graph: the fast path would need O(diameter)
         // rounds — switch to star contraction, O(log² n) rounds always
-        if (!converged) { releaseSuperseded(labels); labels = starComponents(edges) }
+        if (!converged) { releaseSuperseded(labelsCk); labels = starComponents(edges) }
       }
       // untouched docs are their own singleton components
       val singletons = docs.select(col("doc_id"))
@@ -1185,7 +1208,11 @@ object Dedup {
     def minsOf(s: DataFrame): DataFrame = s.groupBy(col("u"))
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
-    var cur = canonical(edges).localCheckpoint()
+    // LAZY checkpoints throughout (round 17): the per-round action that
+    // already scans every partition — count here, the signature agg in
+    // the loop — doubles as the checkpoint materialization, so each
+    // round runs one job instead of two (materialize + signature).
+    var cur = canonical(edges).localCheckpoint(false)
     var sig = (cur.count(), 0L)
     var rounds = 0
     var converged = false
@@ -1202,9 +1229,10 @@ object Dedup {
       val small = s2.where(col("v") < col("u")).join(m2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("u"), col("m").as("v")))
-      val next = canonical(small).localCheckpoint()
+      val next = canonical(small).localCheckpoint(false)
       // xor-fold, not sum: overflow-free under ANSI; collisions are
       // caught by the exact anti-join confirmation below
+      // (the agg action also materializes the lazy checkpoint)
       val nextSig = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
         .head() match { case r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)) }
       converged = nextSig == (sig._1, sig._2) && {

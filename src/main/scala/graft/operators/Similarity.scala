@@ -252,15 +252,22 @@ object Similarity {
       .where(VectorFunctions.vecDot(col("embedding"), col("embedding")) > 0)
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(rnd.nextGaussian())
-    val bucketCols = planes.map { tbl =>
-      tbl.zipWithIndex.map { case (plane, b) =>
-        val proj = VectorFunctions.vecDot(col("embedding"), typedLit(plane.map(_.toFloat)))
-        when(proj >= 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    val packedSig = bucketCols.zipWithIndex
-      .map { case (b, t) => shiftleft(b, stride * t) }
-      .reduce((x, y) => x.bitwiseOR(y))
+    // ONE in-row signature expression over the flat plane matrix (round
+    // 17, measured — see [[graft.functions.HyperplaneSig]]): the retired
+    // form built sig from 64 per-plane vec_dot-vs-literal columns folded
+    // through when/add/shift/or — one unsplittable generated method that
+    // defeated the JIT (~100 µs/dot, 13-17 s task CPU per 2000-row sig
+    // pass at sf0.1, plus 10-16 s of HotSpot recompilation per warm run).
+    // Same bits, same buckets, same output (HyperplaneSigSpec pins the
+    // parity); the matrix rides as a plan reference object, so the plan
+    // also sheds 64 pasted 64-float literals per side.
+    val flat = new Array[Float](tables * bits * dim)
+    var off = 0
+    planes.foreach(_.foreach(_.foreach { x => flat(off) = x.toFloat; off += 1 }))
+    val packedSig = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.HyperplaneSig(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("embedding")),
+        flat, tables, bits, stride, dim))
     // bits == 64 must map to the full mask explicitly: JVM shift counts
     // are mod 64, so (1L << 64) - 1 is 0 and every vector would land in
     // bucket 0 of a single table — the exact quadratic self-join melt
