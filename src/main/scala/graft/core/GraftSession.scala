@@ -70,6 +70,24 @@ object GraftSession {
     sys.props.getOrElse("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
+  /** Generated-class cache size (round-17 optimization, measured).
+    * Spark's Janino cache holds 100 compiled classes by default; one
+    * dd5-sized query alone generates ~30 codegen units and the 78-query
+    * engine surface needs a few thousand, so under the default EVERY
+    * re-run of EVERY query recompiled its generated code from scratch —
+    * Janino compile time plus a fresh HotSpot JIT warm-up per class per
+    * run. Measured at sf0.1 on a quiet box: dd5_simhash warm ran 5.1 s
+    * with 29-33 Janino compiles per run at the default, 2.3 s with 0
+    * compiles at 4096 (matching its r15 record); the effect applies to
+    * every query in a long-lived session (driver AND executors compile
+    * generated code). Cost: retained class metadata, bounded by the
+    * distinct-plan count — hundreds of MB worst case against an 8 GB+
+    * JVM, the standard trade for a session that serves many distinct
+    * queries. Static SQL conf (read at first session creation); honors a
+    * spark-submit --conf override like [[defaultShufflePartitions]]. */
+  private[core] def defaultCodegenCacheMaxEntries: String =
+    sys.props.getOrElse("spark.sql.codegen.cache.maxEntries", "4096")
+
   def builder(appName: String = "graft",
               master: String = defaultMaster,
               shufflePartitions: Int = defaultShufflePartitions)
@@ -79,6 +97,7 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.optimizer.excludedRules", defaultExcludedRules)
+      .config("spark.sql.codegen.cache.maxEntries", defaultCodegenCacheMaxEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

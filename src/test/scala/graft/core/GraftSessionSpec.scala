@@ -80,6 +80,25 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("defaultCodegenCacheMaxEntries widens the 100-class default, yields to --conf") {
+    // Spark's 100-entry Janino cache recompiles every query's generated
+    // classes on every re-run of a 78-query session (measured: dd5 warm
+    // 5.1 s with ~30 compiles/run at the default, 2.3 s with 0 at 4096
+    // — OPTIMIZATION_r17.md); the widened default must hold but an
+    // operator's spark-submit --conf wins, per the
+    // defaultShufflePartitions discipline
+    val key = "spark.sql.codegen.cache.maxEntries"
+    val prev = sys.props.get(key)
+    try {
+      sys.props.remove(key)
+      assert(GraftSession.defaultCodegenCacheMaxEntries == "4096")
+      sys.props(key) = "100"
+      assert(GraftSession.defaultCodegenCacheMaxEntries == "100")
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
+
   test("SparkEntry registry: no cross-module name collisions, no orphan oracles") {
     // forcing both maps runs the merged-unique + orphan checks; the
     // driver contract (oracle keys name real queries) is load-bearing
